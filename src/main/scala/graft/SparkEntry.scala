@@ -1,13 +1,181 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 that is SQL-expressible has BOTH a
+  * `queries` entry and an `oracleSql` twin (identical column aliases — the
+  * driver sorts columns by name before hashing). Approximate/sketch ops are
+  * `queries`-only (rows-only check) with exact twins carrying the oracle.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    TrendQueries.edwTrend(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- trend / decay (reference edw_stream.py) ---
+    "q_edw_enriched"   -> ((s, d) => TrendQueries.edwEnriched(s, d)),
+    "q_edw_trend"      -> ((s, d) => TrendQueries.edwTrend(s, d)),
+    "q_decayed_types"  -> ((s, d) => TrendQueries.decayedTypeTrend(s, d)),
+    "q_sentiment_counts" -> ((s, d) => TrendQueries.sentimentCounts(s, d)),
+    "q_json_etl"       -> ((s, d) => TrendQueries.jsonEtl(s, d)),
+    "q_daily_type_counts" -> ((s, d) => TrendQueries.dailyTypeCounts(s, d)),
+    // --- text (reference cms_stream.py tokenize path + text analysis) ---
+    "q_keyword_freq"   -> ((s, d) => TextQueries.keywordFreq(s, d)),
+    "q_top_keywords"   -> ((s, d) => TextQueries.topKeywords(s, d)),
+    "q_distinct_exact" -> ((s, d) => TextQueries.distinctExact(s, d)),
+    "q_token_stats"    -> ((s, d) => TextQueries.tokenStats(s, d)),
+    "q_quality_scores" -> ((s, d) => TextQueries.qualityScores(s, d)),
+    "q_lang_profile"   -> ((s, d) => TextQueries.langProfile(s, d)),
+    "q_fingerprints"   -> ((s, d) => TextQueries.fingerprints(s, d)),
+    "q_dedup_exact"    -> ((s, d) => TextQueries.dedupExact(s, d)),
+    // --- relational breadth ---
+    "q_pricing_summary" -> ((s, d) => RelationalQueries.pricingSummary(s, d)),
+    "q_top_orders"      -> ((s, d) => RelationalQueries.topRevenueOrders(s, d)),
+    "q_revenue_by_nation" -> ((s, d) => RelationalQueries.revenueByNation(s, d)),
+    "q_window_topk"     -> ((s, d) => RelationalQueries.topItemsPerFlag(s, d)),
+    "q_setop_engaged"   -> ((s, d) => RelationalQueries.engagedUsers(s, d)),
+    "q_semi_urgent"     -> ((s, d) => RelationalQueries.customersWithUrgentOrders(s, d)),
+    "q_orders_rollup"   -> ((s, d) => RelationalQueries.ordersRollup(s, d)),
+  )
+
+  /** Decay expression shared by the EDW oracles (DuckDB `epoch()` returns
+    * fractional seconds — bit-identical to Spark's timestamp→double cast). */
+  private val W = "exp(-0.1 * (epoch(as_of) - epoch(ts)) / 86400.0)"
+  private val S = "(CASE WHEN event_type = 'purchase' THEN 1.0 WHEN event_type = 'error' THEN -1.0 ELSE 0.0 END)"
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q_edw_enriched" ->
+      s"""SELECT event_id, ts, user_id, event_type, value,
+          round($W, 6) AS weight,
+          round($W * $S, 6) AS weighted_sentiment
+          FROM events, (SELECT max(ts) AS as_of FROM events)
+          ORDER BY event_id""",
+    "q_edw_trend" ->
+      s"""SELECT date_trunc('hour', ts) AS bucket,
+          round(sum($W), 6) AS sum_weight,
+          round(sum($W * $S), 6) AS sum_weighted,
+          count(*) AS n_events
+          FROM events, (SELECT max(ts) AS as_of FROM events)
+          GROUP BY 1 ORDER BY 1""",
+    "q_decayed_types" ->
+      s"""SELECT event_type,
+          round(sum($W), 6) AS decayed_count,
+          round(sum($W * value), 6) AS decayed_value,
+          count(*) AS n_events
+          FROM events, (SELECT max(ts) AS as_of FROM events)
+          GROUP BY 1 ORDER BY 1""",
+    "q_sentiment_counts" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 6) AS total_value
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q_json_etl" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         count(*) AS n, round(sum(value), 6) AS total_value
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q_daily_type_counts" ->
+      """SELECT date_trunc('day', ts) AS day, event_type,
+         count(*) AS n, round(avg(value), 6) AS avg_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_keyword_freq" ->
+      """SELECT w AS word, count(*) AS n
+         FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0)) AS w FROM documents)
+         GROUP BY 1 ORDER BY 1""",
+    "q_top_keywords" ->
+      """SELECT w AS word, count(*) AS n
+         FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0)) AS w FROM documents)
+         GROUP BY 1 ORDER BY n DESC, word LIMIT 20""",
+    "q_distinct_exact" ->
+      """SELECT count(DISTINCT text) AS n_distinct, count(*) AS n_rows FROM documents""",
+    "q_token_stats" ->
+      """SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0)) AS n_tokens,
+         len(list_distinct(list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0))) AS n_unique_tokens,
+         round(CASE WHEN len(list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0)) > 0
+           THEN CAST(list_sum(list_transform(list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0),
+                 t -> length(t))) AS DOUBLE)
+             / len(list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0))
+           ELSE 0.0 END, 6) AS mean_token_len
+         FROM documents ORDER BY doc_id""",
+    "q_quality_scores" ->
+      """SELECT doc_id, length(text) AS n_chars_actual,
+         round(CASE WHEN len(list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0)) > 0
+           THEN CAST(len(list_filter(list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0),
+             t -> lower(t) IN ('the','a','an','and','or','of','to','in','is','are','was','it','for','on','with','as','at','by','be','this','that'))) AS DOUBLE)
+             / len(list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0)) ELSE 0.0 END, 6) AS stopword_ratio,
+         round(CASE WHEN length(regexp_replace(text, '\s', '', 'g')) > 0
+           THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+             / length(regexp_replace(text, '\s', '', 'g')) ELSE 0.0 END, 6) AS punct_ratio,
+         round((least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+           + (1.0 - least(CASE WHEN length(regexp_replace(text, '\s', '', 'g')) > 0
+               THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+                 / length(regexp_replace(text, '\s', '', 'g')) ELSE 0.0 END * 4.0, 1.0))
+           + least(CASE WHEN len(list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0)) > 0
+               THEN CAST(len(list_filter(list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0),
+                 t -> lower(t) IN ('the','a','an','and','or','of','to','in','is','are','was','it','for','on','with','as','at','by','be','this','that'))) AS DOUBLE)
+                 / len(list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0)) ELSE 0.0 END * 5.0, 1.0)) / 3.0, 6) AS quality
+         FROM documents ORDER BY doc_id""",
+    "q_fingerprints" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+         FROM documents ORDER BY doc_id""",
+    "q_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+         min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY keeper_doc_id""",
+    "q_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 6) AS sum_qty,
+         round(sum(l_extendedprice), 6) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+         round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+         round(avg(l_quantity), 6) AS avg_qty,
+         round(avg(l_extendedprice), 6) AS avg_price,
+         round(avg(l_discount), 6) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_top_orders" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+         round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+         count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_window_topk" ->
+      """SELECT l_returnflag, rn, l_orderkey, l_linenumber, l_extendedprice
+         FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+           row_number() OVER (PARTITION BY l_returnflag
+             ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+           FROM lineitem)
+         WHERE rn <= 3 ORDER BY l_returnflag, rn""",
+    "q_setop_engaged" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+         INTERSECT SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+         ORDER BY user_id""",
+    "q_semi_urgent" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "q_orders_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+         count(*) AS n_orders, round(sum(o_totalprice), 6) AS total_price
+         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+  )
 }

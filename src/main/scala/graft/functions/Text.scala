@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text operators: tokenization (reference cms_stream.py:95-97 does
+  * `row['text'].split()` on the DRIVER — here it is a distributed
+  * `split`+`explode`, SURVEY.md P13), entity extraction (port of the
+  * producers' driver-side NER, fake_producer.py:49-51), and the
+  * training-data-pipeline text analysis surface: quality scoring, token
+  * counting, language-ID heuristics, document fingerprinting.
+  *
+  * All pure `Column` expressions (codegen'd) unless noted; designed so each
+  * has a direct ANSI-SQL twin for the DuckDB oracle.
+  */
+object Text {
+
+  /** Whitespace tokenization with empty tokens dropped — Python's
+    * `str.split()` behavior (the reference tokenizer, cms_stream.py:95).
+    * Filtering beats `trim` because Spark/DuckDB `trim` strips spaces only,
+    * not tabs/newlines. */
+  def tokenize(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Distinct token set (order-normalized for set ops like Jaccard). */
+  def tokenSet(text: Column): Column = array_sort(array_distinct(tokenize(text)))
+
+  /** Token count of a document. */
+  def tokenCount(text: Column): Column = size(tokenize(text))
+
+  /** BPE-ish subword count: splits on whitespace AND at letter/digit/punct
+    * boundaries, approximating a byte-pair tokenizer's granularity. */
+  def subwordCount(text: Column): Column =
+    size(filter(
+      split(trim(text), "(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|\\s+|(?=[^a-zA-Z0-9\\s])|(?<=[^a-zA-Z0-9\\s])"),
+      t => length(t) > 0))
+
+  /** Normalized text: lowercase, whitespace collapsed, trimmed — canonical
+    * form for exact-dup detection. */
+  def normText(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Deterministic 128-bit document fingerprint (md5 of normalized text). */
+  def fingerprint(text: Column): Column = md5(normText(text))
+
+  /** Entity extraction port (SURVEY.md S4/F8): the producers run spaCy NER
+    * filtered to PERSON/ORG; in-engine we extract capitalized word runs not
+    * at sentence start — a deterministic dictionary-free heuristic. */
+  def extractEntities(text: Column): Column =
+    filter(
+      transform(tokenize(text), t => regexp_extract(t, "^([A-Z][a-zA-Z]+)$", 1)),
+      t => length(t) > 0)
+
+  // ----- quality scoring (length / punctuation / stopword ratios) -----
+
+  /** Tiny English stopword list — enough for ratio features; public-domain. */
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "it", "for", "on", "with", "as", "at", "by", "be", "this", "that")
+
+  /** Fraction of tokens that are stopwords ∈ [0,1]. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokenize(text)
+    val stops = filter(toks, t => lower(t).isin(Stopwords: _*))
+    when(size(toks) > 0, size(stops).cast("double") / size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Fraction of non-whitespace characters that are punctuation/symbols. */
+  def punctRatio(text: Column): Column = {
+    val nonWs = length(regexp_replace(text, "\\s", ""))
+    val punct = length(regexp_replace(text, "[a-zA-Z0-9\\s]", ""))
+    when(nonWs > 0, punct.cast("double") / nonWs.cast("double")).otherwise(lit(0.0))
+  }
+
+  /** Mean token length in characters. */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokenize(text)
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+        / size(toks).cast("double")).otherwise(lit(0.0))
+  }
+
+  /** Composite document quality score ∈ [0,1]: rewards mid-length docs with
+    * low punctuation noise and a natural stopword rate. Deterministic,
+    * SQL-expressible (each term has an ANSI twin). */
+  def qualityScore(text: Column): Column = {
+    val lenTerm = least(length(text).cast("double") / lit(200.0), lit(1.0))
+    val punctTerm = lit(1.0) - least(punctRatio(text) * lit(4.0), lit(1.0))
+    val stopTerm = least(stopwordRatio(text) * lit(5.0), lit(1.0))
+    round((lenTerm + punctTerm + stopTerm) / lit(3.0), 6)
+  }
+
+  // ----- language ID (n-gram/stopword heuristic) -----
+
+  /** Marker-word lists per language (tiny, deterministic heuristic). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "a"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "la", "de", "et", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ist"))
+
+  /** Heuristic language guess: the language whose marker words hit the most
+    * tokens; ties and zero hits → "und" (undetermined). Pure Column expr. */
+  def langGuess(text: Column): Column = {
+    val toks = transform(tokenize(text), t => lower(t))
+    // score per language = number of tokens in the marker list
+    val scored = LangMarkers.map { case (lang, markers) =>
+      (lang, size(filter(toks, t => t.isin(markers: _*))))
+    }
+    // argmax with deterministic order (list order breaks ties)
+    scored.foldLeft((lit("und"), lit(0))) { case ((bestLang, bestScore), (lang, score)) =>
+      (when(score > bestScore, lit(lang)).otherwise(bestLang),
+       when(score > bestScore, score).otherwise(bestScore))
+    }._1
+  }
+}

@@ -1,0 +1,107 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational breadth for trend analytics (SURVEY.md §7.2 step 4) —
+  * engine-added surface (the reference has no joins/sorts/limits, §2.3 note)
+  * over the TPC-H-ish testdata.
+  *
+  * Scale posture: dimension tables (region/nation/customer/supplier/part)
+  * are broadcast — at 100 TB the facts (lineitem/orders/events) dominate and
+  * must never be the build side; fact-fact joins (lineitem⋈orders) shuffle on
+  * the join key once and reuse that partitioning for the following aggregate.
+  */
+object RelationalQueries {
+
+  /** TPC-H Q1-style pricing summary: scan → filter → hash agg (partial+final,
+    * map-side combine; ~6 groups so the shuffle is bytes). */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 6).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 6).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 6).as("sum_charge"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 6).as("avg_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-style: segment filter → customer⋈orders⋈lineitem → top-10
+    * revenue orders. Customer is broadcast; lineitem⋈orders shuffles on
+    * orderkey; top-k via TakeOrderedAndProject (no full sort). */
+  def topRevenueOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, dir).filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: full dimension chain region⋈nation⋈customer⋈orders⋈
+    * lineitem → revenue per nation. Dim chain collapses into one broadcast. */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, dir), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"), col("r_name"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Window-function top-k: 3 highest-price items per returnflag —
+    * per-bucket top-k trend shape (SURVEY.md §7.2 step 4). */
+  def topItemsPerFlag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("l_returnflag"), col("rn"), col("l_orderkey"),
+              col("l_linenumber"), col("l_extendedprice"))
+      .orderBy("l_returnflag", "rn")
+  }
+
+  /** Set-op surface: users who both purchased and signed up (INTERSECT →
+    * planned as left-semi), minus users who never erred (EXCEPT → left-anti)
+    * exercised via the same path in tests. */
+  def engagedUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchasers = ev.filter(col("event_type") === "purchase").select(col("user_id")).distinct()
+    val signups = ev.filter(col("event_type") === "signup").select(col("user_id")).distinct()
+    purchasers.intersect(signups).orderBy("user_id")
+  }
+
+  /** Semi-join surface: customers having at least one urgent order. */
+  def customersWithUrgentOrders(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    Tables.customer(spark, dir)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  /** ROLLUP aggregation: order counts/totals by status with subtotals —
+    * grouping-sets surface for dashboard drill-downs. */
+  def ordersRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 6).as("total_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+}

@@ -1,0 +1,86 @@
+package graft.queries
+
+import graft.functions.Text
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analytics over `documents` — distributed re-expression of the
+  * reference's driver-side tokenize loop (cms_stream.py:94-97, SURVEY.md P13,
+  * A4) plus the training-data text-analysis surface (token stats, quality,
+  * language, fingerprints).
+  *
+  * Scale posture: tokenization is `split`+`explode` on executors (never a
+  * driver collect); keyword counts are partial+final hash aggregates with a
+  * ~vocabulary-sized shuffle; top-k is TakeOrderedAndProject.
+  */
+object TextQueries {
+
+  /** Exact keyword frequency — the CMS query's exact twin (SURVEY.md A1c). */
+  def keywordFreq(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(Text.tokenize(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("word")
+
+  /** Top-20 keywords by frequency (ties broken by word) — "trending topics". */
+  def topKeywords(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(Text.tokenize(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(20)
+
+  /** Exact distinct count — the Flajolet-Martin estimate's exact twin
+    * (SURVEY.md A2 oracle). */
+  def distinctExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .agg(countDistinct(col("text")).as("n_distinct"),
+           count(lit(1)).as("n_rows"))
+
+  /** Per-document token statistics (token counting op). */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        Text.tokenCount(col("text")).as("n_tokens"),
+        size(Text.tokenSet(col("text"))).as("n_unique_tokens"),
+        round(Text.meanTokenLen(col("text")), 6).as("mean_token_len"))
+      .orderBy("doc_id")
+
+  /** Per-document quality features + composite score. */
+  def qualityScores(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_actual"),
+        round(Text.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        round(Text.punctRatio(col("text")), 6).as("punct_ratio"),
+        Text.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  /** Language distribution: declared `lang` vs the marker-word guess. */
+  def langProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), Text.langGuess(col("text")).as("lang_guess"))
+      .groupBy(col("lang"), col("lang_guess"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "lang_guess")
+
+  /** Document fingerprints (md5 of normalized text) — dedup building block. */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** Exact deduplication by content fingerprint: each group keeps the min
+    * doc_id; reports group size. On all-unique data every doc is its own
+    * keeper — semantics still exercised end-to-end. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(Text.fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keeper_doc_id")
+}

@@ -1,0 +1,48 @@
+package graft
+
+import graft.functions.Text
+import org.apache.spark.sql.functions._
+
+class TextSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  test("tokenize splits on whitespace runs, trims ends") {
+    val toks = Seq("  hello   world\tfoo\n").toDF("t")
+      .select(Text.tokenize($"t").as("toks")).head().getSeq[String](0)
+    assert(toks == Seq("hello", "world", "foo"))
+  }
+
+  test("tokenCount and tokenSet") {
+    val r = Seq("a b a c b a").toDF("t")
+      .select(Text.tokenCount($"t").as("n"), Text.tokenSet($"t").as("s")).head()
+    assert(r.getInt(0) == 6)
+    assert(r.getSeq[String](1) == Seq("a", "b", "c"))
+  }
+
+  test("normText + fingerprint are whitespace/case insensitive") {
+    val fps = Seq("Hello  World", "hello world", "HELLO\tWORLD ").toDF("t")
+      .select(Text.fingerprint($"t").as("fp")).collect().map(_.getString(0))
+    assert(fps.distinct.length == 1)
+  }
+
+  test("stopwordRatio, punctRatio bounds") {
+    val r = Seq("the quick brown fox, and the dog!").toDF("t")
+      .select(Text.stopwordRatio($"t").as("sw"), Text.punctRatio($"t").as("p")).head()
+    val sw = r.getDouble(0); val p = r.getDouble(1)
+    assert(sw > 0.0 && sw < 1.0)   // "the" x2, "and" of 7 tokens
+    assert(math.abs(sw - 3.0 / 7.0) < 1e-9)
+    assert(p > 0.0 && p < 0.2)     // "," and "!"
+  }
+
+  test("extractEntities keeps capitalized tokens") {
+    val es = Seq("say LeBron and Lakers beat phoenix").toDF("t")
+      .select(Text.extractEntities($"t").as("e")).head().getSeq[String](0)
+    assert(es == Seq("LeBron", "Lakers"))
+  }
+
+  test("langGuess picks marker-heavy language") {
+    val r = Seq("the cat is on a mat and the dog", "el perro y la casa de que y")
+      .toDF("t").select(Text.langGuess($"t").as("l")).collect().map(_.getString(0))
+    assert(r.toSeq == Seq("en", "es"))
+  }
+}

@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's t2 correctness gate.
+
+Runs each oracle_sql.json query in DuckDB over the sf parquet tables and
+compares against the Verify-dumped parquet results: schema (sorted column
+names), row count, and a hash of the value matrix with columns sorted by
+name and rows sorted. Usage:
+
+    sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"
+    python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_out
+"""
+import sys, os, json, hashlib
+import duckdb
+import pyarrow.parquet as pq
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(df: pd.DataFrame) -> str:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize dtypes to strings with fixed float repr
+    def cell(v):
+        if isinstance(v, float):
+            return repr(round(v, 9))
+        return repr(v)
+    rows = sorted(tuple(cell(v) for v in row) for row in df.itertuples(index=False, name=None))
+    return hashlib.md5(repr(rows).encode()).hexdigest()
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        got = pq.read_table(d).to_pandas()
+        if name not in oracle:
+            print(f"  [rows-only] {name}: rows={len(got)}")
+            continue
+        try:
+            exp = con.sql(oracle[name]).df()
+        except Exception as e:
+            print(f"  [FAIL] {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        ok_schema = sorted(got.columns) == sorted(exp.columns)
+        ok_rows = len(got) == len(exp)
+        ok_hash = ok_schema and ok_rows and canon(got) == canon(exp)
+        if ok_hash:
+            print(f"  [ok] {name}: rows={len(got)}")
+            n_pass += 1
+        else:
+            n_fail += 1
+            print(f"  [FAIL] {name}: schema={ok_schema} rows={len(got)}/{len(exp)} hash={ok_hash}")
+            if not ok_schema:
+                print(f"     got cols: {sorted(got.columns)}")
+                print(f"     exp cols: {sorted(exp.columns)}")
+            elif ok_rows:
+                g = got.reindex(sorted(got.columns), axis=1)
+                e = exp.reindex(sorted(exp.columns), axis=1)
+                gs = g.sort_values(by=list(g.columns)).reset_index(drop=True)
+                es = e.sort_values(by=list(e.columns)).reset_index(drop=True)
+                diff = (gs.astype(str) != es.astype(str)).any(axis=1)
+                idx = diff[diff].index[:3]
+                for i in idx:
+                    print(f"     row {i} got: {gs.iloc[i].to_dict()}")
+                    print(f"     row {i} exp: {es.iloc[i].to_dict()}")
+    print(f"PASS {n_pass} FAIL {n_fail}")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
