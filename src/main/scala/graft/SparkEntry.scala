@@ -34,6 +34,11 @@ object SparkEntry {
     "q_lang_profile"   -> ((s, d) => TextQueries.langProfile(s, d)),
     "q_fingerprints"   -> ((s, d) => TextQueries.fingerprints(s, d)),
     "q_dedup_exact"    -> ((s, d) => TextQueries.dedupExact(s, d)),
+    // --- sketches (reference cms_stream.py / flajolent_stream.py) ---
+    "q_keyword_cms"    -> ((s, d) => SketchQueries.keywordCms(s, d)),
+    "q_distinct_fm"    -> ((s, d) => SketchQueries.distinctFm(s, d)),
+    "q_distinct_hll"   -> ((s, d) => SketchQueries.distinctHll(s, d)),
+    "q_cms_grouped"    -> ((s, d) => SketchQueries.eventTypeUserCms(s, d)),
     // --- relational breadth ---
     "q_pricing_summary" -> ((s, d) => RelationalQueries.pricingSummary(s, d)),
     "q_top_orders"      -> ((s, d) => RelationalQueries.topRevenueOrders(s, d)),
@@ -128,6 +133,23 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
          min(doc_id) AS keeper_doc_id, count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY keeper_doc_id""",
+    // CMS estimates are exact on this stream unless a tracked keyword collides
+    // in ALL 10 sketch rows (p ≈ (31/1000)^10) — oracle = exact counts.
+    "q_keyword_cms" ->
+      """SELECT k.keyword, coalesce(c.n, 0) AS est_count
+         FROM (SELECT unnest(['dup','hash','join','scan','stream']) AS keyword) k
+         LEFT JOIN (SELECT w AS keyword, count(*) AS n
+           FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0)) AS w
+                 FROM documents) GROUP BY 1) c USING (keyword)
+         ORDER BY k.keyword""",
+    "q_cms_grouped" ->
+      """SELECT e.event_type, d.decile, coalesce(c.n, 0) AS est_count
+         FROM (SELECT DISTINCT event_type FROM events) e
+         CROSS JOIN (SELECT range AS decile FROM range(10)) d
+         LEFT JOIN (SELECT event_type, user_id % 10 AS decile, count(*) AS n
+                    FROM events GROUP BY 1, 2) c
+           ON e.event_type = c.event_type AND d.decile = c.decile
+         ORDER BY e.event_type, d.decile""",
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 6) AS sum_qty,

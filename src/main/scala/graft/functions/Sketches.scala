@@ -1,0 +1,113 @@
+package graft.functions
+
+import java.math.BigInteger
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udf
+
+/** Approximate-counting sketches, ported faithfully from the reference's
+  * driver-side Python implementations and re-expressed as distributed,
+  * mergeable Spark `Aggregator`s (SURVEY.md §2.4 A1/A2).
+  *
+  * The reference holds a single mutable Count-Min table on the driver
+  * (cms_stream.py:24,69) and computes Flajolet–Martin on a collected list
+  * (flajolent_stream.py:75-78) — both single-node cliffs. Here each sketch is
+  * an associative, commutative aggregation buffer: partial sketches build
+  * map-side per partition and merge pairwise, so the same code runs on one
+  * core or a thousand executors (100-TB posture, SURVEY.md §7.4#5).
+  *
+  * Hashing matches the reference bit-for-bit so estimates are reproducible
+  * against it:
+  *  - CMS row hash: `int(md5(str(item)+str(i)).hexdigest(), 16) % width`
+  *    (cms_stream.py:26-35).
+  *  - FM: `v = int(md5(s).hexdigest(), 16)`; `r(v)` = number of trailing '0'
+  *    characters of Python's `bin(v)` — i.e. trailing zero bits, except
+  *    `bin(0) == "0b0"` counts as 1 (flajolent_stream.py:19-21); estimate
+  *    `2^max(r)` (flajolent_stream.py:23-28).
+  */
+object Sketches {
+
+  /** Reference CMS dimensions (cms_stream.py:69): ε≈e/1000, δ≈e^-10. */
+  val CmsWidth = 1000
+  val CmsDepth = 10
+
+  /** Keywords tracked by the CMS metrics query — the analog of the reference's
+    * fixed list ['sports','politics','tech','music','news'] (cms_stream.py:110),
+    * chosen from the testdata documents vocabulary. */
+  val TrackedKeywords: Seq[String] = Seq("dup", "hash", "join", "scan", "stream")
+
+  private def md5Int(s: String): BigInteger =
+    new BigInteger(1, MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8")))
+
+  /** CMS row hash `i` of `item` — reference cms_stream.py:26-35. */
+  def cmsHash(item: String, i: Int, width: Int = CmsWidth): Int =
+    md5Int(item + i.toString).mod(BigInteger.valueOf(width)).intValue()
+
+  /** FM trailing-zero count — reference flajolent_stream.py:19-21 semantics
+    * (trailing '0' chars of `bin(v)`; v=0 → 1). */
+  def fmTrailingZeros(s: String): Int = {
+    val v = md5Int(s)
+    if (v.signum == 0) 1 else v.getLowestSetBit
+  }
+
+  /** Point query against a serialized CMS table: min over depth rows
+    * (cms_stream.py:42-47). */
+  def cmsEstimate(sketch: Array[Long], item: String,
+                  width: Int = CmsWidth, depth: Int = CmsDepth): Long = {
+    var min = Long.MaxValue
+    var i = 0
+    while (i < depth) {
+      val c = sketch(i * width + cmsHash(item, i, width))
+      if (c < min) min = c
+      i += 1
+    }
+    if (min == Long.MaxValue) 0L else min
+  }
+
+  /** Count-Min Sketch as a mergeable Aggregator over a token column.
+    * Buffer = row-major `long[depth*width]` (80 KB at reference dims) —
+    * partials combine map-side; merge is element-wise add (associative +
+    * commutative, so Catalyst's partial/final split is safe). */
+  class CmsAggregator(width: Int = CmsWidth, depth: Int = CmsDepth)
+      extends Aggregator[String, Array[Long], Array[Long]] {
+    def zero: Array[Long] = new Array[Long](width * depth)
+    def reduce(buf: Array[Long], item: String): Array[Long] = {
+      var i = 0
+      while (i < depth) { buf(i * width + cmsHash(item, i, width)) += 1L; i += 1 }
+      buf
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    def finish(buf: Array[Long]): Array[Long] = buf
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Flajolet–Martin distinct-count estimate as a mergeable Aggregator.
+    * Buffer = max trailing-zero rank seen; merge = max; finish = 2^max.
+    * Zero input rows → 2^0 = 1 (the reference never hits this: empty batches
+    * are short-circuited, flajolent_stream.py:65-67). */
+  class FmAggregator extends Aggregator[String, Int, Long] {
+    def zero: Int = 0
+    def reduce(b: Int, s: String): Int = math.max(b, fmTrailingZeros(s))
+    def merge(a: Int, b: Int): Int = math.max(a, b)
+    def finish(b: Int): Long = 1L << b
+    def bufferEncoder: Encoder[Int] = Encoders.scalaInt
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** `cms_estimate(sketch, keyword)` as a column fn (tiny post-agg surface —
+    * a UDF here is off the hot path; the heavy work is the aggregation). */
+  val cmsEstimateUdf =
+    udf((sketch: Array[Long], item: String) => cmsEstimate(sketch, item))
+
+  /** Untyped (DataFrame) registrations: `cms($"tok")`, `fm($"text")`. */
+  val cms = org.apache.spark.sql.functions.udaf(new CmsAggregator(), Encoders.STRING)
+  val fm = org.apache.spark.sql.functions.udaf(new FmAggregator(), Encoders.STRING)
+}

@@ -1,0 +1,74 @@
+package graft.queries
+
+import graft.functions.{Sketches, Text}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sketch-based approximate analytics (reference cms_stream.py /
+  * flajolent_stream.py), fully distributed: sketches build as partial
+  * aggregation buffers on executors and merge associatively — no driver
+  * state, no collect (contrast cms_stream.py:94, flajolent_stream.py:75).
+  */
+object SketchQueries {
+
+  /** Count-Min keyword frequencies over the documents token stream — the
+    * reference's cms_estimates metrics query (cms_stream.py:109-127) with
+    * the tracked-keyword list adapted to the testdata vocabulary.
+    *
+    * Plan shape: scan → split/explode (distributed tokenize) → single-group
+    * ObjectHashAggregate (partial sketches per partition, 80 KB each, merged
+    * once) → 1-row sketch cross-joined to the 5-keyword dim → point queries.
+    * At reference dims (w=1000, d=10) estimates are exact unless a keyword
+    * collides with others in all 10 rows (prob ≈ (vocab/1000)^10) — so the
+    * oracle uses exact counts; any future mismatch means a genuine collision.
+    */
+  def keywordCms(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select(explode(Text.tokenize($"text")).as("tok"))
+    val sketch = toks.agg(Sketches.cms($"tok").as("sketch"))
+    val keywords = Sketches.TrackedKeywords.toDF("keyword")
+    sketch.crossJoin(keywords)
+      .select($"keyword",
+        Sketches.cmsEstimateUdf($"sketch", $"keyword").as("est_count"))
+      .orderBy($"keyword")
+  }
+
+  /** Flajolet–Martin distinct-document estimate (flajolent_stream.py:96-101)
+    * next to the exact count — one row, both numbers. Rows-only check (the
+    * FM estimate is a power of two, not SQL-expressible in the oracle;
+    * exactness twin is q_distinct_exact). */
+  def distinctFm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .agg(Sketches.fm($"text").as("fm_estimate"),
+        countDistinct($"text").as("exact_distinct"))
+  }
+
+  /** HyperLogLog++ distinct estimate — the engine's production-grade
+    * replacement for FM (far tighter error at the same memory). Rows-only. */
+  def distinctHll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .agg(approx_count_distinct($"text").as("hll_estimate"),
+        countDistinct($"text").as("exact_distinct"))
+  }
+
+  /** Per-user-bucket CMS, demonstrating sketch-per-group at scale: one CMS
+    * per event_type over the events user_id stream (grouped sketches merge
+    * within each hash-agg group). Output is the estimate per (event_type,
+    * tracked user decile); exact oracle — same no-collision argument. */
+  def eventTypeUserCms(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_type", ($"user_id" % 10).cast("string").as("decile"))
+    val sketches = ev.groupBy($"event_type")
+      .agg(Sketches.cms($"decile").as("sketch"))
+    val deciles = (0 until 10).map(_.toString).toDF("decile")
+    sketches.crossJoin(deciles)
+      .select($"event_type", $"decile".cast("bigint").as("decile"),
+        Sketches.cmsEstimateUdf($"sketch", $"decile").as("est_count"))
+      .orderBy($"event_type", $"decile")
+  }
+}

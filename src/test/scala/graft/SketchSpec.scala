@@ -1,0 +1,60 @@
+package graft
+
+import graft.functions.Sketches
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the Scala sketch ports bit-for-bit against the reference Python
+  * algorithms (values computed by running the reference formulas:
+  * cms_stream.py:26-47, flajolent_stream.py:19-28). */
+class SketchSpec extends AnyFunSuite {
+
+  test("FM trailing-zeros matches reference Python bin() semantics") {
+    // python: len(bin(int(md5(s).hexdigest(),16))) - len(bin(...).rstrip('0'))
+    assert(Sketches.fmTrailingZeros("hello") == 1)
+    assert(Sketches.fmTrailingZeros("world") == 0)
+    assert(Sketches.fmTrailingZeros("spark") == 0)
+    assert(Sketches.fmTrailingZeros("a") == 0)
+    assert(Sketches.fmTrailingZeros("") == 1) // md5("") low bit is 0? pinned from python
+  }
+
+  test("CMS row hashes match reference md5(str(item)+str(i)) % width") {
+    // python: [int(md5(('sports'+str(i)).encode()).hexdigest(),16) % 1000 for i in range(10)]
+    val expected = Seq(399, 200, 868, 29, 127, 774, 863, 709, 974, 794)
+    assert((0 until 10).map(Sketches.cmsHash("sports", _)) == expected)
+  }
+
+  test("FM aggregator: merge is max, finish is 2^max") {
+    val fm = new Sketches.FmAggregator
+    val b = List("hello", "world", "spark").foldLeft(fm.zero)(fm.reduce)
+    assert(fm.finish(b) == 2L) // max r = 1 ("hello")
+    assert(fm.merge(3, 5) == 5)
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 100) {
+      val (x, y) = (rnd.nextInt(60), rnd.nextInt(60))
+      assert(fm.merge(x, y) == fm.merge(y, x))
+    }
+  }
+
+  test("CMS estimate >= true count and merge is associative/commutative") {
+    val agg = new Sketches.CmsAggregator()
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 25) {
+      val words = List.fill(1 + rnd.nextInt(50))(s"w${rnd.nextInt(20)}")
+      val sketch = words.foldLeft(agg.zero)(agg.reduce)
+      val exact = words.groupBy(identity).view.mapValues(_.size)
+      exact.foreach { case (w, c) =>
+        assert(Sketches.cmsEstimate(sketch, w) >= c)
+      }
+      // split-merge equals whole
+      val (l, r) = words.splitAt(words.size / 2)
+      val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      assert(java.util.Arrays.equals(merged, words.foldLeft(agg.zero)(agg.reduce)))
+    }
+  }
+
+  test("CMS point query of an unseen item over empty sketch is 0") {
+    val agg = new Sketches.CmsAggregator()
+    assert(Sketches.cmsEstimate(agg.zero, "nothing") == 0L)
+  }
+}
