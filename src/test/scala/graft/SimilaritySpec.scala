@@ -1,0 +1,76 @@
+package graft
+
+import graft.functions.Similarity
+import graft.queries.SimilarityQueries
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  private val sql = SparkSpec.spark
+  import sql.implicits._
+
+  test("shingles: 3-grams of tokens; short docs yield none") {
+    val df = Seq("a b c d", "x y", "one  two\tthree").toDF("text")
+      .select(Similarity.shingles(col("text")).as("sh"))
+    val got = df.collect().map(_.getSeq[String](0))
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1).isEmpty)
+    assert(got(2) == Seq("one two three"))
+  }
+
+  test("minhash aggregator: element-wise min, merge == whole") {
+    val agg = new Similarity.MinHashAggregator(16)
+    val hs = List(3L, 99L, -5L, 123456789L)
+    val whole = hs.foldLeft(agg.zero)(agg.reduce)
+    val (l, r) = hs.splitAt(2)
+    val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+      r.foldLeft(agg.zero)(agg.reduce))
+    assert(java.util.Arrays.equals(whole, merged))
+    // signature entries are true minima of the derived hashes
+    (0 until 16).foreach { i =>
+      assert(whole(i) == hs.map(h => Similarity.fmix64(h ^ Similarity.HashSeeds(i))).min)
+    }
+  }
+
+  test("simhash aggregator: deterministic, order-independent, sign semantics") {
+    val agg = new Similarity.SimHashAggregator
+    val hs = List(0x0FL, 0x0FL, 0xF0L)
+    val fp1 = agg.finish(hs.foldLeft(agg.zero)(agg.reduce))
+    val fp2 = agg.finish(hs.reverse.foldLeft(agg.zero)(agg.reduce))
+    assert(fp1 == fp2)
+    // low 4 bits set in 2 of 3 inputs -> counters +1 -> set; bits 4-7 set in
+    // 1 of 3 -> counters -1 -> clear; all higher bits never set -> clear.
+    assert(fp1 == 0x0FL)
+  }
+
+  test("minhash-LSH dedup finds exactly the exact-Jaccard pair set (sf0.001)") {
+    val exact = SimilarityQueries.jaccardPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimilarityQueries.minhashDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh == exact)
+  }
+
+  test("simhash candidates cover most true near-dup pairs (sf0.001)") {
+    val exact = SimilarityQueries.jaccardPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = SimilarityQueries.simhashPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // simhash scores token-frequency similarity, not n-gram overlap — allow
+    // a small divergence but require >=80% coverage of the true pair set
+    assert((exact & sim).size >= (exact.size * 0.8).toInt)
+  }
+
+  test("ANN never beats brute force; finds real neighbors (sf0.001)") {
+    val knnTop = SimilarityQueries.knnCosine(spark, sf)
+      .filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val annTop = SimilarityQueries.annLsh(spark, sf)
+      .filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(annTop.nonEmpty)
+    annTop.foreach { case (q, c) =>
+      assert(c <= knnTop(q) + 1e-9, s"ann top-1 for $q beats brute force")
+    }
+  }
+}
