@@ -1,0 +1,118 @@
+package graft
+
+import graft.functions.Sketches
+import graft.streaming.Pipeline
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming parity: the reference's pipeline semantics driven through
+  * Structured Streaming with MemoryStream (SURVEY.md §5.4). */
+class StreamingSpec extends SparkSpec {
+  private val sql = SparkSpec.spark
+  import sql.implicits._
+
+  private def tweetJson(text: String, ts: String, sentiment: String): String =
+    s"""{"text":"$text","created_at":"$ts","sentiment":"$sentiment","entities":["E"]}"""
+
+  test("stream parse + enrich: weights and scores match the closed form") {
+    implicit val ctx = sql.sqlContext
+    val in = MemoryStream[String]
+    val parsed = Pipeline.parseTweets(in.toDF().withColumnRenamed("value", "value"))
+    val enriched = Pipeline.enrich(parsed, to_timestamp(lit("2024-01-01 00:01:00")))
+    val q = enriched.writeStream.format("memory").queryName("enriched_t")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        tweetJson("hello world", "2024-01-01 00:00:00", "Positive"),
+        tweetJson("bad news", "2024-01-01 00:01:00", "negative"),
+        "{not json at all")
+      q.processAllAvailable()
+      val rows = sql.table("enriched_t")
+        .orderBy(col("created_at").asc_nulls_last).collect()
+      assert(rows.length == 3)
+      // dt=60s -> w = exp(-0.1*60/60) = exp(-0.1)
+      val r0 = rows(0)
+      assert(math.abs(r0.getAs[Double]("weight") - math.exp(-0.1)) < 1e-12)
+      assert(math.abs(r0.getAs[Double]("weighted_sentiment") - math.exp(-0.1)) < 1e-12)
+      // dt=0 -> w=1; lowercase "negative" scores -1 (case-insensitive fix)
+      val r1 = rows(1)
+      assert(r1.getAs[Double]("weight") == 1.0)
+      assert(r1.getAs[Double]("weighted_sentiment") == -1.0)
+      // malformed JSON -> PERMISSIVE nulls, row preserved (reference parity)
+      assert(rows(2).isNullAt(rows(2).fieldIndex("created_at")))
+    } finally q.stop()
+  }
+
+  test("watermarked windowed trend aggregates by event-time window") {
+    implicit val ctx = sql.sqlContext
+    val in = MemoryStream[String]
+    val trend = Pipeline.windowedTrend(Pipeline.parseTweets(in.toDF()))
+    val q = trend.writeStream.format("memory").queryName("trend_t")
+      .outputMode("complete").start()
+    try {
+      in.addData(
+        tweetJson("a", "2024-01-01 00:00:10", "Positive"),
+        tweetJson("b", "2024-01-01 00:00:50", "Positive"),
+        tweetJson("c", "2024-01-01 00:01:10", "Negative"))
+      q.processAllAvailable()
+      val rows = sql.table("trend_t").orderBy("bucket", "sentiment").collect()
+      assert(rows.map(r => (r.getAs[java.sql.Timestamp]("bucket").toString,
+        r.getAs[String]("sentiment"), r.getAs[Long]("n"))).toSeq == Seq(
+        ("2024-01-01 00:00:00.0", "Positive", 2L),
+        ("2024-01-01 00:01:00.0", "Negative", 1L)))
+      val scores = rows.map(_.getAs[Double]("score_sum")).toSeq
+      assert(scores == Seq(2.0, -1.0))
+    } finally q.stop()
+  }
+
+  test("cross-batch CMS: merged per-batch sketches equal whole-stream counts") {
+    implicit val ctx = sql.sqlContext
+    val in = MemoryStream[String]
+    val parsed = Pipeline.parseTweets(in.toDF())
+    // accumulate the per-batch sketch exactly like the reference's
+    // driver-held CMS (cms_stream.py:69) but via associative merge of
+    // executor-built partials — the restart-safe, 100-TB-safe shape
+    val agg = new Sketches.CmsAggregator()
+    var acc = agg.zero
+    val q = parsed.writeStream
+      .foreachBatch(Pipeline.guardedForeachBatch(
+        (batch: DataFrame, _: Long) => {
+          val toks = batch.select(explode(graft.functions.Text.tokenize(col("text"))).as("tok"))
+          val sk = toks.agg(Sketches.cms(col("tok")).as("s")).collect()(0).getSeq[Long](0).toArray
+          acc.synchronized { acc = agg.merge(acc, sk) }
+        },
+        (id, e) => fail(s"batch $id failed: $e")))
+      .outputMode("append").start()
+    try {
+      in.addData(tweetJson("join join hash", "2024-01-01 00:00:00", "x"))
+      q.processAllAvailable()
+      in.addData(tweetJson("join scan", "2024-01-01 00:00:01", "x"))
+      q.processAllAvailable()
+      assert(Sketches.cmsEstimate(acc, "join") == 3L)
+      assert(Sketches.cmsEstimate(acc, "hash") == 1L)
+      assert(Sketches.cmsEstimate(acc, "scan") == 1L)
+      assert(Sketches.cmsEstimate(acc, "absent") == 0L)
+    } finally q.stop()
+  }
+
+  test("checkpointed parquet sink: restart does not duplicate rows") {
+    implicit val ctx = sql.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val in = MemoryStream[String]
+    val parsed = Pipeline.parseTweets(in.toDF())
+    in.addData(tweetJson("one", "2024-01-01 00:00:00", "Positive"))
+    val q1 = Pipeline.startParquetSink(parsed, s"$tmp/out", s"$tmp/cp",
+      Trigger.AvailableNow())
+    q1.awaitTermination()
+    // second run over the same checkpoint: only the new row lands
+    in.addData(tweetJson("two", "2024-01-01 00:00:01", "Negative"))
+    val q2 = Pipeline.startParquetSink(parsed, s"$tmp/out", s"$tmp/cp",
+      Trigger.AvailableNow())
+    q2.awaitTermination()
+    val out = sql.read.parquet(s"$tmp/out")
+    assert(out.count() == 2)
+    assert(out.select("text").as[String].collect().sorted.toSeq == Seq("one", "two"))
+  }
+}
