@@ -45,6 +45,9 @@ object SparkEntry {
     "q_simhash_pairs"  -> ((s, d) => SimilarityQueries.simhashPairs(s, d)),
     "q_knn_cosine"     -> ((s, d) => SimilarityQueries.knnCosine(s, d)),
     "q_ann_lsh"        -> ((s, d) => SimilarityQueries.annLsh(s, d)),
+    // --- multimodal binary-column plumbing (stub decode, real pipeline) ---
+    "q_media_meta"     -> ((s, d) => MultimodalQueries.mediaMeta(s, d)),
+    "q_media_features" -> ((s, d) => MultimodalQueries.mediaFeatures(s, d)),
     // --- relational breadth ---
     "q_pricing_summary" -> ((s, d) => RelationalQueries.pricingSummary(s, d)),
     "q_top_orders"      -> ((s, d) => RelationalQueries.topRevenueOrders(s, d)),
@@ -174,6 +177,19 @@ object SparkEntry {
                     FROM events GROUP BY 1, 2) c
            ON e.event_type = c.event_type AND d.decile = c.decile
          ORDER BY e.event_type, d.decile""",
+    // stub decode arithmetic mirrors Multimodal.decodeStub on byte length
+    "q_media_meta" ->
+      """SELECT 'img/' || source AS media_type, count(*) AS n,
+         CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+         round(avg(64 + (strlen(text)*7) % 513), 6) AS avg_width,
+         round(avg(64 + (strlen(text)*13) % 513), 6) AS avg_height,
+         round(avg(1 + strlen(text) % 3), 6) AS avg_channels
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "q_media_features" ->
+      """SELECT doc_id, round(sqrt(list_dot_product(f, f)), 6) AS feature_norm
+         FROM (SELECT doc_id, list_transform([7,11,13,17,19,23,29,31],
+                 p -> ((strlen(text)*p) % 1000)/1000.0) AS f FROM documents)
+         ORDER BY doc_id""",
     "q_jaccard_pairs" -> JaccardOracle,
     // minhash-LSH misses a J>=0.8 pair with p~5e-8 → same exact oracle
     "q_minhash_dedup" -> JaccardOracle,
