@@ -1,0 +1,15 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val name = args(0); val dir = args(1)
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.explain("formatted")
+    spark.stop()
+  }
+}

@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into `private[sql]` Column↔Expression conversions (Spark 4 routes
+  * Column through ColumnNode; `classic.ExpressionUtils` is the supported
+  * internal accessor but is sql-private). Lives in the spark.sql package
+  * solely to re-export the two conversions graft's native expressions need. */
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -25,15 +25,36 @@ object Similarity {
   /** Near-dup Jaccard threshold (typical LLM-corpus dedup setting). */
   val JaccardThreshold = 0.8
 
-  /** Distinct word n-gram shingles of a document (default n=3).
-    * Docs shorter than n tokens yield no shingles. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = Text.tokenize(text)
-    val ngrams = transform(sequence(lit(1), size(toks) - (n - 1)),
-      i => concat_ws(" ", slice(toks, i, lit(n))))
-    array_distinct(
-      when(size(toks) >= n, ngrams).otherwise(array().cast("array<string>")))
+  /** Distinct word n-gram shingles of one document (n=3): whitespace
+    * tokens, consecutive n-grams joined with " ", first-occurrence order.
+    * Plain Scala — called once per document (see [[shingles]]). */
+  def shinglesOf(text: String, n: Int): Array[String] = {
+    if (text == null) return Array.empty
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) return Array.empty
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    seen.toArray(Array.empty[String])
   }
+
+  private val shinglesUdf = udf((text: String) => shinglesOf(text, 3))
+
+  /** Distinct word 3-gram shingles of a document. Docs shorter than 3
+    * tokens yield no shingles.
+    *
+    * Implemented as a scalar UDF rather than the equivalent
+    * `transform`/`slice`/`array_distinct` HOF chain: higher-order-function
+    * lambdas evaluate interpreted per element (~1 ms/doc measured at sf0.1
+    * — 6 s just to shingle 5 000 docs), while one JVM call per document is
+    * ~µs. Semantics are pinned equal to the HOF chain in SimilaritySpec. */
+  def shingles(text: Column): Column = shinglesUdf(text)
 
   /** murmur3 fmix64 finalizer — public-domain avalanche mix used to derive
     * the k MinHash functions from one 64-bit base hash per shingle. */
@@ -115,9 +136,11 @@ object Similarity {
   // ----- embedding cosine -----
 
   /** Sequential-fold dot product of two double arrays (same accumulation
-    * order as DuckDB's list_dot_product, so oracles agree to the ulp). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    * order as DuckDB's list_dot_product, so oracles agree to the ulp).
+    * Backed by a native codegen expression — the HOF formulation
+    * (`aggregate(zip_with(...))`) evaluates its lambda interpreted, which
+    * is the difference between ~ns and ~µs per vector at kNN scale. */
+  def dot(a: Column, b: Column): Column = graft.expressions.ArrayOps.dotProduct(a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -140,7 +163,8 @@ object Similarity {
     * dot product with plane j. Pure Column expr (codegen'd). */
   def lshBucket(v: Column): Column =
     Planes.zipWithIndex.map { case (plane, j) =>
-      val planeCol = array(plane.map(lit): _*)
-      when(dot(v, planeCol) >= 0, lit(1 << j)).otherwise(lit(0))
+      // typedlit → one ArrayType Literal node (array(lit,...) would build a
+      // 64-wide expression tree per plane and bloat codegen compile time)
+      when(dot(v, typedlit(plane.toSeq)) >= 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 }
