@@ -56,6 +56,16 @@ object SparkEntry {
     "q_setop_engaged"   -> ((s, d) => RelationalQueries.engagedUsers(s, d)),
     "q_semi_urgent"     -> ((s, d) => RelationalQueries.customersWithUrgentOrders(s, d)),
     "q_orders_rollup"   -> ((s, d) => RelationalQueries.ordersRollup(s, d)),
+    // --- engine-added analytics (sessions, windows, stats) ---
+    "q_session_windows" -> ((s, d) => AnalyticQueries.sessionWindows(s, d)),
+    "q_sliding_trend"   -> ((s, d) => AnalyticQueries.slidingTrend(s, d)),
+    "q_running_user"    -> ((s, d) => AnalyticQueries.runningUser(s, d)),
+    "q_percentiles"     -> ((s, d) => AnalyticQueries.valuePercentiles(s, d)),
+    "q_pivot_daily"     -> ((s, d) => AnalyticQueries.pivotDaily(s, d)),
+    "q_anti_nourgent"   -> ((s, d) => AnalyticQueries.customersWithoutUrgent(s, d)),
+    "q_orders_cube"     -> ((s, d) => AnalyticQueries.ordersCube(s, d)),
+    "q_value_stats"     -> ((s, d) => AnalyticQueries.valueStats(s, d)),
+    "q_rolling_fp"      -> ((s, d) => TextQueries.rollingFingerprints(s, d)),
   )
 
   /** Decay expression shared by the EDW oracles (DuckDB `epoch()` returns
@@ -252,5 +262,69 @@ object SparkEntry {
          count(*) AS n_orders, round(sum(o_totalprice), 6) AS total_price
          FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
          ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    // Spark session_window: event at exactly last+gap starts a NEW session,
+    // hence >= in the gaps-and-islands islanding below.
+    "q_session_windows" ->
+      """WITH x AS (SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       y AS (SELECT user_id, ts, value,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+         FROM x)
+       SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+              round(sum(value), 6) AS total_value
+       FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    "q_sliding_trend" ->
+      """SELECT bucket, count(*) AS n, round(sum(value), 6) AS total_value
+         FROM (SELECT unnest([date_trunc('hour', ts),
+                              date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS bucket,
+                      value FROM events)
+         GROUP BY 1 ORDER BY 1""",
+    "q_running_user" ->
+      """SELECT user_id, event_id, ts, value,
+         round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING), 6) AS running_total,
+         round(coalesce(lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0), 6) AS prev_value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         FROM events WHERE user_id < 10 ORDER BY user_id, rn""",
+    "q_percentiles" ->
+      """SELECT event_type,
+         round(quantile_cont(value, 0.5), 6) AS p50,
+         round(quantile_cont(value, 0.9), 6) AS p90,
+         round(quantile_cont(value, 0.99), 6) AS p99
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q_pivot_daily" ->
+      """SELECT date_trunc('day', ts) AS day,
+         count(*) FILTER (WHERE event_type = 'click') AS click,
+         count(*) FILTER (WHERE event_type = 'error') AS error,
+         count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+         count(*) FILTER (WHERE event_type = 'signup') AS signup,
+         count(*) FILTER (WHERE event_type = 'view') AS "view"
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q_anti_nourgent" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 6) AS c_acctbal
+         FROM customer WHERE NOT EXISTS
+           (SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "q_orders_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+         count(*) AS n_orders, round(sum(o_totalprice), 6) AS total_price
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q_value_stats" ->
+      """SELECT event_type, count(*) AS n,
+         round(avg(value), 6) AS avg_value,
+         round(stddev_samp(value), 6) AS stddev_value,
+         round(var_samp(value), 6) AS var_value,
+         round(min(value), 6) AS min_value,
+         round(max(value), 6) AS max_value
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q_rolling_fp" ->
+      """SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+           (a, b) -> (a*31 + b) % 1000000007) AS rfp
+         FROM documents ORDER BY doc_id""",
   )
 }

@@ -43,6 +43,21 @@ object Text {
   /** Deterministic 128-bit document fingerprint (md5 of normalized text). */
   def fingerprint(text: Column): Column = md5(normText(text))
 
+  /** Polynomial rolling-hash fingerprint over the raw character stream:
+    * h = (h*31 + code) mod 1e9+7. One JVM call per document (a char-level
+    * HOF fold would evaluate interpreted per character); the arithmetic is
+    * exactly reproducible in ANSI SQL via a list fold, so it carries a
+    * DuckDB oracle. Mod 1e9+7 keeps every intermediate < 2^63. */
+  def rollingHashOf(s: String): Long = {
+    if (s == null) return 0L
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = (h * 31 + s.charAt(i).toLong) % 1000000007L; i += 1 }
+    h
+  }
+  private val rollingHashUdf = udf((s: String) => rollingHashOf(s))
+  def rollingHash(text: Column): Column = rollingHashUdf(text)
+
   /** Entity extraction port (SURVEY.md S4/F8): the producers run spaCy NER
     * filtered to PERSON/ORG; in-engine we extract capitalized word runs not
     * at sentence start — a deterministic dictionary-free heuristic. */

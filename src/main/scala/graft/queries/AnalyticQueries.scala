@@ -1,0 +1,122 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Engine-added analytical breadth over the event stream and TPC-H-ish
+  * tables: session windows, sliding windows, ranked/running window
+  * functions, exact percentiles, pivot, anti-join, CUBE, and moment
+  * statistics. These are the trend-dashboard queries the reference delegates
+  * to Grafana (SURVEY.md §2.3 note) — here first-class, oracle-checked ops.
+  *
+  * Scale notes: every aggregate is partial+final; window functions shuffle
+  * once on their partition key (user_id / returnflag); session windows use
+  * Spark's native session_window (mergeable state, watermark-compatible in
+  * streaming); nothing collects to the driver.
+  */
+object AnalyticQueries {
+
+  /** Per-user session windows (30-minute inactivity gap): one row per
+    * session with its event count and value sum. */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 6).as("total_value"))
+      .select($"user_id", $"sw.start".as("session_start"), $"n_events", $"total_value")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  /** Sliding-window trend: 2-hour windows advancing every hour (each event
+    * lands in two windows). */
+  def slidingTrend(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(window($"ts", "2 hours", "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 6).as("total_value"))
+      .select($"w.start".as("bucket"), $"n", $"total_value")
+      .orderBy($"bucket")
+  }
+
+  /** Running/analytic window functions per user (first 10 users): running
+    * value sum, previous value (lag), and event rank within user. */
+  def runningUser(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .filter($"user_id" < 10)
+      .select($"user_id", $"event_id", $"ts", $"value",
+        round(sum($"value").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 6)
+          .as("running_total"),
+        round(coalesce(lag($"value", 1).over(byUser), lit(0.0)), 6).as("prev_value"),
+        row_number().over(byUser).as("rn"))
+      .orderBy($"user_id", $"rn")
+  }
+
+  /** Exact interpolated percentiles of value per event type (Spark
+    * `percentile` and DuckDB `quantile_cont` share linear interpolation). */
+  def valuePercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(
+        round(percentile($"value", lit(0.5)), 6).as("p50"),
+        round(percentile($"value", lit(0.9)), 6).as("p90"),
+        round(percentile($"value", lit(0.99)), 6).as("p99"))
+      .orderBy($"event_type")
+  }
+
+  /** Day × event_type pivot of event counts (explicit value list so the
+    * output schema is fixed; absent cells are 0). */
+  def pivotDaily(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pivoted = Tables.events(spark, dir)
+      .groupBy(date_trunc("day", $"ts").as("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    types.foldLeft(pivoted)((df, t) =>
+        df.withColumn(t, coalesce(col(t), lit(0L))))
+      .orderBy($"day")
+  }
+
+  /** Customers with no URGENT order (anti join — the complement of the
+    * semi-join query; broadcast the distinct key side at these SFs,
+    * sort-merge at scale). */
+  def customersWithoutUrgent(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .join(
+        Tables.orders(spark, dir).filter($"o_orderpriority" === "1-URGENT"),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", round($"c_acctbal", 6).as("c_acctbal"))
+      .orderBy($"c_custkey")
+  }
+
+  /** CUBE over order status × priority: all 4 grouping combinations. */
+  def ordersCube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), round(sum($"o_totalprice"), 6).as("total_price"))
+      .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  /** Moment statistics of value per event type (sample stddev/variance,
+    * min/max/avg) — numeric parity with DuckDB pinned by 6-dp rounding. */
+  def valueStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        round(avg($"value"), 6).as("avg_value"),
+        round(stddev_samp($"value"), 6).as("stddev_value"),
+        round(var_samp($"value"), 6).as("var_value"),
+        round(min($"value"), 6).as("min_value"),
+        round(max($"value"), 6).as("max_value"))
+      .orderBy($"event_type")
+  }
+}

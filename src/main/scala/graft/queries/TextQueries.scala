@@ -75,6 +75,13 @@ object TextQueries {
       .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** Rolling-hash fingerprints (char-level polynomial hash) — the
+    * order-sensitive cheap fingerprint next to the md5 one. */
+  def rollingFingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.rollingHash(col("text")).as("rfp"))
+      .orderBy("doc_id")
+
   /** Exact deduplication by content fingerprint: each group keeps the min
     * doc_id; reports group size. On all-unique data every doc is its own
     * keeper — semantics still exercised end-to-end. */
