@@ -45,6 +45,8 @@ object SparkEntry {
     "q_simhash_pairs"  -> ((s, d) => SimilarityQueries.simhashPairs(s, d)),
     "q_knn_cosine"     -> ((s, d) => SimilarityQueries.knnCosine(s, d)),
     "q_ann_lsh"        -> ((s, d) => SimilarityQueries.annLsh(s, d)),
+    "q_embed_dup"      -> ((s, d) => SimilarityQueries.embedDupPairs(s, d)),
+    "q_subword_stats"  -> ((s, d) => TextQueries.subwordStats(s, d)),
     // --- multimodal binary-column plumbing (stub decode, real pipeline) ---
     "q_media_meta"     -> ((s, d) => MultimodalQueries.mediaMeta(s, d)),
     "q_media_features" -> ((s, d) => MultimodalQueries.mediaFeatures(s, d)),
@@ -187,6 +189,20 @@ object SparkEntry {
                     FROM events GROUP BY 1, 2) c
            ON e.event_type = c.event_type AND d.decile = c.decile
          ORDER BY e.event_type, d.decile""",
+    "q_embed_dup" ->
+      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+              FROM embeddings)
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+         FROM n a JOIN n b ON a.vec_id < b.vec_id
+         WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+         ORDER BY vec_a, vec_b""",
+    "q_subword_stats" ->
+      """SELECT doc_id,
+         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_subwords,
+         len(list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0)) AS n_tokens
+         FROM documents ORDER BY doc_id""",
     // stub decode arithmetic mirrors Multimodal.decodeStub on byte length
     "q_media_meta" ->
       """SELECT 'img/' || source AS media_type, count(*) AS n,

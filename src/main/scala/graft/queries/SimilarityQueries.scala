@@ -121,6 +121,25 @@ object SimilarityQueries {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Embedding-cosine near-duplicate pairs (cos ≥ 0.4 on this corpus —
+    * its max pair similarity is ~0.51): the exact all-pairs baseline, a
+    * broadcast nested-loop with the codegen'd dot product in the hot loop.
+    * The 100-TB path replaces the cross join with [[annLsh]]-style
+    * bucketing; this exact variant is the recall oracle for it. */
+  def embedDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.l2norm($"v"))
+    emb.as("a").crossJoin(broadcast(emb.as("b")))
+      .filter($"a.vec_id" < $"b.vec_id")
+      .withColumn("cos", Similarity.dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm"))
+      .filter($"cos" >= 0.4)
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+        round($"cos", 6).as("cosine"))
+      .orderBy($"vec_a", $"vec_b")
+  }
+
   /** Approximate NN via sign-LSH: bucket every embedding by the sign pattern
     * of 4 fixed hyperplane projections, then search only the query's bucket.
     * Scale path: bucketing is a map; the join shuffles on bucket id only.

@@ -75,6 +75,17 @@ object TextQueries {
       .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** BPE-ish subword counts: splits at whitespace plus letter/digit/punct
+    * boundaries via regexp_extract_all — approximates byte-pair tokenizer
+    * granularity without a vocabulary. */
+  def subwordStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).as("n_subwords"),
+        Text.tokenCount(col("text")).as("n_tokens"))
+      .orderBy("doc_id")
+
   /** Rolling-hash fingerprints (char-level polynomial hash) — the
     * order-sensitive cheap fingerprint next to the md5 one. */
   def rollingFingerprints(spark: SparkSession, dir: String): DataFrame =
