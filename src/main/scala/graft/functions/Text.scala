@@ -116,17 +116,31 @@ object Text {
     "de" -> Seq("der", "die", "das", "und", "ist"))
 
   /** Heuristic language guess: the language whose marker words hit the most
-    * tokens; ties and zero hits → "und" (undetermined). Pure Column expr. */
-  def langGuess(text: Column): Column = {
-    val toks = transform(tokenize(text), t => lower(t))
-    // score per language = number of tokens in the marker list
-    val scored = LangMarkers.map { case (lang, markers) =>
-      (lang, size(filter(toks, t => t.isin(markers: _*))))
+    * tokens; ties and zero hits → "und" (undetermined).
+    *
+    * One scalar UDF call per document — the equivalent Column formulation
+    * (per-language `filter(toks, isin(...))` folds) evaluates its lambdas
+    * interpreted per token per language and dominated q_lang_profile's
+    * runtime. Argmax order (LangMarkers list order breaks ties, strict `>`
+    * to replace) is unchanged. */
+  def langGuessOf(text: String): String = {
+    if (text == null) return "und"
+    val counts = new java.util.HashMap[String, Int]()
+    for (t <- text.split("\\s+")) {
+      if (t.nonEmpty) {
+        val lt = t.toLowerCase
+        LangMarkers.foreach { case (lang, markers) =>
+          if (markers.contains(lt)) counts.merge(lang, 1, Integer.sum)
+        }
+      }
     }
-    // argmax with deterministic order (list order breaks ties)
-    scored.foldLeft((lit("und"), lit(0))) { case ((bestLang, bestScore), (lang, score)) =>
-      (when(score > bestScore, lit(lang)).otherwise(bestLang),
-       when(score > bestScore, score).otherwise(bestScore))
-    }._1
+    var best = "und"; var bestScore = 0
+    LangMarkers.foreach { case (lang, _) =>
+      val s = counts.getOrDefault(lang, 0)
+      if (s > bestScore) { best = lang; bestScore = s }
+    }
+    best
   }
+  private val langGuessUdf = udf((s: String) => langGuessOf(s))
+  def langGuess(text: Column): Column = langGuessUdf(text)
 }

@@ -65,11 +65,26 @@ object RelationalQueries {
   }
 
   /** Window-function top-k: 3 highest-price items per returnflag —
-    * per-bucket top-k trend shape (SURVEY.md §7.2 step 4). */
+    * per-bucket top-k trend shape (SURVEY.md §7.2 step 4).
+    *
+    * Two-phase to kill partition-key skew: `row_number` over 3 returnflag
+    * values would sort the whole fact table in 3 tasks regardless of
+    * cluster size. Phase 1 takes a local top-3 per (flag, input partition)
+    * — embarrassingly parallel, no shuffle; phase 2 ranks the ≤ 3·P
+    * survivors (a few KB) the naive way. Identical semantics (ties broken
+    * on orderkey/linenumber), verified by the same oracle. */
   def topItemsPerFlag(spark: SparkSession, dir: String): DataFrame = {
+    val localW = Window.partitionBy(col("l_returnflag"), col("part_id"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    val survivors = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), spark_partition_id().as("part_id"))
+      .withColumn("lrn", row_number().over(localW))
+      .filter(col("lrn") <= 3)
+      .drop("part_id", "lrn")
     val w = Window.partitionBy(col("l_returnflag"))
       .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
-    Tables.lineitem(spark, dir)
+    survivors
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("l_returnflag"), col("rn"), col("l_orderkey"),

@@ -29,7 +29,10 @@ object SimilarityQueries {
     * explode shingles → self-join on shingle → common counts → J ≥ 0.8. */
   def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // referenced 3x in the plan (both self-join sides + per-doc counts):
+    // cache so shingling runs once
     val sh = shingleSets(spark, dir).select($"doc_id", explode($"sh").as("s"))
+      .cache()
     val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val common = sh.as("a")
       .join(sh.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")

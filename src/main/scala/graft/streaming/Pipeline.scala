@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.functions.{Decay, Sketches, Text}
 import graft.sources.Tables
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 import org.apache.spark.sql.Row
@@ -104,6 +104,29 @@ object Pipeline {
     (batch, id) =>
       try process(batch, id)
       catch { case e: Throwable => onError(id, e) }
+
+  /** Cross-batch running sentiment totals via managed per-key state
+    * (`mapGroupsWithState`) — the engine's answer to the reference's
+    * driver-held cross-batch accumulation (cms_stream.py:69): state lives in
+    * the state store (checkpointable, partitioned by key across executors)
+    * instead of a process-global singleton. Emits the updated total for
+    * every key seen in the batch. */
+  def runningSentimentCounts(parsed: DataFrame): Dataset[(String, Long)] = {
+    val spark = parsed.sparkSession
+    import spark.implicits._
+    parsed
+      .select(coalesce(lower(col("sentiment")), lit("unknown")).as("sentiment"))
+      .as[String]
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, (String, Long)](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[String],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + rows.size
+          state.update(total)
+          (key, total)
+      }
+  }
 
   /** JDBC append sink body (spark_stream.py:40-48) — parity API for the
     * reference's Postgres path; the graded harness uses parquet instead. */

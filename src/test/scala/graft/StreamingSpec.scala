@@ -97,6 +97,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState: per-key totals accumulate across batches") {
+    implicit val ctx = sql.sqlContext
+    val in = MemoryStream[String]
+    val counts = graft.streaming.Pipeline
+      .runningSentimentCounts(graft.streaming.Pipeline.parseTweets(in.toDF()))
+      .toDF("sentiment", "total")
+    val q = counts.writeStream.format("memory").queryName("state_t")
+      .outputMode("update").start()
+    try {
+      in.addData(
+        tweetJson("a", "2024-01-01 00:00:00", "Positive"),
+        tweetJson("b", "2024-01-01 00:00:01", "Positive"),
+        tweetJson("c", "2024-01-01 00:00:02", "Negative"))
+      q.processAllAvailable()
+      in.addData(tweetJson("d", "2024-01-01 00:00:03", "positive"))
+      q.processAllAvailable()
+      // memory sink in update mode appends each batch's emissions; the
+      // LAST emission per key is the running total
+      val last = sql.table("state_t").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+      assert(last == Map("positive" -> 3L, "negative" -> 1L))
+    } finally q.stop()
+  }
+
   test("checkpointed parquet sink: restart does not duplicate rows") {
     implicit val ctx = sql.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
