@@ -46,6 +46,7 @@ object SparkEntry {
     "q_knn_cosine"     -> ((s, d) => SimilarityQueries.knnCosine(s, d)),
     "q_ann_lsh"        -> ((s, d) => SimilarityQueries.annLsh(s, d)),
     "q_embed_dup"      -> ((s, d) => SimilarityQueries.embedDupPairs(s, d)),
+    "q_ann_ivf"        -> ((s, d) => SimilarityQueries.annIvf(s, d)),
     "q_subword_stats"  -> ((s, d) => TextQueries.subwordStats(s, d)),
     // --- multimodal binary-column plumbing (stub decode, real pipeline) ---
     "q_media_meta"     -> ((s, d) => MultimodalQueries.mediaMeta(s, d)),

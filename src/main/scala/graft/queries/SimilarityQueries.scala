@@ -124,6 +124,40 @@ object SimilarityQueries {
       .orderBy($"query_id", $"rank")
   }
 
+  /** IVF-flat approximate NN: a coarse quantizer (16 deterministic seed
+    * centroids — the lowest vec_ids; production swaps in k-means means
+    * without changing the query shape) partitions the catalog into inverted
+    * lists; each query probes only its nearest centroid's list (nprobe=1).
+    * Join keys are centroid ids, so the shuffle is O(n) on the list key —
+    * same scale shape as [[annLsh]] with data-adaptive buckets. Rows-only
+    * (approximate); recall vs brute force asserted in ScalaTest. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.l2norm($"v"))
+    val centroids = emb.filter($"vec_id" < 16)
+      .select($"vec_id".as("cid"), $"v".as("cv"), $"nrm".as("cn"))
+    // assign every vector to its nearest centroid (argmax cosine, tie → cid)
+    val byVec = Window.partitionBy($"vec_id")
+      .orderBy($"ccos".desc, $"cid")
+    val assigned = emb.crossJoin(broadcast(centroids))
+      .withColumn("ccos", Similarity.dot($"v", $"cv") / ($"nrm" * $"cn"))
+      .withColumn("crn", row_number().over(byVec))
+      .filter($"crn" === 1)
+      .select($"vec_id", $"v", $"nrm", $"cid")
+    val queries = assigned.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"), $"cid".as("qcid"))
+    val scored = assigned.join(broadcast(queries),
+        $"cid" === $"qcid" && $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        round(Similarity.dot($"qv", $"v") / ($"qn" * $"nrm"), 6).as("cosine"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .orderBy($"query_id", $"rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs (cos ≥ 0.4 on this corpus —
     * its max pair similarity is ~0.51): the exact all-pairs baseline, a
     * broadcast nested-loop with the codegen'd dot product in the hot loop.

@@ -61,6 +61,21 @@ class SimilaritySpec extends SparkSpec {
     assert((exact & sim).size >= (exact.size * 0.8).toInt)
   }
 
+  test("IVF ANN never beats brute force; every query probes a list (sf0.001)") {
+    val knnTop = SimilarityQueries.knnCosine(spark, sf)
+      .filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val ivf = SimilarityQueries.annIvf(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    val ivfTop = ivf.filter(_.getInt(3) == 1)
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // every query id 0-9 gets at least one in-list neighbor
+    assert(ivfTop.keySet == (0L until 10L).toSet)
+    ivfTop.foreach { case (q, c) =>
+      assert(c <= knnTop(q) + 1e-9, s"ivf top-1 for $q beats brute force")
+    }
+  }
+
   test("ANN never beats brute force; finds real neighbors (sf0.001)") {
     val knnTop = SimilarityQueries.knnCosine(spark, sf)
       .filter(col("rank") === 1).collect()
