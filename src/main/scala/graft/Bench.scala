@@ -13,23 +13,34 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    // warmup (not reported): tiny SF, same plans
-    ordered.foreach { case (_, fn) =>
-      try { fn(spark, "/root/testdata/sf0.001").count() }
-      catch { case _: Throwable => () }
+    // warmup (not reported): smallest SF sibling of the target, same plans
+    val warmDir = new java.io.File(sfDir).getParentFile match {
+      case null => "/root/testdata/sf0.001"
+      case p => s"$p/sf0.001"
     }
+    var warmFailures = 0
+    ordered.foreach { case (_, fn) =>
+      try { fn(spark, warmDir).count() }
+      catch { case _: Throwable => warmFailures += 1 }
+    }
+    if (warmFailures > 0)
+      System.err.println(s"[bench] warmup skipped/failed for $warmFailures queries ($warmDir)")
+    // a failed query reports -1 (never a plausible-looking elapsed time)
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case e: Throwable =>
+                 System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -282,12 +282,13 @@ object SparkEntry {
     // Spark session_window: event at exactly last+gap starts a NEW session,
     // hence >= in the gaps-and-islands islanding below.
     "q_session_windows" ->
-      """WITH x AS (SELECT user_id, ts, value,
+      """WITH x AS (SELECT user_id, event_id, ts, value,
            CASE WHEN lag(ts) OVER w IS NULL
                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
        y AS (SELECT user_id, ts, value,
-           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS sid
          FROM x)
        SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
               round(sum(value), 6) AS total_value

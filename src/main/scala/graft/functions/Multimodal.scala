@@ -50,16 +50,19 @@ object Multimodal {
       FeaturePrimes.map(p => ((n * p) % 1000).toDouble / 1000.0))
   }
 
-  /** STUB resize: returns a payload of exactly `targetBytes`, cycling the
-    * source bytes — stands in for a pixel resample. */
+  /** STUB resize: returns a payload of exactly `targetBytes` (≤ 0 → empty),
+    * cycling the source bytes — stands in for a pixel resample. */
   def resizeStub(payload: Array[Byte], targetBytes: Int): Array[Byte] = {
-    if (payload.isEmpty) new Array[Byte](targetBytes)
+    if (targetBytes <= 0) Array.emptyByteArray
+    else if (payload.isEmpty) new Array[Byte](targetBytes)
     else Array.tabulate(targetBytes)(i => payload(i % payload.length))
   }
 
   /** STUB frame sampling: split the payload into `n` equal-length frames
-    * (remainder bytes dropped) — stands in for video frame extraction. */
+    * (remainder bytes dropped; n ≤ 0 or payload shorter than n → empty) —
+    * stands in for video frame extraction. */
   def frameSampleStub(payload: Array[Byte], n: Int): Seq[Array[Byte]] = {
+    if (n <= 0) return Seq.empty
     val frameLen = payload.length / n
     if (frameLen == 0) Seq.empty
     else (0 until n).map(i => payload.slice(i * frameLen, (i + 1) * frameLen))

@@ -143,9 +143,9 @@ object Similarity {
   def dot(a: Column, b: Column): Column = graft.expressions.ArrayOps.dotProduct(a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
-
-  /** Cosine similarity of two array<double> columns. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  // (no cosine(a,b) helper on purpose: every query precomputes norms once
+  // per row and divides dot by the product — recomputing norms per pair
+  // would double the hot-loop work)
 
   /** Number of random hyperplanes for the sign-LSH ANN index. Few planes →
     * coarse buckets; 4 gives 16 buckets (tuned for the testdata's ~random

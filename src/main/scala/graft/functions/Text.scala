@@ -28,12 +28,13 @@ object Text {
   /** Token count of a document. */
   def tokenCount(text: Column): Column = size(tokenize(text))
 
-  /** BPE-ish subword count: splits on whitespace AND at letter/digit/punct
-    * boundaries, approximating a byte-pair tokenizer's granularity. */
+  /** BPE-ish subword count: maximal letter runs, digit runs, and single
+    * punctuation marks — approximates a byte-pair tokenizer's granularity.
+    * regexp_extract_all keeps it codegen'd and gives it a direct DuckDB
+    * twin (the q_subword_stats oracle uses the same pattern). */
   def subwordCount(text: Column): Column =
-    size(filter(
-      split(trim(text), "(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|\\s+|(?=[^a-zA-Z0-9\\s])|(?<=[^a-zA-Z0-9\\s])"),
-      t => length(t) > 0))
+    size(regexp_extract_all(text,
+      lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
 
   /** Normalized text: lowercase, whitespace collapsed, trimmed — canonical
     * form for exact-dup detection. */
@@ -43,24 +44,33 @@ object Text {
   /** Deterministic 128-bit document fingerprint (md5 of normalized text). */
   def fingerprint(text: Column): Column = md5(normText(text))
 
-  /** Polynomial rolling-hash fingerprint over the raw character stream:
-    * h = (h*31 + code) mod 1e9+7. One JVM call per document (a char-level
-    * HOF fold would evaluate interpreted per character); the arithmetic is
-    * exactly reproducible in ANSI SQL via a list fold, so it carries a
-    * DuckDB oracle. Mod 1e9+7 keeps every intermediate < 2^63. */
-  def rollingHashOf(s: String): Long = {
-    if (s == null) return 0L
+  /** Polynomial rolling-hash fingerprint over the *code point* stream:
+    * h = (h*31 + codePoint) mod 1e9+7. One JVM call per document (a
+    * char-level HOF fold would evaluate interpreted per character); folding
+    * code points (not UTF-16 units) keeps the arithmetic exactly
+    * reproducible in ANSI SQL (DuckDB splits strings into characters), so
+    * it carries a DuckDB oracle. null → null, matching SQL. Mod 1e9+7
+    * keeps every intermediate < 2^63. */
+  def rollingHashOf(s: String): java.lang.Long = {
+    if (s == null) return null
     var h = 0L
     var i = 0
-    while (i < s.length) { h = (h * 31 + s.charAt(i).toLong) % 1000000007L; i += 1 }
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
     h
   }
   private val rollingHashUdf = udf((s: String) => rollingHashOf(s))
   def rollingHash(text: Column): Column = rollingHashUdf(text)
 
   /** Entity extraction port (SURVEY.md S4/F8): the producers run spaCy NER
-    * filtered to PERSON/ORG; in-engine we extract capitalized word runs not
-    * at sentence start — a deterministic dictionary-free heuristic. */
+    * filtered to PERSON/ORG; in-engine the deterministic, dictionary-free
+    * stand-in keeps each wholly-alphabetic capitalized token (sentence-
+    * initial tokens included; tokens with attached punctuation excluded by
+    * the anchored match; multi-word entities emerge as adjacent tokens, not
+    * joined spans). */
   def extractEntities(text: Column): Column =
     filter(
       transform(tokenize(text), t => regexp_extract(t, "^([A-Z][a-zA-Z]+)$", 1)),

@@ -29,10 +29,10 @@ object SimilarityQueries {
     * explode shingles → self-join on shingle → common counts → J ≥ 0.8. */
   def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // referenced 3x in the plan (both self-join sides + per-doc counts):
-    // cache so shingling runs once
+    // referenced 3x in the plan (both self-join sides + per-doc counts);
+    // recomputation is one scalar-UDF pass per reference — cheaper than
+    // pinning a session-lifetime cache the caller could never unpersist
     val sh = shingleSets(spark, dir).select($"doc_id", explode($"sh").as("s"))
-      .cache()
     val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val common = sh.as("a")
       .join(sh.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
@@ -55,7 +55,7 @@ object SimilarityQueries {
     * bucket-key shuffle, no all-pairs join. */
   def minhashDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sets = shingleSets(spark, dir).cache()
+    val sets = shingleSets(spark, dir)
     val sigs = sets.select($"doc_id", explode($"sh").as("s"))
       .select($"doc_id", xxhash64($"s").as("h"))
       .groupBy($"doc_id").agg(Similarity.minhash($"h").as("sig"))

@@ -81,8 +81,7 @@ object TextQueries {
   def subwordStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        size(regexp_extract_all(col("text"),
-          lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).as("n_subwords"),
+        Text.subwordCount(col("text")).as("n_subwords"),
         Text.tokenCount(col("text")).as("n_tokens"))
       .orderBy("doc_id")
 

@@ -34,7 +34,12 @@ object Tables {
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
     * natively; read it as long nanos (legacy conf) and truncate to a µs
     * timestamp (`div 1000` truncation == DuckDB's ns→µs cast, so the oracle
-    * sees bit-identical values). */
+    * sees bit-identical values).
+    *
+    * The conf properly belongs at session build (Verify/Bench/test builders
+    * set it); the set here is a defensive repeat for ad-hoc sessions and is
+    * acknowledged session-global: after any events() call, other
+    * TIMESTAMP(NANOS) parquet in the session also reads as long. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(spark, dir, "events")

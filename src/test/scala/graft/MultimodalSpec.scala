@@ -32,6 +32,9 @@ class MultimodalSpec extends SparkSpec {
     val frames = Multimodal.frameSampleStub(Array[Byte](1, 2, 3, 4, 5, 6, 7), 3)
     assert(frames.map(_.toSeq) == Seq(Seq[Byte](1, 2), Seq[Byte](3, 4), Seq[Byte](5, 6)))
     assert(Multimodal.frameSampleStub(Array[Byte](1), 3).isEmpty)
+    assert(Multimodal.frameSampleStub(Array[Byte](1, 2), 0).isEmpty)
+    assert(Multimodal.frameSampleStub(Array[Byte](1, 2), -1).isEmpty)
+    assert(Multimodal.resizeStub(Array[Byte](1), -4).isEmpty)
   }
 
   test("dataset plumbing: binary payloads decode per-partition, rows preserved") {

@@ -40,6 +40,17 @@ class TextSpec extends SparkSpec {
     assert(es == Seq("LeBron", "Lakers"))
   }
 
+  test("rolling hash folds code points, null-propagates, matches manual fold") {
+    assert(Text.rollingHashOf(null) == null)
+    assert(Text.rollingHashOf("abc") == 96354L) // pinned vs DuckDB list_reduce
+    // supplementary-plane char counts once (as its code point), not as two
+    // UTF-16 surrogates — keeps parity with SQL character splitting
+    val s = "a😀b" // a, U+1F600, b
+    val expected = Seq(97, 0x1F600, 98)
+      .foldLeft(0L)((h, c) => (h * 31 + c) % 1000000007L)
+    assert(Text.rollingHashOf(s) == expected)
+  }
+
   test("langGuess picks marker-heavy language") {
     val r = Seq("the cat is on a mat and the dog", "el perro y la casa de que y")
       .toDF("t").select(Text.langGuess($"t").as("l")).collect().map(_.getString(0))

@@ -35,6 +35,13 @@ def main(sf_dir, out_dir):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
+    # an oracle query whose Verify dump is missing (query threw) is a FAIL,
+    # not a silent skip
+    dumped = {d for d in os.listdir(out_dir)
+              if os.path.isdir(os.path.join(out_dir, d))}
+    for name in sorted(set(oracle) - dumped):
+        print(f"  [FAIL] {name}: no Verify output (query failed?)")
+        n_fail += 1
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
