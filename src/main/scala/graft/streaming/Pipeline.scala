@@ -105,6 +105,16 @@ object Pipeline {
       try process(batch, id)
       catch { case e: Throwable => onError(id, e) }
 
+  /** Streaming deduplication by content fingerprint within the watermark —
+    * the streaming face of the dedup surface: duplicates arriving within
+    * `lateness` of each other are dropped; state for old fingerprints is
+    * evicted by the watermark (bounded state at any throughput, unlike a
+    * plain dropDuplicates whose state grows forever). */
+  def dedupStream(parsed: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    parsed
+      .withWatermark("created_at", lateness)
+      .dropDuplicatesWithinWatermark(Seq("text"))
+
   /** Cross-batch running sentiment totals via managed per-key state
     * (`mapGroupsWithState`) — the engine's answer to the reference's
     * driver-held cross-batch accumulation (cms_stream.py:69): state lives in

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import graft.functions.Sketches
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The reference's four streaming jobs, re-expressed on the Pipeline
+  * components — a user of the reference can run the same four pipelines
+  * against any Spark source (Kafka in production, MemoryStream in tests,
+  * bounded frames for backfill):
+  *
+  *  - [[etl]]        ⇔ processing/spark_stream.py   (parse → project → sink)
+  *  - [[edw]]        ⇔ processing/edw_stream.py     (decay-weighted enrich)
+  *  - [[cmsJob]]     ⇔ processing/cms_stream.py     (keyword CMS metrics)
+  *  - [[fmJob]]      ⇔ processing/flajolent_stream.py (FM distinct metrics)
+  *
+  * Differences by design (SURVEY.md §2.5): checkpoints everywhere, no
+  * driver-side state or collect, explicit as-of for determinism in tests.
+  * Each job takes the raw source frame (Kafka wire format: a binary/string
+  * `value` column) and a foreachBatch-style sink callback, mirroring the
+  * reference's JDBC-append structure without binding to Postgres.
+  */
+object TrendJobs {
+
+  private def start(df: DataFrame, checkpointDir: String,
+                    sink: (DataFrame, Long) => Unit,
+                    onError: (Long, Throwable) => Unit): StreamingQuery =
+    df.writeStream
+      .foreachBatch(Pipeline.guardedForeachBatch(sink, onError))
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** spark_stream.py parity: parse → ETL projection → sink. */
+  def etl(raw: DataFrame, checkpointDir: String,
+          sink: (DataFrame, Long) => Unit,
+          onError: (Long, Throwable) => Unit = rethrow): StreamingQuery =
+    start(Pipeline.etlProjection(Pipeline.parseTweets(raw)),
+      checkpointDir, sink, onError)
+
+  /** edw_stream.py parity: parse → decay enrich (wall-clock as-of, like the
+    * reference's datetime.now()) → sink. */
+  def edw(raw: DataFrame, checkpointDir: String,
+          sink: (DataFrame, Long) => Unit,
+          onError: (Long, Throwable) => Unit = rethrow): StreamingQuery =
+    start(Pipeline.enrich(Pipeline.parseTweets(raw), current_timestamp()),
+      checkpointDir, sink, onError)
+
+  /** cms_stream.py parity: per batch, append the raw rows via `sink` and the
+    * tracked-keyword CMS estimates via `metricsSink` — both computed
+    * distributed (the reference collects the batch to the driver). */
+  def cmsJob(raw: DataFrame, checkpointDir: String,
+             sink: (DataFrame, Long) => Unit,
+             metricsSink: (DataFrame, Long) => Unit,
+             onError: (Long, Throwable) => Unit = rethrow): StreamingQuery =
+    start(Pipeline.parseTweets(raw), checkpointDir,
+      (batch, id) => {
+        if (!batch.isEmpty) {
+          sink(batch, id)
+          metricsSink(Pipeline.cmsMetrics(batch), id)
+        }
+      }, onError)
+
+  /** flajolent_stream.py parity: raw append + one FM-estimate row per batch. */
+  def fmJob(raw: DataFrame, checkpointDir: String,
+            sink: (DataFrame, Long) => Unit,
+            metricsSink: (DataFrame, Long) => Unit,
+            onError: (Long, Throwable) => Unit = rethrow): StreamingQuery =
+    start(Pipeline.parseTweets(raw), checkpointDir,
+      (batch, id) => {
+        if (!batch.isEmpty) {
+          sink(batch, id)
+          metricsSink(Pipeline.fmMetrics(batch), id)
+        }
+      }, onError)
+
+  private def rethrow: (Long, Throwable) => Unit = (_, e) => throw e
+}

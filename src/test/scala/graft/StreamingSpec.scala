@@ -122,6 +122,74 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeated texts within the watermark") {
+    implicit val ctx = sql.sqlContext
+    val in = MemoryStream[String]
+    val deduped = graft.streaming.Pipeline
+      .dedupStream(graft.streaming.Pipeline.parseTweets(in.toDF()))
+    val q = deduped.writeStream.format("memory").queryName("dedup_t")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        tweetJson("same text", "2024-01-01 00:00:00", "Positive"),
+        tweetJson("same text", "2024-01-01 00:00:05", "Negative"),
+        tweetJson("other", "2024-01-01 00:00:10", "Neutral"))
+      q.processAllAvailable()
+      in.addData(tweetJson("same text", "2024-01-01 00:00:20", "Neutral"))
+      q.processAllAvailable()
+      val texts = sql.table("dedup_t").select("text").collect().map(_.getString(0))
+      assert(texts.count(_ == "same text") == 1)
+      assert(texts.count(_ == "other") == 1)
+    } finally q.stop()
+  }
+
+  test("four reference jobs run end-to-end over a memory stream") {
+    implicit val ctx = sql.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jobs").toString
+    import scala.collection.mutable
+    // etl job
+    val in1 = MemoryStream[String]
+    val etlRows = mutable.Buffer[Long]()
+    in1.addData(tweetJson("hello world", "2024-01-01 00:00:00", "Positive"))
+    val q1 = graft.streaming.TrendJobs.etl(in1.toDF(), s"$tmp/cp1",
+      (b, _) => etlRows.synchronized { etlRows += b.count() })
+    q1.awaitTermination()
+    assert(etlRows.sum == 1)
+    // edw job
+    val in2 = MemoryStream[String]
+    var edwWeightOk = false
+    in2.addData(tweetJson("w", "2024-01-01 00:00:00", "Positive"))
+    val q2 = graft.streaming.TrendJobs.edw(in2.toDF(), s"$tmp/cp2",
+      (b, _) => {
+        // wall-clock as-of over a 2024 event: weight underflows toward 0 —
+        // assert the contract range, not a positive floor
+        val w = b.select("weight").collect()(0).getDouble(0)
+        edwWeightOk = w >= 0.0 && w <= 1.0
+      })
+    q2.awaitTermination()
+    assert(edwWeightOk)
+    // cms job: metrics rows = tracked keywords, counts correct
+    val in3 = MemoryStream[String]
+    val cmsEst = mutable.Map[String, Long]()
+    in3.addData(tweetJson("join join hash", "2024-01-01 00:00:00", "x"))
+    val q3 = graft.streaming.TrendJobs.cmsJob(in3.toDF(), s"$tmp/cp3",
+      (_, _) => (),
+      (m, _) => m.collect().foreach(r =>
+        cmsEst.synchronized { cmsEst(r.getString(0)) = r.getLong(1) }))
+    q3.awaitTermination()
+    assert(cmsEst("join") == 2L && cmsEst("hash") == 1L && cmsEst("scan") == 0L)
+    // fm job: one estimate row per batch
+    val in4 = MemoryStream[String]
+    var fmEst = -1L
+    in4.addData(tweetJson("a", "2024-01-01 00:00:00", "x"),
+      tweetJson("b", "2024-01-01 00:00:01", "x"))
+    val q4 = graft.streaming.TrendJobs.fmJob(in4.toDF(), s"$tmp/cp4",
+      (_, _) => (),
+      (m, _) => { fmEst = m.collect()(0).getLong(0) })
+    q4.awaitTermination()
+    assert(fmEst >= 1L)
+  }
+
   test("checkpointed parquet sink: restart does not duplicate rows") {
     implicit val ctx = sql.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
