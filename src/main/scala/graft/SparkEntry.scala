@@ -41,6 +41,7 @@ object SparkEntry {
     "q_cms_grouped"    -> ((s, d) => SketchQueries.eventTypeUserCms(s, d)),
     // --- near-dup / similarity (north-star LLM-pipeline ops) ---
     "q_jaccard_pairs"  -> ((s, d) => SimilarityQueries.jaccardPairs(s, d)),
+    "q_jaccard_prefix" -> ((s, d) => SimilarityQueries.jaccardPairsPrefix(s, d)),
     "q_minhash_dedup"  -> ((s, d) => SimilarityQueries.minhashDedup(s, d)),
     "q_simhash_pairs"  -> ((s, d) => SimilarityQueries.simhashPairs(s, d)),
     "q_knn_cosine"     -> ((s, d) => SimilarityQueries.knnCosine(s, d)),
@@ -218,6 +219,8 @@ object SparkEntry {
                  p -> ((strlen(text)*p) % 1000)/1000.0) AS f FROM documents)
          ORDER BY doc_id""",
     "q_jaccard_pairs" -> JaccardOracle,
+    // prefix filtering is exact by construction → same oracle
+    "q_jaccard_prefix" -> JaccardOracle,
     // minhash-LSH misses a J>=0.8 pair with p~5e-8 → same exact oracle
     "q_minhash_dedup" -> JaccardOracle,
     "q_knn_cosine" ->
