@@ -70,6 +70,9 @@ object SparkEntry {
     "q_orders_cube"     -> ((s, d) => AnalyticQueries.ordersCube(s, d)),
     "q_value_stats"     -> ((s, d) => AnalyticQueries.valueStats(s, d)),
     "q_rolling_fp"      -> ((s, d) => TextQueries.rollingFingerprints(s, d)),
+    "q_unpivot_daily"   -> ((s, d) => AnalyticQueries.unpivotDaily(s, d)),
+    "q_dow_profile"     -> ((s, d) => AnalyticQueries.dowProfile(s, d)),
+    "q_token_positions" -> ((s, d) => TextQueries.tokenPositions(s, d)),
   )
 
   /** Decay expression shared by the EDW oracles (DuckDB `epoch()` returns
@@ -347,5 +350,24 @@ object SparkEntry {
            list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
            (a, b) -> (a*31 + b) % 1000000007) AS rfp
          FROM documents ORDER BY doc_id""",
+    // zeros preserved: unpivot of the coalesced pivot emits absent combos as 0
+    "q_unpivot_daily" ->
+      """SELECT d.day, t.event_type, coalesce(c.n, 0) AS n
+         FROM (SELECT DISTINCT date_trunc('day', ts) AS day FROM events) d
+         CROSS JOIN (SELECT unnest(['click','error','purchase','signup','view']) AS event_type) t
+         LEFT JOIN (SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n
+                    FROM events GROUP BY 1, 2) c
+           ON d.day = c.day AND t.event_type = c.event_type
+         ORDER BY 1, 2""",
+    "q_dow_profile" ->
+      """SELECT dayofweek(ts) AS dow, event_type, count(*) AS n,
+         round(sum(value), 6) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_token_positions" ->
+      """SELECT doc_id, unnest(range(len(t))) AS pos, unnest(t) AS token
+         FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0) AS t
+               FROM documents WHERE doc_id < 5)
+         ORDER BY doc_id, pos""",
   )
 }

@@ -83,6 +83,26 @@ object AnalyticQueries {
       .orderBy($"day")
   }
 
+  /** Unpivot (wide → long): melts the day × event_type pivot back to rows —
+    * the inverse transform, zeros preserved. */
+  def unpivotDaily(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    pivotDaily(spark, dir)
+      .unpivot(Array(col("day")), types.map(col).toArray, "event_type", "n")
+      .orderBy($"day", $"event_type")
+  }
+
+  /** Day-of-week × event_type profile (date-part extraction; Spark's
+    * dayofweek is 1-based Sunday, shifted to DuckDB's 0-based). */
+  def dowProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy((dayofweek($"ts") - 1).as("dow"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 6).as("total_value"))
+      .orderBy($"dow", $"event_type")
+  }
+
   /** Customers with no URGENT order (anti join — the complement of the
     * semi-join query; broadcast the distinct key side at these SFs,
     * sort-merge at scale). */

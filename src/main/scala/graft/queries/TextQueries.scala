@@ -75,6 +75,15 @@ object TextQueries {
       .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** Positional tokenization (posexplode) for the first docs — token
+    * streams with ordinal positions, the shape sequence models consume. */
+  def tokenPositions(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < 5)
+      .select(col("doc_id"),
+        posexplode(Text.tokenize(col("text"))).as(Seq("pos", "token")))
+      .orderBy("doc_id", "pos")
+
   /** BPE-ish subword counts: splits at whitespace plus letter/digit/punct
     * boundaries via regexp_extract_all — approximates byte-pair tokenizer
     * granularity without a vocabulary. */
