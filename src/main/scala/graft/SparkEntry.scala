@@ -345,10 +345,13 @@ object SparkEntry {
          round(min(value), 6) AS min_value,
          round(max(value), 6) AS max_value
          FROM events GROUP BY 1 ORDER BY 1""",
+    // CASE guard: list_prepend(0, NULL) is [0] in DuckDB, which would fold
+    // NULL text to 0 — the engine null-propagates, so the oracle must too
     "q_rolling_fp" ->
-      """SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
-           list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
-           (a, b) -> (a*31 + b) % 1000000007) AS rfp
+      """SELECT doc_id, CASE WHEN text IS NULL THEN NULL ELSE
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+             (a, b) -> (a*31 + b) % 1000000007) END AS rfp
          FROM documents ORDER BY doc_id""",
     // zeros preserved: unpivot of the coalesced pivot emits absent combos as 0
     "q_unpivot_daily" ->

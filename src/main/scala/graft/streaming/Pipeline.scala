@@ -110,10 +110,15 @@ object Pipeline {
     * `lateness` of each other are dropped; state for old fingerprints is
     * evicted by the watermark (bounded state at any throughput, unlike a
     * plain dropDuplicates whose state grows forever). */
-  def dedupStream(parsed: DataFrame, lateness: String = "10 minutes"): DataFrame =
-    parsed
-      .withWatermark("created_at", lateness)
+  def dedupStream(parsed: DataFrame, lateness: String = "10 minutes"): DataFrame = {
+    // malformed events parse to text=NULL (PERMISSIVE); dedup treats NULL
+    // keys as equal, which would silently collapse every malformed row in
+    // the watermark to one — pass them through un-deduped instead
+    val wm = parsed.withWatermark("created_at", lateness)
+    wm.filter(col("text").isNotNull)
       .dropDuplicatesWithinWatermark(Seq("text"))
+      .unionByName(wm.filter(col("text").isNull))
+  }
 
   /** Cross-batch running sentiment totals via managed per-key state
     * (`mapGroupsWithState`) — the engine's answer to the reference's

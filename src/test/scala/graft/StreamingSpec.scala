@@ -133,13 +133,16 @@ class StreamingSpec extends SparkSpec {
       in.addData(
         tweetJson("same text", "2024-01-01 00:00:00", "Positive"),
         tweetJson("same text", "2024-01-01 00:00:05", "Negative"),
-        tweetJson("other", "2024-01-01 00:00:10", "Neutral"))
+        tweetJson("other", "2024-01-01 00:00:10", "Neutral"),
+        "{malformed one", "{malformed two")
       q.processAllAvailable()
       in.addData(tweetJson("same text", "2024-01-01 00:00:20", "Neutral"))
       q.processAllAvailable()
       val texts = sql.table("dedup_t").select("text").collect().map(_.getString(0))
       assert(texts.count(_ == "same text") == 1)
       assert(texts.count(_ == "other") == 1)
+      // malformed rows parse to text=NULL and must NOT collapse to one
+      assert(texts.count(_ == null) == 2)
     } finally q.stop()
   }
 
@@ -155,19 +158,20 @@ class StreamingSpec extends SparkSpec {
       (b, _) => etlRows.synchronized { etlRows += b.count() })
     q1.awaitTermination()
     assert(etlRows.sum == 1)
-    // edw job
+    // edw job (AtomicBoolean: the sink callback runs on the microbatch
+    // thread — same reason the other sinks use synchronized buffers)
     val in2 = MemoryStream[String]
-    var edwWeightOk = false
+    val edwWeightOk = new java.util.concurrent.atomic.AtomicBoolean(false)
     in2.addData(tweetJson("w", "2024-01-01 00:00:00", "Positive"))
     val q2 = graft.streaming.TrendJobs.edw(in2.toDF(), s"$tmp/cp2",
       (b, _) => {
         // wall-clock as-of over a 2024 event: weight underflows toward 0 —
         // assert the contract range, not a positive floor
         val w = b.select("weight").collect()(0).getDouble(0)
-        edwWeightOk = w >= 0.0 && w <= 1.0
+        edwWeightOk.set(w >= 0.0 && w <= 1.0)
       })
     q2.awaitTermination()
-    assert(edwWeightOk)
+    assert(edwWeightOk.get)
     // cms job: metrics rows = tracked keywords, counts correct
     val in3 = MemoryStream[String]
     val cmsEst = mutable.Map[String, Long]()
@@ -180,14 +184,14 @@ class StreamingSpec extends SparkSpec {
     assert(cmsEst("join") == 2L && cmsEst("hash") == 1L && cmsEst("scan") == 0L)
     // fm job: one estimate row per batch
     val in4 = MemoryStream[String]
-    var fmEst = -1L
+    val fmEst = new java.util.concurrent.atomic.AtomicLong(-1L)
     in4.addData(tweetJson("a", "2024-01-01 00:00:00", "x"),
       tweetJson("b", "2024-01-01 00:00:01", "x"))
     val q4 = graft.streaming.TrendJobs.fmJob(in4.toDF(), s"$tmp/cp4",
       (_, _) => (),
-      (m, _) => { fmEst = m.collect()(0).getLong(0) })
+      (m, _) => fmEst.set(m.collect()(0).getLong(0)))
     q4.awaitTermination()
-    assert(fmEst >= 1L)
+    assert(fmEst.get >= 1L)
   }
 
   test("checkpointed parquet sink: restart does not duplicate rows") {

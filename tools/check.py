@@ -35,11 +35,17 @@ def main(sf_dir, out_dir):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
-    # an oracle query whose Verify dump is missing (query threw) is a FAIL,
-    # not a silent skip
+    # any registered query whose Verify dump is missing (query threw) is a
+    # FAIL, not a silent skip — rows-only queries included (queries.txt is
+    # the full registry manifest; fall back to oracle keys if absent)
     dumped = {d for d in os.listdir(out_dir)
               if os.path.isdir(os.path.join(out_dir, d))}
-    for name in sorted(set(oracle) - dumped):
+    manifest_path = os.path.join(out_dir, "queries.txt")
+    if os.path.exists(manifest_path):
+        expected = {l.strip() for l in open(manifest_path) if l.strip()}
+    else:
+        expected = set(oracle)
+    for name in sorted(expected - dumped):
         print(f"  [FAIL] {name}: no Verify output (query failed?)")
         n_fail += 1
     for name in sorted(os.listdir(out_dir)):
