@@ -54,6 +54,7 @@ object SparkEntry {
     "q_media_features" -> ((s, d) => MultimodalQueries.mediaFeatures(s, d)),
     // --- relational breadth ---
     "q_pricing_summary" -> ((s, d) => RelationalQueries.pricingSummary(s, d)),
+    "q_pricing_exact"   -> ((s, d) => RelationalQueries.pricingSummaryExact(s, d)),
     "q_top_orders"      -> ((s, d) => RelationalQueries.topRevenueOrders(s, d)),
     "q_revenue_by_nation" -> ((s, d) => RelationalQueries.revenueByNation(s, d)),
     "q_window_topk"     -> ((s, d) => RelationalQueries.topItemsPerFlag(s, d)),
@@ -245,6 +246,15 @@ object SparkEntry {
          round(avg(l_quantity), 6) AS avg_qty,
          round(avg(l_extendedprice), 6) AS avg_price,
          round(avg(l_discount), 6) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_pricing_exact" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2)) * CAST(1 + l_tax AS DECIMAL(12,2))) AS DOUBLE) AS sum_charge,
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          GROUP BY 1, 2 ORDER BY 1, 2""",

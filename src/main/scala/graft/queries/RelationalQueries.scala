@@ -33,6 +33,30 @@ object RelationalQueries {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** Pricing summary with ORDER-INDEPENDENT exact aggregation: every term
+    * is cast to DECIMAL before summing, so partial-aggregate merge order
+    * (and DuckDB's parallel fold order) cannot perturb a single bit — the
+    * float formulation's last-ulp divergence at large row counts (SURVEY
+    * §7.4#2) is structurally impossible here. The exact decimal sum is cast
+    * to double only once, at the end, identically on both sides. Monetary
+    * inputs carry 2 decimals, so DECIMAL(12,2) per-value casts are lossless.
+    */
+  def pricingSummaryExact(spark: SparkSession, dir: String): DataFrame = {
+    val ep = col("l_extendedprice").cast("decimal(12,2)")
+    val disc1 = (lit(1) - col("l_discount")).cast("decimal(12,2)")
+    val tax1 = (lit(1) + col("l_tax")).cast("decimal(12,2)")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+        sum(ep).cast("double").as("sum_base_price"),
+        sum(ep * disc1).cast("double").as("sum_disc_price"),
+        sum(ep * disc1 * tax1).cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   /** TPC-H Q3-style: segment filter → customer⋈orders⋈lineitem → top-10
     * revenue orders. Customer is broadcast; lineitem⋈orders shuffles on
     * orderkey; top-k via TakeOrderedAndProject (no full sort). */
