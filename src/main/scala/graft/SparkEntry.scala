@@ -74,6 +74,7 @@ object SparkEntry {
     "q_unpivot_daily"   -> ((s, d) => AnalyticQueries.unpivotDaily(s, d)),
     "q_dow_profile"     -> ((s, d) => AnalyticQueries.dowProfile(s, d)),
     "q_token_positions" -> ((s, d) => TextQueries.tokenPositions(s, d)),
+    "q_winnow_fp"       -> ((s, d) => TextQueries.winnowFingerprints(s, d)),
   )
 
   /** Decay expression shared by the EDW oracles (DuckDB `epoch()` returns
@@ -363,6 +364,19 @@ object SparkEntry {
              list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
              (a, b) -> (a*31 + b) % 1000000007) END AS rfp
          FROM documents ORDER BY doc_id""",
+    // winnowing (k=5, w=4): window-min value set is tie-rule independent
+    "q_winnow_fp" ->
+      """WITH h AS (SELECT doc_id, list_transform(range(1, length(text)-5+2), i ->
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(i, i+5), j -> CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT))),
+             (a, b) -> (a*31 + b) % 1000000007)) AS hs
+         FROM documents WHERE length(text) >= 8),
+       w AS (SELECT doc_id,
+           list_distinct(list_transform(range(1, len(hs)-4+2), i -> list_min(hs[i:i+3]))) AS fps
+         FROM h)
+       SELECT doc_id, len(fps) AS n_fps,
+              list_min(fps) AS min_fp, list_max(fps) AS max_fp
+       FROM w ORDER BY doc_id""",
     // zeros preserved: unpivot of the coalesced pivot emits absent combos as 0
     "q_unpivot_daily" ->
       """SELECT d.day, t.event_type, coalesce(c.n, 0) AS n

@@ -65,6 +65,46 @@ object Text {
   private val rollingHashUdf = udf((s: String) => rollingHashOf(s))
   def rollingHash(text: Column): Column = rollingHashUdf(text)
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+    * the MOSS algorithm): polynomial hashes of all k-char k-grams, then the
+    * minimum of every w-wide window of consecutive hashes. The selected
+    * VALUE set is independent of the tie rule (any position tie contributes
+    * the same value), which is what makes it exactly SQL-expressible.
+    * Guarantees: any shared substring of length ≥ k+w-1 yields at least one
+    * shared fingerprint. Code-point iteration for SQL parity; texts shorter
+    * than k+w-1 (or null) yield no fingerprints. Returns the sorted set. */
+  def winnowOf(text: String, k: Int = 5, w: Int = 4): Array[Long] = {
+    if (text == null) return Array.empty
+    val cps = text.codePoints().toArray
+    if (cps.length < k + w - 1) return Array.empty
+    val n = cps.length - k + 1
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var h = 0L
+      var j = 0
+      while (j < k) { h = (h * 31 + cps(i + j)) % 1000000007L; j += 1 }
+      hs(i) = h
+      i += 1
+    }
+    val set = new java.util.TreeSet[java.lang.Long]()
+    i = 0
+    while (i <= n - w) {
+      var m = hs(i)
+      var j = 1
+      while (j < w) { if (hs(i + j) < m) m = hs(i + j); j += 1 }
+      set.add(m)
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  }
+  private val winnowUdf = udf((s: String) => winnowOf(s))
+  def winnow(text: Column): Column = winnowUdf(text)
+
   /** Entity extraction port (SURVEY.md S4/F8): the producers run spaCy NER
     * filtered to PERSON/ORG; in-engine the deterministic, dictionary-free
     * stand-in keeps each wholly-alphabetic capitalized token (sentence-

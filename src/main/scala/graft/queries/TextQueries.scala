@@ -101,6 +101,17 @@ object TextQueries {
       .select(col("doc_id"), Text.rollingHash(col("text")).as("rfp"))
       .orderBy("doc_id")
 
+  /** Winnowing fingerprint profile per document (k=5 char shingles,
+    * window 4): set size and extrema of the selected hash set — the MOSS
+    * fingerprinting scheme next to the md5 and rolling-hash variants. */
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 8)
+      .select(col("doc_id"), Text.winnow(col("text")).as("fps"))
+      .select(col("doc_id"), size(col("fps")).as("n_fps"),
+        array_min(col("fps")).as("min_fp"), array_max(col("fps")).as("max_fp"))
+      .orderBy("doc_id")
+
   /** Exact deduplication by content fingerprint: each group keeps the min
     * doc_id; reports group size. On all-unique data every doc is its own
     * keeper — semantics still exercised end-to-end. */

@@ -51,6 +51,21 @@ class TextSpec extends SparkSpec {
     assert(Text.rollingHashOf(s) == expected)
   }
 
+  test("winnowing fingerprints match the reference computation") {
+    // pinned against the Python/DuckDB reference for this exact string
+    val fps = Text.winnowOf("the quick brown fox jumps")
+    assert(fps.length == 7)
+    assert(fps.take(3).toSeq == Seq(32585304L, 32701777L, 32826446L))
+    assert(fps.last == 102642205L)
+    // guarantee: identical texts share all fingerprints; a shared substring
+    // of length >= k+w-1 shares at least one
+    val a = Text.winnowOf("xxxx shared-substring-here yyyy")
+    val b = Text.winnowOf("zz shared-substring-here qqqq")
+    assert(a.toSet.intersect(b.toSet).nonEmpty)
+    assert(Text.winnowOf("short").isEmpty)
+    assert(Text.winnowOf(null).isEmpty)
+  }
+
   test("langGuess picks marker-heavy language") {
     val r = Seq("the cat is on a mat and the dog", "el perro y la casa de que y")
       .toDF("t").select(Text.langGuess($"t").as("l")).collect().map(_.getString(0))
