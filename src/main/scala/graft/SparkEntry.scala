@@ -39,6 +39,9 @@ object SparkEntry {
     "q_distinct_fm"    -> ((s, d) => SketchQueries.distinctFm(s, d)),
     "q_distinct_hll"   -> ((s, d) => SketchQueries.distinctHll(s, d)),
     "q_cms_grouped"    -> ((s, d) => SketchQueries.eventTypeUserCms(s, d)),
+    "q_bloom_join"     -> ((s, d) => SketchQueries.bloomJoin(s, d)),
+    "q_percentiles_approx" -> ((s, d) => AnalyticQueries.valuePercentilesApprox(s, d)),
+    "q_neardup_editdist"   -> ((s, d) => SimilarityQueries.nearDupEditDistance(s, d)),
     // --- near-dup / similarity (north-star LLM-pipeline ops) ---
     "q_jaccard_pairs"  -> ((s, d) => SimilarityQueries.jaccardPairs(s, d)),
     "q_jaccard_prefix" -> ((s, d) => SimilarityQueries.jaccardPairsPrefix(s, d)),
@@ -82,9 +85,10 @@ object SparkEntry {
   private val W = "exp(-0.1 * (epoch(as_of) - epoch(ts)) / 86400.0)"
   private val S = "(CASE WHEN event_type = 'purchase' THEN 1.0 WHEN event_type = 'error' THEN -1.0 ELSE 0.0 END)"
 
-  /** Exact 3-shingle Jaccard pairs at threshold 0.8 — oracle for both the
-    * inverted-index exact query and the MinHash-LSH path. */
-  private val JaccardOracle =
+  /** Exact 3-shingle Jaccard pairs at threshold 0.8 (CTE body `jp`) —
+    * shared by the inverted-index, prefix-filtered, MinHash-LSH, and
+    * edit-distance oracles. */
+  private val JaccardCte =
     """WITH toks AS (SELECT doc_id,
            list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0) AS t
          FROM documents),
@@ -95,10 +99,13 @@ object SparkEntry {
        cnt AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY 1),
        common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
          FROM shing a JOIN shing b ON a.s = b.s AND a.doc_id < b.doc_id
-         GROUP BY 1, 2)
-       SELECT doc_a, doc_b, round(c*1.0/(x.n + y.n - c), 6) AS jaccard
-       FROM common JOIN cnt x ON doc_a = x.doc_id JOIN cnt y ON doc_b = y.doc_id
-       WHERE c*1.0/(x.n + y.n - c) >= 0.8 ORDER BY doc_a, doc_b"""
+         GROUP BY 1, 2),
+       jp AS (SELECT doc_a, doc_b, round(c*1.0/(x.n + y.n - c), 6) AS jaccard
+         FROM common JOIN cnt x ON doc_a = x.doc_id JOIN cnt y ON doc_b = y.doc_id
+         WHERE c*1.0/(x.n + y.n - c) >= 0.8)"""
+
+  private val JaccardOracle =
+    JaccardCte + " SELECT doc_a, doc_b, jaccard FROM jp ORDER BY doc_a, doc_b"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -223,6 +230,21 @@ object SparkEntry {
          FROM (SELECT doc_id, list_transform([7,11,13,17,19,23,29,31],
                  p -> ((strlen(text)*p) % 1000)/1000.0) AS f FROM documents)
          ORDER BY doc_id""",
+    // zero false positives at these cardinalities (m=2^20, ~10^2 members,
+    // deterministic md5 positions) → probe count == exact semi-join count
+    "q_bloom_join" ->
+      """WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+         s AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
+         SELECT (SELECT count(*) FROM s) AS n_signup,
+                (SELECT count(*) FROM s JOIN p USING (user_id)) AS n_bloom_maybe,
+                (SELECT count(*) FROM s JOIN p USING (user_id)) AS n_exact_both""",
+    "q_neardup_editdist" ->
+      (JaccardCte +
+        """ SELECT jp.doc_a, jp.doc_b, jp.jaccard,
+            levenshtein(x.text, y.text) AS edit_dist
+            FROM jp JOIN documents x ON jp.doc_a = x.doc_id
+            JOIN documents y ON jp.doc_b = y.doc_id
+            ORDER BY jp.doc_a, jp.doc_b"""),
     "q_jaccard_pairs" -> JaccardOracle,
     // prefix filtering is exact by construction → same oracle
     "q_jaccard_prefix" -> JaccardOracle,

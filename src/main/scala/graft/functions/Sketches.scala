@@ -107,7 +107,60 @@ object Sketches {
   val cmsEstimateUdf =
     udf((sketch: Array[Long], item: String) => cmsEstimate(sketch, item))
 
+  // ----- Bloom filter (membership sketch) -----
+
+  /** Bloom parameters: m bits, k hash functions. Defaults sized for ~10^5
+    * members at ~1% FPR (m ≈ 9.6 n, k ≈ 7). */
+  val BloomBits = 1 << 20
+  val BloomHashes = 7
+
+  /** Bit positions of an item: k hashes derived from one 128-bit md5 via
+    * the Kirsch–Mitzenmacher construction h_i = h1 + i·h2 (public
+    * technique), mod m. */
+  def bloomPositions(item: String, m: Int = BloomBits,
+                     k: Int = BloomHashes): Array[Int] = {
+    val d = MessageDigest.getInstance("MD5").digest(item.getBytes("UTF-8"))
+    val bb = java.nio.ByteBuffer.wrap(d)
+    val h1 = bb.getLong; val h2 = bb.getLong
+    Array.tabulate(k) { i =>
+      val h = h1 + i * h2
+      (((h % m) + m) % m).toInt
+    }
+  }
+
+  def bloomContains(bits: Array[Long], item: String): Boolean =
+    bloomPositions(item).forall(p => (bits(p >> 6) & (1L << (p & 63))) != 0)
+
+  /** Bloom filter as a mergeable Aggregator over a string column: buffer =
+    * packed bit array (m/64 longs, 128 KB at defaults); merge = bitwise OR
+    * (associative + commutative → safe under partial aggregation). The
+    * membership sketch next to CMS (counts) and FM/HLL (distincts): at
+    * scale it prunes joins — build on the small side, pre-filter the big
+    * side before the shuffle. */
+  class BloomAggregator(m: Int = BloomBits, k: Int = BloomHashes)
+      extends Aggregator[String, Array[Long], Array[Long]] {
+    def zero: Array[Long] = new Array[Long](m / 64)
+    def reduce(buf: Array[Long], item: String): Array[Long] = {
+      val ps = bloomPositions(item, m, k)
+      var i = 0
+      while (i < ps.length) { buf(ps(i) >> 6) |= (1L << (ps(i) & 63)); i += 1 }
+      buf
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+    def finish(buf: Array[Long]): Array[Long] = buf
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
+  val bloomContainsUdf =
+    udf((bits: Array[Long], item: String) => bloomContains(bits, item))
+
   /** Untyped (DataFrame) registrations: `cms($"tok")`, `fm($"text")`. */
   val cms = org.apache.spark.sql.functions.udaf(new CmsAggregator(), Encoders.STRING)
   val fm = org.apache.spark.sql.functions.udaf(new FmAggregator(), Encoders.STRING)
+  val bloom = org.apache.spark.sql.functions.udaf(new BloomAggregator(), Encoders.STRING)
 }

@@ -69,6 +69,21 @@ object AnalyticQueries {
       .orderBy($"event_type")
   }
 
+  /** Approximate percentiles (QuantileSummaries sketch) next to the exact
+    * interpolated twin [[valuePercentiles]]. Rows-only: approx_percentile
+    * returns actual data points, not interpolations, so it cannot share
+    * the quantile_cont oracle — the exact twin is the check. */
+  def valuePercentilesApprox(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(
+        round(approx_percentile($"value", lit(0.5), lit(10000)), 6).as("p50_approx"),
+        round(approx_percentile($"value", lit(0.9), lit(10000)), 6).as("p90_approx"),
+        round(approx_percentile($"value", lit(0.99), lit(10000)), 6).as("p99_approx"))
+      .orderBy($"event_type")
+  }
+
   /** Day × event_type pivot of event counts (explicit value list so the
     * output schema is fixed; absent cells are 0). */
   def pivotDaily(spark: SparkSession, dir: String): DataFrame = {

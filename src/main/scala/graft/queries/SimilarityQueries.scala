@@ -126,6 +126,21 @@ object SimilarityQueries {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Edit-distance verification of the near-dup pair set: Levenshtein
+    * distance between the full texts of every J ≥ 0.8 pair — the
+    * character-level confirmation step of a dedup pipeline (cheap here
+    * because it runs only on the few verified candidates, never all pairs). */
+  def nearDupEditDistance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    jaccardPairs(spark, dir)
+      .join(docs.as("x"), $"doc_a" === $"x.doc_id")
+      .join(docs.as("y"), $"doc_b" === $"y.doc_id")
+      .select($"doc_a", $"doc_b", $"jaccard",
+        levenshtein($"x.text", $"y.text").as("edit_dist"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** SimHash near-dup pairs: 64-bit fingerprints, candidates from 4×16-bit
     * band equality (guaranteed to catch hamming ≤ 3, catches most ≤ 6),
     * verified by exact hamming distance. Rows-only check (fingerprints hash

@@ -55,6 +55,30 @@ object SketchQueries {
         countDistinct($"text").as("exact_distinct"))
   }
 
+  /** Bloom-filter membership join: build a Bloom sketch over purchaser ids
+    * (mergeable bitwise-OR aggregation), probe every signup user against
+    * it — the scale pattern for pre-shuffle join pruning (build on the
+    * small side, filter the big side before it moves). At these
+    * cardinalities (m=2^20 bits, ~10^2 members) the deterministic md5-based
+    * positions yield zero false positives, so the probe count equals the
+    * exact semi-join count and the oracle is exact — a future mismatch
+    * means a genuine (deterministic) collision. */
+  def bloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val purchasers = ev.filter($"event_type" === "purchase")
+      .select($"user_id".cast("string").as("uid")).distinct()
+    val signups = ev.filter($"event_type" === "signup")
+      .select($"user_id".cast("string").as("uid")).distinct()
+    val bloomDf = purchasers.agg(Sketches.bloom($"uid").as("bits"))
+    val probed = signups.crossJoin(bloomDf)
+      .select(Sketches.bloomContainsUdf($"bits", $"uid").as("maybe"))
+      .agg(count(lit(1)).as("n_signup"),
+        sum(when($"maybe", 1L).otherwise(0L)).as("n_bloom_maybe"))
+    probed.crossJoin(
+      signups.join(purchasers, "uid").agg(count(lit(1)).as("n_exact_both")))
+  }
+
   /** Per-user-bucket CMS, demonstrating sketch-per-group at scale: one CMS
     * per event_type over the events user_id stream (grouped sketches merge
     * within each hash-agg group). Output is the estimate per (event_type,

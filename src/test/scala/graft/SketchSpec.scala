@@ -57,4 +57,23 @@ class SketchSpec extends AnyFunSuite {
     val agg = new Sketches.CmsAggregator()
     assert(Sketches.cmsEstimate(agg.zero, "nothing") == 0L)
   }
+
+  test("Bloom filter: no false negatives, split-merge == whole, low FPR") {
+    val agg = new Sketches.BloomAggregator()
+    val members = (0 until 500).map(i => s"user$i")
+    val bits = members.foldLeft(agg.zero)(agg.reduce)
+    // no false negatives ever
+    members.foreach(m => assert(Sketches.bloomContains(bits, m)))
+    // merge of halves equals whole
+    val (l, r) = members.splitAt(250)
+    val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+      r.foldLeft(agg.zero)(agg.reduce))
+    assert(java.util.Arrays.equals(merged, bits))
+    // false-positive rate bounded (m=2^20, k=7, n=500 -> FPR ~ 1e-17;
+    // allow slack far above it)
+    val fps = (0 until 10000).count(i => Sketches.bloomContains(bits, s"absent$i"))
+    assert(fps == 0, s"unexpected false positives: $fps")
+    // empty sketch contains nothing
+    assert(!Sketches.bloomContains(agg.zero, "anything"))
+  }
 }
