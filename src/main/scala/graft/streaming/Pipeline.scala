@@ -95,6 +95,28 @@ object Pipeline {
   def fmMetrics(batch: DataFrame): DataFrame =
     batch.agg(Sketches.fm(col("text")).as("fm_estimate"))
 
+  /** Stream-stream interval join: correlate two tweet streams on sentiment
+    * where the right event lands within `window` after the left one. Both
+    * sides carry watermarks so Spark can bound the join state and emit
+    * results incrementally — the streaming counterpart of the engine's
+    * relational joins. Returns (sentiment, left text/time, right text/time). */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   window: String = "1 hour",
+                   lateness: String = "2 hours"): DataFrame = {
+    val l = left.select(col("sentiment").as("l_sentiment"),
+        col("text").as("l_text"), col("created_at").as("l_time"))
+      .withWatermark("l_time", lateness)
+    val r = right.select(col("sentiment").as("r_sentiment"),
+        col("text").as("r_text"), col("created_at").as("r_time"))
+      .withWatermark("r_time", lateness)
+    l.join(r,
+      expr(s"""l_sentiment = r_sentiment AND
+               r_time >= l_time AND
+               r_time <= l_time + INTERVAL $window"""))
+      .select(col("l_sentiment").as("sentiment"),
+        col("l_text"), col("l_time"), col("r_text"), col("r_time"))
+  }
+
   /** The reference's error-table pattern (edw_stream.py:124-136): run the
     * batch writer; on failure append (batch_id, error, timestamp) to an
     * error sink instead of killing the query. */

@@ -97,6 +97,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs events within the window") {
+    implicit val ctx = sql.sqlContext
+    val inL = MemoryStream[String]
+    val inR = MemoryStream[String]
+    val joined = graft.streaming.Pipeline.intervalJoin(
+      graft.streaming.Pipeline.parseTweets(inL.toDF()),
+      graft.streaming.Pipeline.parseTweets(inR.toDF()))
+    val q = joined.writeStream.format("memory").queryName("join_t")
+      .outputMode("append").start()
+    try {
+      inL.addData(tweetJson("left early", "2024-01-01 00:00:00", "Positive"))
+      inR.addData(
+        tweetJson("right in window", "2024-01-01 00:30:00", "Positive"),
+        tweetJson("right late", "2024-01-01 02:30:00", "Positive"),
+        tweetJson("right other key", "2024-01-01 00:30:00", "Negative"))
+      q.processAllAvailable()
+      val rows = sql.table("join_t").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getAs[String]("l_text") == "left early")
+      assert(rows(0).getAs[String]("r_text") == "right in window")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState: per-key totals accumulate across batches") {
     implicit val ctx = sql.sqlContext
     val in = MemoryStream[String]
