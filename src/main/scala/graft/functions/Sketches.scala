@@ -116,10 +116,12 @@ object Sketches {
 
   /** Bit positions of an item: k hashes derived from one 128-bit md5 via
     * the Kirsch–Mitzenmacher construction h_i = h1 + i·h2 (public
-    * technique), mod m. */
+    * technique), mod m. null hashes as the string "null" (same contract as
+    * the CMS hash, which concatenates the item into a string). */
   def bloomPositions(item: String, m: Int = BloomBits,
                      k: Int = BloomHashes): Array[Int] = {
-    val d = MessageDigest.getInstance("MD5").digest(item.getBytes("UTF-8"))
+    val s = if (item == null) "null" else item
+    val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
     val bb = java.nio.ByteBuffer.wrap(d)
     val h1 = bb.getLong; val h2 = bb.getLong
     Array.tabulate(k) { i =>
@@ -128,8 +130,13 @@ object Sketches {
     }
   }
 
-  def bloomContains(bits: Array[Long], item: String): Boolean =
-    bloomPositions(item).forall(p => (bits(p >> 6) & (1L << (p & 63))) != 0)
+  /** Membership probe. m is derived from the sketch itself (bits.length·64)
+    * so probes agree with whatever width built the sketch; k must match the
+    * building aggregator's k. */
+  def bloomContains(bits: Array[Long], item: String,
+                    k: Int = BloomHashes): Boolean =
+    bloomPositions(item, bits.length * 64, k)
+      .forall(p => (bits(p >> 6) & (1L << (p & 63))) != 0)
 
   /** Bloom filter as a mergeable Aggregator over a string column: buffer =
     * packed bit array (m/64 longs, 128 KB at defaults); merge = bitwise OR
@@ -141,7 +148,7 @@ object Sketches {
       extends Aggregator[String, Array[Long], Array[Long]] {
     def zero: Array[Long] = new Array[Long](m / 64)
     def reduce(buf: Array[Long], item: String): Array[Long] = {
-      val ps = bloomPositions(item, m, k)
+      val ps = bloomPositions(item, m, k) // null-safe (hashes as "null")
       var i = 0
       while (i < ps.length) { buf(ps(i) >> 6) |= (1L << (ps(i) & 63)); i += 1 }
       buf
@@ -155,9 +162,6 @@ object Sketches {
     def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
     def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   }
-
-  val bloomContainsUdf =
-    udf((bits: Array[Long], item: String) => bloomContains(bits, item))
 
   /** Untyped (DataFrame) registrations: `cms($"tok")`, `fm($"text")`. */
   val cms = org.apache.spark.sql.functions.udaf(new CmsAggregator(), Encoders.STRING)

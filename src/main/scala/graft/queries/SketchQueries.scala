@@ -70,11 +70,18 @@ object SketchQueries {
       .select($"user_id".cast("string").as("uid")).distinct()
     val signups = ev.filter($"event_type" === "signup")
       .select($"user_id".cast("string").as("uid")).distinct()
-    val bloomDf = purchasers.agg(Sketches.bloom($"uid").as("bits"))
-    val probed = signups.crossJoin(bloomDf)
-      .select(Sketches.bloomContainsUdf($"bits", $"uid").as("maybe"))
+    // the sketch is one aggregate scalar (128 KB): collect it once and ship
+    // it as a broadcast closed over by the probe UDF — probing via a column
+    // would re-deserialize the bit array from Catalyst format per row
+    val bits = purchasers.agg(Sketches.bloom($"uid").as("bits"))
+      .head().getSeq[Long](0).toArray
+    val bcast = spark.sparkContext.broadcast(bits)
+    val containsUdf = udf((uid: String) => Sketches.bloomContains(bcast.value, uid))
+    val probed = signups
+      .select(containsUdf($"uid").as("maybe"))
       .agg(count(lit(1)).as("n_signup"),
-        sum(when($"maybe", 1L).otherwise(0L)).as("n_bloom_maybe"))
+        // count(when) not sum(when): stays 0, not NULL, on an empty input
+        count(when($"maybe", 1)).as("n_bloom_maybe"))
     probed.crossJoin(
       signups.join(purchasers, "uid").agg(count(lit(1)).as("n_exact_both")))
   }
