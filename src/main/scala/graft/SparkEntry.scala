@@ -32,6 +32,7 @@ object SparkEntry {
     "q_token_stats"    -> ((s, d) => TextQueries.tokenStats(s, d)),
     "q_quality_scores" -> ((s, d) => TextQueries.qualityScores(s, d)),
     "q_lang_profile"   -> ((s, d) => TextQueries.langProfile(s, d)),
+    "q_entities"       -> ((s, d) => TextQueries.entityCounts(s, d)),
     "q_fingerprints"   -> ((s, d) => TextQueries.fingerprints(s, d)),
     "q_dedup_exact"    -> ((s, d) => TextQueries.dedupExact(s, d)),
     // --- sketches (reference cms_stream.py / flajolent_stream.py) ---
@@ -179,6 +180,37 @@ object SparkEntry {
                  t -> lower(t) IN ('the','a','an','and','or','of','to','in','is','are','was','it','for','on','with','as','at','by','be','this','that'))) AS DOUBLE)
                  / len(list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0)) ELSE 0.0 END * 5.0, 1.0)) / 3.0, 6) AS quality
          FROM documents ORDER BY doc_id""",
+    // capitalization fixture (every 3rd token, 0-based) + anchored
+    // capitalized-token extraction — DuckDB lists are 1-based, hence (i-1)
+    "q_entities" ->
+      """WITH toks AS (SELECT list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0) AS t
+           FROM documents),
+         cap AS (SELECT list_transform(range(1, len(t)+1), i ->
+             CASE WHEN (i-1) % 3 = 0 THEN upper(t[i][1]) || t[i][2:] ELSE t[i] END) AS ct
+           FROM toks),
+         e AS (SELECT unnest(list_filter(ct, w -> regexp_matches(w, '^[A-Z][a-zA-Z]+$'))) AS entity
+           FROM cap)
+         SELECT entity, count(*) AS n FROM e GROUP BY 1 ORDER BY 1""",
+    // marker-word argmax; earliest language in (en,es,fr,de) wins ties
+    // (strict > to replace in Text.langGuessOf); zero hits -> 'und'
+    "q_lang_profile" ->
+      """WITH toks AS (SELECT lang,
+           list_transform(list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0),
+             t -> lower(t)) AS t FROM documents),
+         c AS (SELECT lang,
+           coalesce(len(list_filter(t, x -> x IN ('the','and','of','is','a'))), 0) AS c_en,
+           coalesce(len(list_filter(t, x -> x IN ('el','la','de','que','y'))), 0) AS c_es,
+           coalesce(len(list_filter(t, x -> x IN ('le','la','de','et','un'))), 0) AS c_fr,
+           coalesce(len(list_filter(t, x -> x IN ('der','die','das','und','ist'))), 0) AS c_de
+           FROM toks),
+         g AS (SELECT lang,
+           CASE WHEN greatest(c_en, c_es, c_fr, c_de) = 0 THEN 'und'
+                WHEN c_en >= greatest(c_es, c_fr, c_de) THEN 'en'
+                WHEN c_es >= greatest(c_fr, c_de) THEN 'es'
+                WHEN c_fr >= c_de THEN 'fr'
+                ELSE 'de' END AS lang_guess
+           FROM c)
+         SELECT lang, lang_guess, count(*) AS n FROM g GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_fingerprints" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
          FROM documents ORDER BY doc_id""",
@@ -224,11 +256,12 @@ object SparkEntry {
          round(avg(64 + (strlen(text)*7) % 513), 6) AS avg_width,
          round(avg(64 + (strlen(text)*13) % 513), 6) AS avg_height,
          round(avg(1 + strlen(text) % 3), 6) AS avg_channels
-         FROM documents GROUP BY 1 ORDER BY 1""",
+         FROM documents WHERE text IS NOT NULL GROUP BY 1 ORDER BY 1""",
     "q_media_features" ->
       """SELECT doc_id, round(sqrt(list_dot_product(f, f)), 6) AS feature_norm
          FROM (SELECT doc_id, list_transform([7,11,13,17,19,23,29,31],
-                 p -> ((strlen(text)*p) % 1000)/1000.0) AS f FROM documents)
+                 p -> ((strlen(text)*p) % 1000)/1000.0) AS f
+               FROM documents WHERE text IS NOT NULL)
          ORDER BY doc_id""",
     // zero false positives at these cardinalities (m=2^20, ~10^2 members,
     // deterministic md5 positions) → probe count == exact semi-join count

@@ -74,7 +74,11 @@ object Multimodal {
   def mediaFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"),
+    // null text → null payload → executor NPE in the stubs; drop such rows
+    // here (the engine's null contract — the q_media_* oracles mirror this
+    // with WHERE text IS NOT NULL)
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
         concat(lit("img/"), col("source")).as("media_type"),
         col("text").cast("binary").as("payload"))
       .as[MediaRecord]

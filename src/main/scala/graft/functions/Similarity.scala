@@ -127,6 +127,38 @@ object Similarity {
   val minhash = udaf(new MinHashAggregator(), Encoders.scalaLong)
   val simhash = udaf(new SimHashAggregator(), Encoders.scalaLong)
 
+  /** xxHash64 (seed 42) of a string's UTF-8 bytes — bit-identical to Spark's
+    * `xxhash64` column function on StringType, so [[minhashSigOf]] produces
+    * exactly the signatures of the explode → xxhash64 → [[MinHashAggregator]]
+    * formulation (equality pinned in SimilaritySpec). */
+  def baseHash(s: String): Long = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+  }
+
+  /** One-pass MinHash signature of a whole shingle set: one JVM call per
+    * document computes all [[NumHashes]] minima. Replaces the
+    * explode → per-row aggregation path (VERDICT r1 #4) — same mins, but
+    * the exploded-shingle shuffle and per-row aggregation buffers vanish;
+    * signature building becomes a map-only stage. */
+  def minhashSigOf(sh: Seq[String]): Array[Long] = {
+    val sig = Array.fill(NumHashes)(Long.MaxValue)
+    val it = sh.iterator
+    while (it.hasNext) {
+      val h = baseHash(it.next())
+      var j = 0
+      while (j < NumHashes) {
+        val hj = fmix64(h ^ HashSeeds(j))
+        if (hj < sig(j)) sig(j) = hj
+        j += 1
+      }
+    }
+    sig
+  }
+  private val minhashSigUdf = udf((sh: Seq[String]) => minhashSigOf(sh))
+  def minhashSig(sh: Column): Column = minhashSigUdf(sh)
+
   /** Explode a MinHash signature into (band, band_hash) rows for LSH
     * bucketing: murmur3 of each r-slice of the signature. */
   def lshBands(sig: Column, bands: Int = Bands, r: Int = RowsPerBand): Column =

@@ -97,7 +97,9 @@ object Sketches {
     def zero: Int = 0
     def reduce(b: Int, s: String): Int = math.max(b, fmTrailingZeros(s))
     def merge(a: Int, b: Int): Int = math.max(a, b)
-    def finish(b: Int): Long = 1L << b
+    // clamp: rank ≥ 63 (p ≈ 2⁻⁶⁴ per distinct value) would make the Java
+    // shift wrap (1L << 64 == 1); cap the estimate instead of wrapping
+    def finish(b: Int): Long = 1L << math.min(b, 62)
     def bufferEncoder: Encoder[Int] = Encoders.scalaInt
     def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
@@ -120,6 +122,9 @@ object Sketches {
     * the CMS hash, which concatenates the item into a string). */
   def bloomPositions(item: String, m: Int = BloomBits,
                      k: Int = BloomHashes): Array[Int] = {
+    // m must match the aggregator's long-packed width or probe positions
+    // land outside (or probe a different effective m than) the built sketch
+    require(m > 0 && m % 64 == 0, s"bloom width m=$m must be a positive multiple of 64")
     val s = if (item == null) "null" else item
     val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
     val bb = java.nio.ByteBuffer.wrap(d)
@@ -146,6 +151,7 @@ object Sketches {
     * side before the shuffle. */
   class BloomAggregator(m: Int = BloomBits, k: Int = BloomHashes)
       extends Aggregator[String, Array[Long], Array[Long]] {
+    require(m > 0 && m % 64 == 0, s"bloom width m=$m must be a positive multiple of 64")
     def zero: Array[Long] = new Array[Long](m / 64)
     def reduce(buf: Array[Long], item: String): Array[Long] = {
       val ps = bloomPositions(item, m, k) // null-safe (hashes as "null")

@@ -25,22 +25,69 @@ object SimilarityQueries {
       .select($"doc_id", Similarity.shingles($"text").as("sh"))
   }
 
-  /** Exact n-gram (3-shingle) Jaccard near-dup pairs via the plain inverted
-    * index: explode shingles → self-join on shingle → common counts →
-    * J ≥ 0.8. Fastest at bench scale (no ranking passes); its hazard is the
-    * Σ df² join blowup on high-frequency shingles — [[jaccardPairsPrefix]]
-    * is the same operator with that blowup removed. */
+  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
+    * the full shingle sets — shared tail of every near-dup variant, and the
+    * reason candidate-generation pruning (df ceiling, prefix filter, LSH
+    * banding) never changes the reported J value. */
+  private def verifyPairs(cand: DataFrame, sets: DataFrame): DataFrame = {
+    import cand.sparkSession.implicits._
+    cand
+      .join(sets.as("x"), $"doc_a" === $"x.doc_id")
+      .join(sets.as("y"), $"doc_b" === $"y.doc_id")
+      .withColumn("common", size(array_intersect($"x.sh", $"y.sh")))
+      .withColumn("j",
+        $"common".cast("double") / (size($"x.sh") + size($"y.sh") - $"common"))
+      .filter($"j" >= Similarity.JaccardThreshold)
+      .select($"doc_a", $"doc_b", round($"j", 6).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Document-frequency ceiling for [[jaccardPairs]] candidate generation:
+    * shingles held by more than this many documents are dropped from the
+    * inverted-index JOIN only (verification uses full sets), bounding join
+    * fan-out at Σ_{df ≤ cap} df² ≤ cap · (total shingle rows) — a hot
+    * stop-shingle can no longer go quadratic (VERDICT r1 #5, PPJoin-style). */
+  val DfCap = 1000
+
+  /** Exact n-gram (3-shingle) Jaccard near-dup pairs via a df-capped
+    * inverted index with hot/rare decomposition:
+    *
+    *  - RARE shingles (df ≤ [[DfCap]]) drive the self-join: common-rare
+    *    counts per pair come from the usual explode → join-on-shingle →
+    *    groupBy, with fan-out bounded at cap · (shingle rows) — a hot
+    *    stop-shingle can no longer go quadratic;
+    *  - HOT shingles (df > cap) are FEW DISTINCT VALUES by definition; each
+    *    document's hot shingles form a tiny array, and the hot-common count
+    *    is `array_intersect` of two such arrays at verification time —
+    *    exact total c = c_rare + c_hot without ever self-joining hot rows
+    *    (and without shipping full shingle sets to every candidate).
+    *
+    * Exactness bound: a pair is missed only if EVERY shingle it shares is
+    * hot. At J ≥ 0.8 the pair shares ≥ 80% of either document's shingles,
+    * so a miss requires a document made almost entirely of corpus-wide
+    * stop-shingles — cross-checked against the uncapped DuckDB oracle in
+    * CORRECTNESS. [[jaccardPairsPrefix]] is the variant whose recall
+    * guarantee is unconditional. */
   def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = shingleSets(spark, dir).select($"doc_id", explode($"sh").as("s"))
-    val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val common = sh.as("a")
-      .join(sh.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+    val sets = shingleSets(spark, dir)
+    val sh = sets.select($"doc_id", explode($"sh").as("s"))
+    val byDf = sh.join(sh.groupBy($"s").agg(count(lit(1)).as("df")), "s")
+    val rare = byDf.filter($"df" <= DfCap).select($"doc_id", $"s")
+    val hotSets = byDf.filter($"df" > DfCap)
+      .groupBy($"doc_id").agg(collect_list($"s").as("hot"))
+    val cnt = sets.select($"doc_id", size($"sh").as("n"))
+    val common = rare.as("a")
+      .join(rare.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c_rare"))
     common
       .join(cnt.as("x"), $"doc_a" === $"x.doc_id")
       .join(cnt.as("y"), $"doc_b" === $"y.doc_id")
+      .join(hotSets.as("hx"), $"doc_a" === $"hx.doc_id", "left")
+      .join(hotSets.as("hy"), $"doc_b" === $"hy.doc_id", "left")
+      .withColumn("c", $"c_rare" +
+        coalesce(size(array_intersect($"hx.hot", $"hy.hot")), lit(0)))
       .withColumn("j", $"c".cast("double") / ($"x.n" + $"y.n" - $"c"))
       .filter($"j" >= Similarity.JaccardThreshold)
       .select($"doc_a", $"doc_b", round($"j", 6).as("jaccard"))
@@ -84,15 +131,7 @@ object SimilarityQueries {
       .join(prefix.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
-    cand
-      .join(sets.as("x"), $"doc_a" === $"x.doc_id")
-      .join(sets.as("y"), $"doc_b" === $"y.doc_id")
-      .withColumn("common", size(array_intersect($"x.sh", $"y.sh")))
-      .withColumn("j",
-        $"common".cast("double") / (size($"x.sh") + size($"y.sh") - $"common"))
-      .filter($"j" >= t)
-      .select($"doc_a", $"doc_b", round($"j", 6).as("jaccard"))
-      .orderBy($"doc_a", $"doc_b")
+    verifyPairs(cand, sets)
   }
 
   /** MinHash + LSH near-dup detection: signature (128 mins) per doc →
@@ -104,9 +143,14 @@ object SimilarityQueries {
   def minhashDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sets = shingleSets(spark, dir)
-    val sigs = sets.select($"doc_id", explode($"sh").as("s"))
-      .select($"doc_id", xxhash64($"s").as("h"))
-      .groupBy($"doc_id").agg(Similarity.minhash($"h").as("sig"))
+    // one-pass signature per document (VERDICT r1 #4): a single JVM call
+    // computes all 128 mins from the shingle array — no exploded-row shuffle
+    // and no per-shingle aggregation buffers. Signatures are bit-identical
+    // to the explode→xxhash64→Aggregator formulation (pinned in
+    // SimilaritySpec). Shingle-less docs (< 3 tokens) are excluded: their
+    // all-MaxValue signatures would otherwise bucket together.
+    val sigs = sets.filter(size($"sh") > 0)
+      .select($"doc_id", Similarity.minhashSig($"sh").as("sig"))
     val bands = sigs
       .select($"doc_id", explode(Similarity.lshBands($"sig")).as("bb"))
       .select($"doc_id", $"bb.band".as("band"), $"bb.band_hash".as("bh"))
@@ -115,25 +159,19 @@ object SimilarityQueries {
         $"a.band" === $"b.band" && $"a.bh" === $"b.bh" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
-    cand
-      .join(sets.as("x"), $"doc_a" === $"x.doc_id")
-      .join(sets.as("y"), $"doc_b" === $"y.doc_id")
-      .withColumn("common", size(array_intersect($"x.sh", $"y.sh")))
-      .withColumn("j",
-        $"common".cast("double") / (size($"x.sh") + size($"y.sh") - $"common"))
-      .filter($"j" >= Similarity.JaccardThreshold)
-      .select($"doc_a", $"doc_b", round($"j", 6).as("jaccard"))
-      .orderBy($"doc_a", $"doc_b")
+    verifyPairs(cand, sets)
   }
 
   /** Edit-distance verification of the near-dup pair set: Levenshtein
     * distance between the full texts of every J ≥ 0.8 pair — the
     * character-level confirmation step of a dedup pipeline (cheap here
-    * because it runs only on the few verified candidates, never all pairs). */
+    * because it runs only on the few verified candidates, never all pairs).
+    * Chains on [[jaccardPairsPrefix]] (VERDICT r1 #1): same pair set by
+    * construction, without re-running the unfiltered inverted-index join. */
   def nearDupEditDistance(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
-    jaccardPairs(spark, dir)
+    jaccardPairsPrefix(spark, dir)
       .join(docs.as("x"), $"doc_a" === $"x.doc_id")
       .join(docs.as("y"), $"doc_b" === $"y.doc_id")
       .select($"doc_a", $"doc_b", $"jaccard",
@@ -221,12 +259,74 @@ object SimilarityQueries {
       .orderBy($"query_id", $"rank")
   }
 
-  /** Embedding-cosine near-duplicate pairs (cos ≥ 0.4 on this corpus —
-    * its max pair similarity is ~0.51): the exact all-pairs baseline, a
-    * broadcast nested-loop with the codegen'd dot product in the hot loop.
-    * The 100-TB path replaces the cross join with [[annLsh]]-style
-    * bucketing; this exact variant is the recall oracle for it. */
+  /** Embedding near-dup cosine threshold (this corpus's max pair similarity
+    * is ~0.51, so 0.4 captures the tail). */
+  val EmbedDupThreshold = 0.4
+  /** Number of coarse cells for the metric-join prune in [[embedDupPairs]]. */
+  val DupCells = 16
+
+  /** Embedding-cosine near-duplicate pairs (cos ≥ 0.4) as an EXACT
+    * distributed metric join — no full-table broadcast (VERDICT r1 #3):
+    *
+    *  1. on unit vectors, cos(a,b) ≥ t ⟺ ‖â−b̂‖ ≤ r = √(2−2t);
+    *  2. assign every vector to its nearest of [[DupCells]] seed centroids
+    *     (lowest vec_ids — k-means means slot in without changing the query
+    *     shape), recording the distance to its centroid;
+    *  3. per-cell radius = max member distance; by the triangle inequality a
+    *     qualifying pair can only span cells (i,j) with
+    *     d(cᵢ,cⱼ) ≤ radᵢ + r + radⱼ — every other cell pair is pruned with
+    *     zero false negatives, so the exact all-pairs oracle applies;
+    *  4. members of surviving cell pairs join on cell ids (the C² cell-pair
+    *     list is broadcast; the data shuffles on its cell key) and the exact
+    *     cosine is verified with the codegen'd dot product.
+    *
+    * On clustered corpora the prune discards most cell pairs; on isotropic
+    * data (this testdata) it degrades to a blocked distributed all-pairs —
+    * the exact join's lower bound — but memory stays bounded: no executor
+    * ever holds more than a join partition, and nothing scales with table
+    * size on the driver. The old broadcast nested-loop survives as
+    * [[embedDupBrute]], the test-only recall oracle. */
   def embedDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = EmbedDupThreshold
+    val r = math.sqrt(2.0 - 2.0 * t)
+    def unitDist(dot: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * dot))
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.l2norm($"v"))
+    val cents = emb.filter($"vec_id" < DupCells)
+      .select($"vec_id".as("cid"), $"v".as("cv"), $"nrm".as("cn"))
+    val byVec = Window.partitionBy($"vec_id").orderBy($"cdist", $"cid")
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("cdist",
+        unitDist(Similarity.dot($"v", $"cv") / ($"nrm" * $"cn")))
+      .withColumn("rn", row_number().over(byVec))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"v", $"nrm", $"cid", $"cdist")
+    val radii = assigned.groupBy($"cid").agg(max($"cdist").as("rad"))
+    val centDist = cents.as("p").crossJoin(cents.as("q"))
+      .select($"p.cid".as("ci"), $"q.cid".as("cj"),
+        unitDist(Similarity.dot($"p.cv", $"q.cv") / ($"p.cn" * $"q.cn")).as("cc"))
+    val cellPairs = centDist
+      .join(radii.as("ri"), $"ci" === $"ri.cid")
+      .join(radii.as("rj"), $"cj" === $"rj.cid")
+      .filter($"cc" <= $"ri.rad" + $"rj.rad" + lit(r))
+      .select($"ci", $"cj")
+    assigned.as("a")
+      .join(broadcast(cellPairs), $"a.cid" === $"ci")
+      .join(assigned.as("b"), $"cj" === $"b.cid" && $"a.vec_id" < $"b.vec_id")
+      .withColumn("cos", Similarity.dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm"))
+      .filter($"cos" >= t)
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+        round($"cos", 6).as("cosine"))
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  /** The exact all-pairs broadcast nested-loop — test-only recall oracle for
+    * [[embedDupPairs]] and [[annLsh]]; NOT registered (a full-table
+    * broadcast cannot scale past one executor's memory). */
+  def embedDupBrute(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
@@ -234,7 +334,7 @@ object SimilarityQueries {
     emb.as("a").crossJoin(broadcast(emb.as("b")))
       .filter($"a.vec_id" < $"b.vec_id")
       .withColumn("cos", Similarity.dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm"))
-      .filter($"cos" >= 0.4)
+      .filter($"cos" >= EmbedDupThreshold)
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
         round($"cos", 6).as("cosine"))
       .orderBy($"vec_a", $"vec_b")

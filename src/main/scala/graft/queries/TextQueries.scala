@@ -69,6 +69,26 @@ object TextQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "lang_guess")
 
+  /** Entity extraction (SURVEY §2 S4, reference fake_producer.py:49-51 /
+    * twitter_producer.py:37-39 — spaCy NER filtered to PERSON/ORG; in-engine
+    * the deterministic capitalized-token stand-in, Text.extractEntities).
+    * The corpus is all-lowercase, so the query first applies a deterministic
+    * capitalization fixture — every 3rd token (positions 0, 3, …) is
+    * initial-capitalized — then runs the extractor end-to-end on the rebuilt
+    * text. Both steps have exact DuckDB twins. Output: entity → count. */
+  def entityCounts(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Text.tokenize(col("text"))
+    val cap = transform(toks, (t, i) =>
+      when(i % 3 === 0,
+        concat(upper(t.substr(1, 1)), t.substr(lit(2), length(t))))
+      .otherwise(t))
+    Tables.documents(spark, dir)
+      .select(explode(Text.extractEntities(concat_ws(" ", cap))).as("entity"))
+      .groupBy(col("entity"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("entity")
+  }
+
   /** Document fingerprints (md5 of normalized text) — dedup building block. */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -76,6 +76,37 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("one-pass minhash signature == explode+xxhash64+aggregator path") {
+    // base hash parity: JVM-side xxHash64(UTF-8, seed 42) vs the column fn
+    val strs = Seq("a b c", "hello world x", "", "ünïcode ðocs")
+    val fromCol = strs.toDF("s").select(xxhash64(col("s"))).collect().map(_.getLong(0))
+    strs.zip(fromCol).foreach { case (s, h) =>
+      assert(Similarity.baseHash(s) == h, s"baseHash mismatch for '$s'")
+    }
+    // whole-signature parity on real documents
+    val sets = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), Similarity.shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val viaAgg = sets.select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .groupBy("doc_id").agg(Similarity.minhash(col("h")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaOnePass = sets
+      .select(col("doc_id"), Similarity.minhashSig(col("sh")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaOnePass.keySet == viaAgg.keySet)
+    viaOnePass.foreach { case (id, sig) => assert(sig == viaAgg(id), s"doc $id") }
+  }
+
+  test("metric-join embed dup pairs == brute-force all-pairs (sf0.001)") {
+    val brute = SimilarityQueries.embedDupBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val metric = SimilarityQueries.embedDupPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(brute.nonEmpty)
+    assert(metric.toSeq == brute.toSeq)
+  }
+
   test("ANN never beats brute force; finds real neighbors (sf0.001)") {
     val knnTop = SimilarityQueries.knnCosine(spark, sf)
       .filter(col("rank") === 1).collect()

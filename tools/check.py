@@ -54,7 +54,13 @@ def main(sf_dir, out_dir):
             continue
         got = pq.read_table(d).to_pandas()
         if name not in oracle:
-            print(f"  [rows-only] {name}: rows={len(got)}")
+            # a rows-only query regressing to an empty result must not pass
+            # silently — mirror the driver's rows>0 smoke contract
+            if len(got) == 0:
+                print(f"  [FAIL] {name}: rows-only dump has 0 rows")
+                n_fail += 1
+            else:
+                print(f"  [rows-only] {name}: rows={len(got)}")
             continue
         try:
             exp = con.sql(oracle[name]).df()
