@@ -166,13 +166,16 @@ object Pipeline {
   }
 
   /** JDBC append sink body (spark_stream.py:40-48) — parity API for the
-    * reference's Postgres path; the graded harness uses parquet instead. */
+    * reference's Postgres path. Driver defaults to Postgres like the
+    * reference; the sandbox round-trip test passes embedded Derby
+    * (StreamingSpec — no Postgres server here). */
   def jdbcAppend(df: DataFrame, url: String, table: String,
-                 user: String, password: String): Unit =
+                 user: String, password: String,
+                 driver: String = "org.postgresql.Driver"): Unit =
     df.write.format("jdbc")
       .option("url", url).option("dbtable", table)
       .option("user", user).option("password", password)
-      .option("driver", "org.postgresql.Driver")
+      .option("driver", driver)
       .mode("append").save()
 
   /** Start an ETL stream to parquet with checkpointing — the engine's

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** spark-submit entrypoint for the four reference streaming jobs — parity
+  * with the reference launching its processing/ Python jobs via
+  * spark-submit (spark/Dockerfile:35). One main; the job is selected by
+  * argv:
+  *
+  *   spark-submit --class graft.streaming.StreamMain graft.jar \
+  *     <etl|edw|cms|fm> <kafkaBootstrap> <topic> <outDir> <checkpointDir> \
+  *     [availableNow|continuous]
+  *
+  * Sinks are parquet-append directories keyed by batch_id (the sandbox has
+  * no Postgres; substitute `Pipeline.jdbcAppend(batch, url, table, u, p)`
+  * in a sink lambda for the reference's JDBC path — round-tripped against
+  * embedded Derby in StreamingSpec). The default `availableNow` trigger
+  * drains the topic and terminates (run-to-completion); `continuous`
+  * re-polls forever like the reference jobs. */
+object StreamMain {
+
+  /** Wire a job by name onto an arbitrary raw source frame (a Kafka wire
+    * frame: binary/string `value` column). Factored out of main so tests
+    * drive the exact same path with MemoryStream instead of a broker. */
+  def run(job: String, raw: DataFrame, outDir: String, ckpt: String,
+          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    def parquetSink(sub: String): (DataFrame, Long) => Unit =
+      (batch, id) => batch.withColumn("batch_id", lit(id))
+        .write.mode("append").parquet(s"$outDir/$sub")
+    job match {
+      case "etl" => TrendJobs.etl(raw, ckpt, parquetSink("tweets"),
+        trigger = trigger)
+      case "edw" => TrendJobs.edw(raw, ckpt, parquetSink("edw_tweets"),
+        trigger = trigger)
+      case "cms" => TrendJobs.cmsJob(raw, ckpt, parquetSink("tweets"),
+        parquetSink("cms_estimates"), trigger = trigger)
+      case "fm" => TrendJobs.fmJob(raw, ckpt, parquetSink("tweets"),
+        parquetSink("fm_estimates"), trigger = trigger)
+      case other => throw new IllegalArgumentException(
+        s"unknown job '$other' (expected etl|edw|cms|fm)")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 5,
+      "usage: StreamMain <etl|edw|cms|fm> <bootstrap> <topic> <outDir> <ckptDir> [availableNow|continuous]")
+    val Array(job, bootstrap, topic, outDir, ckpt) = args.take(5)
+    val trigger =
+      if (args.length > 5 && args(5) == "continuous")
+        Trigger.ProcessingTime("10 seconds")
+      else Trigger.AvailableNow()
+    val spark = SparkSession.builder() // master comes from spark-submit
+      .appName(s"graft-$job")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.sizeOfNull", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(job, Pipeline.kafkaStream(spark, bootstrap, topic), outDir, ckpt,
+      trigger).awaitTermination()
+  }
+}

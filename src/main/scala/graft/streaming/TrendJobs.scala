@@ -24,28 +24,31 @@ object TrendJobs {
 
   private def start(df: DataFrame, checkpointDir: String,
                     sink: (DataFrame, Long) => Unit,
-                    onError: (Long, Throwable) => Unit): StreamingQuery =
+                    onError: (Long, Throwable) => Unit,
+                    trigger: Trigger): StreamingQuery =
     df.writeStream
       .foreachBatch(Pipeline.guardedForeachBatch(sink, onError))
       .option("checkpointLocation", checkpointDir)
       .outputMode("update")
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
 
   /** spark_stream.py parity: parse → ETL projection → sink. */
   def etl(raw: DataFrame, checkpointDir: String,
           sink: (DataFrame, Long) => Unit,
-          onError: (Long, Throwable) => Unit = rethrow): StreamingQuery =
+          onError: (Long, Throwable) => Unit = rethrow,
+          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     start(Pipeline.etlProjection(Pipeline.parseTweets(raw)),
-      checkpointDir, sink, onError)
+      checkpointDir, sink, onError, trigger)
 
   /** edw_stream.py parity: parse → decay enrich (wall-clock as-of, like the
     * reference's datetime.now()) → sink. */
   def edw(raw: DataFrame, checkpointDir: String,
           sink: (DataFrame, Long) => Unit,
-          onError: (Long, Throwable) => Unit = rethrow): StreamingQuery =
+          onError: (Long, Throwable) => Unit = rethrow,
+          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     start(Pipeline.enrich(Pipeline.parseTweets(raw), current_timestamp()),
-      checkpointDir, sink, onError)
+      checkpointDir, sink, onError, trigger)
 
   /** cms_stream.py parity: per batch, append the raw rows via `sink` and the
     * tracked-keyword CMS estimates via `metricsSink` — both computed
@@ -53,27 +56,29 @@ object TrendJobs {
   def cmsJob(raw: DataFrame, checkpointDir: String,
              sink: (DataFrame, Long) => Unit,
              metricsSink: (DataFrame, Long) => Unit,
-             onError: (Long, Throwable) => Unit = rethrow): StreamingQuery =
+             onError: (Long, Throwable) => Unit = rethrow,
+             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     start(Pipeline.parseTweets(raw), checkpointDir,
       (batch, id) => {
         if (!batch.isEmpty) {
           sink(batch, id)
           metricsSink(Pipeline.cmsMetrics(batch), id)
         }
-      }, onError)
+      }, onError, trigger)
 
   /** flajolent_stream.py parity: raw append + one FM-estimate row per batch. */
   def fmJob(raw: DataFrame, checkpointDir: String,
             sink: (DataFrame, Long) => Unit,
             metricsSink: (DataFrame, Long) => Unit,
-            onError: (Long, Throwable) => Unit = rethrow): StreamingQuery =
+            onError: (Long, Throwable) => Unit = rethrow,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     start(Pipeline.parseTweets(raw), checkpointDir,
       (batch, id) => {
         if (!batch.isEmpty) {
           sink(batch, id)
           metricsSink(Pipeline.fmMetrics(batch), id)
         }
-      }, onError)
+      }, onError, trigger)
 
   private def rethrow: (Long, Throwable) => Unit = (_, e) => throw e
 }

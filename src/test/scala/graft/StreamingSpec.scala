@@ -235,4 +235,46 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() == 2)
     assert(out.select("text").as[String].collect().sorted.toSeq == Seq("one", "two"))
   }
+
+  test("jdbc append round-trip against embedded Derby (reference's primary sink)") {
+    // spark_stream.py:40-48 appends tweets to Postgres; no server in the
+    // sandbox, so exercise the same write path against in-memory Derby
+    System.setProperty("derby.system.home", "/tmp/derby-home")
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    val batch = Seq(
+      ("hello world", "2024-01-01T00:00:00Z", "Positive", """["E"]"""),
+      ("bad news", "2024-01-01T00:01:00Z", "Negative", "[]"))
+      .toDF("text", "created_at", "sentiment", "entities")
+    Pipeline.jdbcAppend(batch, url, "tweets", "app", "app", driver)
+    Pipeline.jdbcAppend(batch, url, "tweets", "app", "app", driver) // append, not overwrite
+    val back = sql.read.format("jdbc")
+      .option("url", url).option("dbtable", "tweets")
+      .option("user", "app").option("password", "app")
+      .option("driver", driver).load()
+    assert(back.count() == 4)
+    val got = back.collect().map(r => (r.getString(0), r.getString(2))).toSet
+    assert(got == Set("hello world" -> "Positive", "bad news" -> "Negative"))
+  }
+
+  test("StreamMain.run wires the cms job end-to-end (MemoryStream -> parquet)") {
+    implicit val ctx = sql.sqlContext
+    val in = MemoryStream[String]
+    val tweets = graft.sources.SyntheticTweets.generate(42L, 40)
+    val json = sql.createDataset(tweets)
+      .select(to_json(struct(col("text"), col("created_at"), col("sentiment"),
+        col("entities"))).as[String]).collect()
+    in.addData(json.toSeq)
+    val out = java.nio.file.Files.createTempDirectory("graft-sm-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sm-ckpt").toString
+    val q = graft.streaming.StreamMain.run("cms", in.toDF(), out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val sunk = sql.read.parquet(s"$out/tweets")
+    assert(sunk.count() == 40)
+    assert(sunk.columns.contains("batch_id"))
+    val cms = sql.read.parquet(s"$out/cms_estimates")
+    // one row per tracked keyword per non-empty batch
+    assert(cms.select("keyword").distinct().count() == Sketches.TrackedKeywords.size)
+    assert(cms.agg(min(col("estimated_count"))).head.getLong(0) >= 0L)
+  }
 }
