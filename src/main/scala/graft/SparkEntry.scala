@@ -53,6 +53,12 @@ object SparkEntry {
     "q_embed_dup"      -> ((s, d) => SimilarityQueries.embedDupPairs(s, d)),
     "q_ann_ivf"        -> ((s, d) => SimilarityQueries.annIvf(s, d)),
     "q_subword_stats"  -> ((s, d) => TextQueries.subwordStats(s, d)),
+    // --- training-data pipeline ops (split/scrub/quality/ngram/tfidf) ---
+    "q_hash_split"     -> ((s, d) => PipelineQueries.hashSplit(s, d)),
+    "q_pii_scrub"      -> ((s, d) => PipelineQueries.piiScrub(s, d)),
+    "q_gopher_quality" -> ((s, d) => PipelineQueries.gopherQuality(s, d)),
+    "q_bigram_counts"  -> ((s, d) => PipelineQueries.bigramCounts(s, d)),
+    "q_tfidf_top"      -> ((s, d) => PipelineQueries.tfidfTop(s, d)),
     // --- multimodal binary-column plumbing (stub decode, real pipeline) ---
     "q_media_meta"     -> ((s, d) => MultimodalQueries.mediaMeta(s, d)),
     "q_media_features" -> ((s, d) => MultimodalQueries.mediaFeatures(s, d)),
@@ -180,6 +186,71 @@ object SparkEntry {
                  t -> lower(t) IN ('the','a','an','and','or','of','to','in','is','are','was','it','for','on','with','as','at','by','be','this','that'))) AS DOUBLE)
                  / len(list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0)) ELSE 0.0 END * 5.0, 1.0)) / 3.0, 6) AS quality
          FROM documents ORDER BY doc_id""",
+    "q_hash_split" ->
+      """SELECT split, count(*) AS n, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         FROM (SELECT doc_id,
+                 CASE WHEN substr(md5(text), 1, 1) IN ('d', 'e') THEN 'val'
+                      WHEN substr(md5(text), 1, 1) = 'f' THEN 'test'
+                      ELSE 'train' END AS split
+               FROM documents)
+         GROUP BY 1 ORDER BY 1""",
+    "q_pii_scrub" ->
+      """SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+         len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+         length(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           'https?://[^\s]+', '[URL]', 'g')) AS scrubbed_len
+         FROM documents ORDER BY doc_id""",
+    // token 3-gram repetition = 1 - distinct/total (Similarity.shinglesOf
+    // dedups, Text.ngramsOf does not — same split/filter tokenizer)
+    "q_gopher_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+           list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0) AS toks
+         FROM documents),
+       m AS (SELECT doc_id, text, toks,
+           len(toks) AS n_words,
+           CASE WHEN len(toks) > 0 THEN
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+           ELSE 0.0 END AS mean_word_len,
+           CASE WHEN length(regexp_replace(text, '\s', '', 'g')) > 0 THEN
+             CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+               / length(regexp_replace(text, '\s', '', 'g'))
+           ELSE 0.0 END AS sym_ratio,
+           len(list_filter(toks, x -> lower(x) IN
+             ('the','a','an','and','or','of','to','in','is','are','was','it','for','on','with','as','at','by','be','this','that'))) AS n_stops,
+           greatest(len(toks) - 2, 0) AS total3,
+           len(list_distinct(list_transform(range(1, greatest(len(toks)-2, 0)+1),
+             i -> array_to_string(toks[i:i+2], ' ')))) AS distinct3
+         FROM t)
+       SELECT doc_id, n_words,
+         round(mean_word_len, 6) AS mean_word_len,
+         round(CASE WHEN total3 > 0 THEN 1.0 - CAST(distinct3 AS DOUBLE)/total3 ELSE 0.0 END, 6) AS rep_ratio,
+         (n_words BETWEEN 10 AND 1000 AND mean_word_len BETWEEN 2.0 AND 12.0
+          AND sym_ratio < 0.3 AND n_stops >= 2
+          AND (CASE WHEN total3 > 0 THEN 1.0 - CAST(distinct3 AS DOUBLE)/total3 ELSE 0.0 END) < 0.3) AS keep
+       FROM m ORDER BY doc_id""",
+    "q_bigram_counts" ->
+      """SELECT bigram, count(*) AS n
+         FROM (SELECT unnest(list_transform(range(1, greatest(len(t)-1, 0)+1),
+                 i -> t[i] || ' ' || t[i+1])) AS bigram
+               FROM (SELECT list_filter(regexp_split_to_array(text, '\s+'),
+                       q -> length(q) > 0) AS t FROM documents))
+         GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""",
+    "q_tfidf_top" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'),
+             q -> length(q) > 0)) AS term FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (SELECT doc_id, term,
+             round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score
+           FROM tf JOIN dfc USING (term) CROSS JOIN n)
+       SELECT doc_id, rank, term, score
+       FROM (SELECT doc_id, term, score,
+               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+             FROM scored)
+       WHERE rank <= 3 ORDER BY doc_id, rank""",
     // capitalization fixture (every 3rd token, 0-based) + anchored
     // capitalized-token extraction — DuckDB lists are 1-based, hence (i-1)
     "q_entities" ->

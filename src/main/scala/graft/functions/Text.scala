@@ -105,6 +105,23 @@ object Text {
   private val winnowUdf = udf((s: String) => winnowOf(s))
   def winnow(text: Column): Column = winnowUdf(text)
 
+  /** All consecutive token n-grams of a document — frequency-preserving
+    * (NOT deduplicated, unlike Similarity.shinglesOf which builds a set).
+    * One JVM call per document; docs shorter than n tokens yield none. */
+  def ngramsOf(text: String, n: Int): Array[String] = {
+    if (text == null) return Array.empty
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) return Array.empty
+    Array.tabulate(toks.length - n + 1) { i =>
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      sb.toString
+    }
+  }
+  def ngrams(text: Column, n: Int): Column =
+    udf((s: String) => ngramsOf(s, n)).apply(text)
+
   /** Entity extraction port (SURVEY.md S4/F8): the producers run spaCy NER
     * filtered to PERSON/ORG; in-engine the deterministic, dictionary-free
     * stand-in keeps each wholly-alphabetic capitalized token (sentence-
@@ -122,6 +139,11 @@ object Text {
   val Stopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
     "it", "for", "on", "with", "as", "at", "by", "be", "this", "that")
+
+  /** Integer count of stopword tokens (exact — never reconstruct this from
+    * stopwordRatio · n: the double round-trip can land at 1.999…). */
+  def stopwordCount(text: Column): Column =
+    size(filter(tokenize(text), t => lower(t).isin(Stopwords: _*)))
 
   /** Fraction of tokens that are stopwords ∈ [0,1]. */
   def stopwordRatio(text: Column): Column = {

@@ -1,0 +1,114 @@
+package graft.queries
+
+import graft.functions.Text
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators beyond the reference: deterministic
+  * dataset splitting, PII scrubbing, rule-based quality filtering (Gopher
+  * rules, Rae et al. 2021 — public paper), n-gram statistics, and TF-IDF
+  * term scoring. Everything is a per-row scalar expression or a
+  * partial+final hash aggregate — no shuffles beyond the declared groupBys,
+  * so each op scales with data volume, not pair count.
+  */
+object PipelineQueries {
+
+  /** Deterministic train/val/test assignment by content hash: the first hex
+    * digit of md5(text) routes 12/16 → train, 2/16 → val, 2/16 → test.
+    * Content-hash splitting is the standard leakage-safe scheme at corpus
+    * scale (same doc always lands in the same split, independent of row
+    * order or partitioning — a map-only op). Returns per-split counts. */
+  def hashSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("h", substring(md5(col("text")), 1, 1))
+      .withColumn("split",
+        when(col("h").isin("d", "e"), lit("val"))
+          .when(col("h") === "f", lit("test"))
+          .otherwise(lit("train")))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy("split")
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val UrlRe = "https?://[^\\s]+"
+
+  /** PII scrubbing: count and redact email addresses and URLs per document
+    * (the corpus is synthetic so counts are typically 0 — the op still
+    * verifies the full redaction arithmetic end-to-end). Map-only. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(UrlRe), lit(0))).as("n_urls"),
+        length(
+          regexp_replace(regexp_replace(col("text"), EmailRe, "[EMAIL]"),
+            UrlRe, "[URL]")).as("scrubbed_len"))
+      .orderBy("doc_id")
+
+  /** Gopher-style rule-based quality flags (Rae et al. 2021 §A1.1, adapted
+    * thresholds): word count bounds, mean word length bounds, symbol ratio,
+    * stopword presence, and 3-gram repetition ratio (1 − distinct/total
+    * token 3-grams — the duplicate-n-gram rule). `keep` is the conjunction.
+    * Per-row scalar work only. */
+  def gopherQuality(spark: SparkSession, dir: String): DataFrame = {
+    val nWords = Text.tokenCount(col("text"))
+    val meanLen = Text.meanTokenLen(col("text"))
+    val symRatio = Text.punctRatio(col("text"))
+    val stops = Text.stopwordCount(col("text"))
+    val total3 = greatest(nWords - 2, lit(0))
+    val distinct3 = size(graft.functions.Similarity.shingles(col("text")))
+    val repRatio = when(total3 > 0,
+      lit(1.0) - distinct3.cast("double") / total3.cast("double"))
+      .otherwise(lit(0.0))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        nWords.as("n_words"),
+        round(meanLen, 6).as("mean_word_len"),
+        round(repRatio, 6).as("rep_ratio"),
+        (nWords.between(10, 1000) &&
+          meanLen.between(2.0, 12.0) &&
+          symRatio < 0.3 &&
+          stops >= 2 &&
+          repRatio < 0.3).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Top-20 token bigrams by frequency (ties → bigram text) — corpus n-gram
+    * statistics; counts are partial+final hash aggregates over exploded
+    * bigrams, top-k is TakeOrderedAndProject. */
+  def bigramCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(Text.ngrams(col("text"), 2)).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+
+  /** Per-document top-3 terms by TF-IDF (tf · ln(N/df), rounded to 6 dp
+    * BEFORE ranking so Spark and DuckDB rank identically; ties → term).
+    * df and N are corpus aggregates carried through joins — the whole op is
+    * two hash aggregations + a broadcast of the (vocabulary-sized) df
+    * table; nothing is collected to the driver. */
+  def tfidfTop(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"),
+      explode(Text.tokenize(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(dfc), "term").crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
+}

@@ -122,9 +122,13 @@ object SimilarityQueries {
     // document frequency of each shingle → global rarity order
     val df = sh.groupBy($"s").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy($"doc_id").orderBy($"df", $"s")
+    // per-doc set size from the (tiny) sets frame, NOT count().over(doc):
+    // an unordered count window is a second Window pass over the sorted
+    // shingle rows; this join rides the row_number shuffle instead
+    val cnt = sets.select($"doc_id", size($"sh").as("n"))
     val prefix = sh.join(df, "s")
       .withColumn("r", row_number().over(byRarity))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
+      .join(cnt, "doc_id")
       .filter($"r" <= $"n" - ceil($"n" * t) + 1)
       .select($"doc_id", $"s")
     val cand = prefix.as("a")
