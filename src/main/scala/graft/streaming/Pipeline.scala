@@ -117,6 +117,15 @@ object Pipeline {
         col("l_text"), col("l_time"), col("r_text"), col("r_time"))
   }
 
+  /** Stream-static enrichment join: attach a static dimension frame (a
+    * parquet/JDBC lookup table) to the stream by key. Spark re-plans the
+    * static side each micro-batch; marking it broadcast keeps the join
+    * map-side — the standard pattern for dimension enrichment at scale
+    * (state-free, unlike stream-stream joins). Left join preserves stream
+    * rows with no dimension match. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** The reference's error-table pattern (edw_stream.py:124-136): run the
     * batch writer; on failure append (batch_id, error, timestamp) to an
     * error sink instead of killing the query. */

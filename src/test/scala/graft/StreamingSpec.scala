@@ -277,4 +277,27 @@ class StreamingSpec extends SparkSpec {
     assert(cms.select("keyword").distinct().count() == Sketches.TrackedKeywords.size)
     assert(cms.agg(min(col("estimated_count"))).head.getLong(0) >= 0L)
   }
+
+  test("stream-static enrichment join broadcasts the dimension per batch") {
+    implicit val ctx = sql.sqlContext
+    val in = MemoryStream[String]
+    val dim = Seq(("Positive", 1.0), ("Negative", -1.0))
+      .toDF("sentiment", "dim_score")
+    val joined = Pipeline.enrichWithDim(
+      Pipeline.parseTweets(in.toDF()), dim, "sentiment")
+    val q = joined.writeStream.format("memory").queryName("dim_t")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        tweetJson("a", "2024-01-01 00:00:00", "Positive"),
+        tweetJson("b", "2024-01-01 00:00:01", "Negative"),
+        tweetJson("c", "2024-01-01 00:00:02", "Neutral"))
+      q.processAllAvailable()
+      val rows = sql.table("dim_t").orderBy("created_at").collect()
+      assert(rows.length == 3)
+      assert(rows(0).getAs[Double]("dim_score") == 1.0)
+      assert(rows(1).getAs[Double]("dim_score") == -1.0)
+      assert(rows(2).isNullAt(rows(2).fieldIndex("dim_score"))) // left join
+    } finally q.stop()
+  }
 }
