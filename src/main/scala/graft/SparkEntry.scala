@@ -62,6 +62,8 @@ object SparkEntry {
     // --- multimodal binary-column plumbing (stub decode, real pipeline) ---
     "q_media_meta"     -> ((s, d) => MultimodalQueries.mediaMeta(s, d)),
     "q_media_features" -> ((s, d) => MultimodalQueries.mediaFeatures(s, d)),
+    "q_media_frames"   -> ((s, d) => MultimodalQueries.mediaFrames(s, d)),
+    "q_value_histogram" -> ((s, d) => AnalyticQueries.valueHistogram(s, d)),
     // --- relational breadth ---
     "q_pricing_summary" -> ((s, d) => RelationalQueries.pricingSummary(s, d)),
     "q_pricing_exact"   -> ((s, d) => RelationalQueries.pricingSummaryExact(s, d)),
@@ -334,6 +336,16 @@ object SparkEntry {
                  p -> ((strlen(text)*p) % 1000)/1000.0) AS f
                FROM documents WHERE text IS NOT NULL)
          ORDER BY doc_id""",
+    // frame profile mirrors frameSampleStub arithmetic on byte length
+    "q_media_frames" ->
+      """SELECT doc_id,
+         CASE WHEN strlen(text) // 4 > 0 THEN 4 ELSE 0 END AS n_frames,
+         strlen(text) // 4 AS frame_len
+         FROM documents WHERE text IS NOT NULL ORDER BY doc_id""",
+    "q_value_histogram" ->
+      """SELECT CAST(floor(value / 50) AS BIGINT) AS bucket,
+         count(*) AS n, round(sum(value), 6) AS total_value
+         FROM events GROUP BY 1 ORDER BY 1""",
     // zero false positives at these cardinalities (m=2^20, ~10^2 members,
     // deterministic md5 positions) → probe count == exact semi-join count
     "q_bloom_join" ->

@@ -96,4 +96,19 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map(featureStub))
   }
+
+  /** Per-payload frame-sampling profile. */
+  case class FrameInfo(doc_id: Long, n_frames: Int, frame_len: Int)
+
+  /** Partition-batched frame sampling (video-style): split each payload
+    * into `n` frames via [[frameSampleStub]] and report the per-doc frame
+    * profile — the sampled frames themselves stay on executors. */
+  def framesAll(media: Dataset[MediaRecord], n: Int): Dataset[FrameInfo] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val frames = frameSampleStub(r.payload, n)
+      FrameInfo(r.doc_id, frames.length,
+        frames.headOption.map(_.length).getOrElse(0))
+    })
+  }
 }

@@ -142,6 +142,16 @@ object AnalyticQueries {
 
   /** Moment statistics of value per event type (sample stddev/variance,
     * min/max/avg) — numeric parity with DuckDB pinned by 6-dp rounding. */
+  /** Fixed-width value histogram (bucket = ⌊value/50⌋ — exact double
+    * arithmetic on both engines, unlike data-dependent bucket boundaries):
+    * one partial+final aggregate, bucket count ≈ range/50. */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("bucket", floor(col("value") / 50).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total_value"))
+      .orderBy("bucket")
+
   def valueStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, dir)

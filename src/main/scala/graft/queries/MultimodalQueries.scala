@@ -26,6 +26,15 @@ object MultimodalQueries {
       .orderBy(col("media_type"))
   }
 
+  /** Frame-sampling profile per payload (n = 4 frames): frame count and
+    * frame byte length — the video-path plumbing registered end-to-end
+    * (stub arithmetic, real mapPartitions batch shape). */
+  def mediaFrames(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.mediaFromDocuments(Tables.documents(spark, dir))
+    Multimodal.framesAll(media, 4).toDF()
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-payload stub features joined back to metadata; emits the feature
     * L2 norm (exercises the array<double> feature path end-to-end). */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
