@@ -300,4 +300,55 @@ class StreamingSpec extends SparkSpec {
       assert(rows(2).isNullAt(rows(2).fieldIndex("dim_score"))) // left join
     } finally q.stop()
   }
+
+  test("streaming session windows: watermarked gap sessions per user") {
+    implicit val ctx = sql.sqlContext
+    val in = MemoryStream[String]
+    val sessions = Pipeline.parseTweets(in.toDF())
+      .withWatermark("created_at", "1 hour")
+      .groupBy(session_window(col("created_at"), "30 minutes"), col("sentiment"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("session_start"), col("sentiment"), col("n"))
+    val q = sessions.writeStream.format("memory").queryName("sess_t")
+      .outputMode("complete").start()
+    try {
+      in.addData(
+        tweetJson("a", "2024-01-01 00:00:00", "Positive"),
+        tweetJson("b", "2024-01-01 00:10:00", "Positive"), // same session (gap 10m)
+        tweetJson("c", "2024-01-01 01:00:00", "Positive")) // new session (gap 50m)
+      q.processAllAvailable()
+      val rows = sql.table("sess_t").orderBy("session_start").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[Long]("n") == 2L)
+      assert(rows(1).getAs[Long]("n") == 1L)
+    } finally q.stop()
+  }
+
+  test("cms job appends per-batch metrics to JDBC (the reference's real loop)") {
+    // cms_stream.py:110-127 appends CMS estimates to Postgres per batch;
+    // same loop here: MemoryStream -> cmsJob -> jdbcAppend into Derby
+    implicit val ctx = sql.sqlContext
+    System.setProperty("derby.system.home", "/tmp/derby-home")
+    val url = "jdbc:derby:memory:graftcms;create=true"
+    val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    val in = MemoryStream[String]
+    in.addData(
+      tweetJson("dup hash join", "2024-01-01 00:00:00", "Positive"),
+      tweetJson("scan stream dup", "2024-01-01 00:00:01", "Negative"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cmsjdbc").toString
+    val q = graft.streaming.TrendJobs.cmsJob(in.toDF(), ckpt,
+      sink = (_, _) => (),
+      metricsSink = (metrics, id) => Pipeline.jdbcAppend(
+        metrics.withColumn("batch_id", lit(id)), url, "cms_estimates",
+        "app", "app", driver))
+    try q.processAllAvailable() finally q.stop()
+    val back = sql.read.format("jdbc")
+      .option("url", url).option("dbtable", "cms_estimates")
+      .option("user", "app").option("password", "app")
+      .option("driver", driver).load()
+    val est = back.collect()
+      .map(r => r.getAs[String]("keyword") -> r.getAs[Long]("estimated_count")).toMap
+    assert(est.keySet == Sketches.TrackedKeywords.toSet)
+    assert(est("dup") == 2L && est("hash") == 1L && est("stream") == 1L)
+  }
 }
