@@ -73,6 +73,8 @@ object SparkEntry {
     "q_setop_engaged"   -> ((s, d) => RelationalQueries.engagedUsers(s, d)),
     "q_semi_urgent"     -> ((s, d) => RelationalQueries.customersWithUrgentOrders(s, d)),
     "q_orders_rollup"   -> ((s, d) => RelationalQueries.ordersRollup(s, d)),
+    "q_asof_join"       -> ((s, d) => RelationalQueries.asofJoin(s, d)),
+    "q_distinct_by_type" -> ((s, d) => RelationalQueries.distinctUsersByType(s, d)),
     // --- engine-added analytics (sessions, windows, stats) ---
     "q_session_windows" -> ((s, d) => AnalyticQueries.sessionWindows(s, d)),
     "q_sliding_trend"   -> ((s, d) => AnalyticQueries.slidingTrend(s, d)),
@@ -434,6 +436,21 @@ object SparkEntry {
          count(*) AS n_orders, round(sum(o_totalprice), 6) AS total_price
          FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
          ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    // DuckDB's native ASOF JOIN oracles the union+LOCF composition; view
+    // rows pre-deduped to (user, ts) -> max(value) for a deterministic pick
+    "q_asof_join" ->
+      """WITH v AS (SELECT user_id, ts, max(value) AS view_value
+           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+         p AS (SELECT event_id, user_id, ts, value
+           FROM events WHERE event_type = 'purchase')
+         SELECT p.event_id, p.user_id, p.ts, round(p.value, 6) AS value,
+                round(v.view_value, 6) AS prev_view_value
+         FROM p ASOF LEFT JOIN v
+           ON p.user_id = v.user_id AND p.ts >= v.ts
+         ORDER BY p.event_id""",
+    "q_distinct_by_type" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY 1 ORDER BY 1""",
     // Spark session_window: event at exactly last+gap starts a NEW session,
     // hence >= in the gaps-and-islands islanding below.
     "q_session_windows" ->

@@ -143,4 +143,52 @@ object RelationalQueries {
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 6).as("total_price"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** As-of join — the point-in-time operator Spark lacks natively: each
+    * purchase event picks up the value of the user's most recent view event
+    * at or before its timestamp. Composed Spark-first (preference (a) of
+    * the custom-operator ladder) as union → one shuffle on user_id →
+    * ordered LOCF window (`last(_, ignoreNulls)` over rows-unbounded-
+    * preceding), with the build side tagged to sort before probes at equal
+    * timestamps (ASOF's `>=` tie rule). No range explosion, no custom
+    * SparkPlan needed; at scale this is one hash shuffle + an in-partition
+    * sort — the same cost envelope as any windowed aggregation. View rows
+    * are pre-deduped to (user, ts) → max(value) so the pick is
+    * deterministic. DuckDB's native ASOF LEFT JOIN is the oracle. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val views = ev.filter($"event_type" === "view")
+      .groupBy($"user_id", $"ts").agg(max($"value").as("view_value"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"value")
+    val tagged = views
+      .select($"user_id", $"ts", lit(0).as("tag"), $"view_value",
+        lit(null).cast("long").as("event_id"), lit(null).cast("double").as("value"))
+      .unionByName(purchases.select($"user_id", $"ts", lit(1).as("tag"),
+        lit(null).cast("double").as("view_value"), $"event_id", $"value"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"tag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("locf", last($"view_value", ignoreNulls = true).over(w))
+      .filter($"tag" === 1)
+      .select($"event_id", $"user_id", $"ts", round($"value", 6).as("value"),
+        round($"locf", 6).as("prev_view_value"))
+      .orderBy($"event_id")
+  }
+
+  /** Exact distinct users per event type via the two-stage shuffle
+    * (groupBy(key, user) → groupBy(key)): the skew-safe formulation — the
+    * first stage spreads a hot key's users across partitions and partial
+    * aggregation collapses duplicates map-side, where a direct
+    * countDistinct funnels every hot-key row into one expand + one
+    * final group. */
+  def distinctUsersByType(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_type", $"user_id").distinct()
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"event_type")
+  }
 }
