@@ -35,4 +35,28 @@ object GraftExtensions {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       dotProductDescriptor._1, dotProductDescriptor._2, dotProductDescriptor._3)
+
+  /** Register the engine's aggregate sketches and scalar text/similarity
+    * UDFs for `spark.sql(...)` text — the SQL face of the library surface
+    * (runtime-registered UDAFs go through `spark.udf`, not the Catalyst
+    * function registry, hence a separate hook from [[register]]). */
+  def registerSql(spark: SparkSession): Unit = {
+    import graft.functions.{Sketches, Similarity, Text}
+    spark.udf.register("graft_cms", Sketches.cms)
+    spark.udf.register("graft_fm", Sketches.fm)
+    spark.udf.register("graft_bloom", Sketches.bloom)
+    spark.udf.register("graft_minhash", Similarity.minhash)
+    spark.udf.register("graft_simhash", Similarity.simhash)
+    spark.udf.register("graft_cms_estimate",
+      (sketch: Array[Long], item: String) => Sketches.cmsEstimate(sketch, item))
+    spark.udf.register("graft_bloom_contains",
+      (bits: Array[Long], item: String) => Sketches.bloomContains(bits, item))
+    spark.udf.register("graft_rolling_hash", (s: String) => Text.rollingHashOf(s))
+    spark.udf.register("graft_winnow", (s: String) => Text.winnowOf(s))
+    spark.udf.register("graft_lang_guess", (s: String) => Text.langGuessOf(s))
+    spark.udf.register("graft_shingles",
+      (s: String) => Similarity.shinglesOf(s, 3))
+    spark.udf.register("graft_minhash_sig",
+      (sh: Seq[String]) => Similarity.minhashSigOf(sh))
+  }
 }

@@ -91,6 +91,20 @@ object Pipeline {
         Sketches.cmsEstimateUdf(col("sketch"), col("keyword")).as("estimated_count"))
   }
 
+  /** Cross-batch CUMULATIVE keyword CMS — exact parity with the reference's
+    * lifetime semantics (cms_stream.py:69 holds one driver-global sketch
+    * that accumulates over the life of the stream; [[cmsMetrics]] is the
+    * per-batch variant). Spark-natively this is an unbounded streaming
+    * aggregation in complete/update mode: the sketch lives in the state
+    * store as a mergeable aggregation buffer — partitioned, checkpointed,
+    * restart-safe — instead of a process singleton that a restart wipes.
+    * Emits one row of cumulative tracked-keyword estimates per trigger. */
+  def cmsCumulative(parsed: DataFrame): DataFrame =
+    parsed.select(explode(Text.tokenize(col("text"))).as("tok"))
+      .agg(Sketches.cms(col("tok")).as("sketch"))
+      .select(Sketches.TrackedKeywords.map(k =>
+        Sketches.cmsEstimateUdf(col("sketch"), lit(k)).as(k)): _*)
+
   /** Per-batch FM distinct estimate (flajolent_stream.py:64-101). */
   def fmMetrics(batch: DataFrame): DataFrame =
     batch.agg(Sketches.fm(col("text")).as("fm_estimate"))

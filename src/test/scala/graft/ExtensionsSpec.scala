@@ -28,4 +28,27 @@ class ExtensionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("dot_product_d"))
   }
+
+  test("registerSql exposes sketches and text UDFs to spark.sql text") {
+    graft.GraftExtensions.registerSql(spark)
+    val sql2 = spark
+    import sql2.implicits._
+    Seq("dup hash join", "dup scan").toDF("text")
+      .createOrReplaceTempView("sqlface_t")
+    val est = spark.sql(
+      """SELECT graft_cms_estimate(s, 'dup') AS dup_est
+         FROM (SELECT graft_cms(tok) AS s
+               FROM (SELECT explode(split(text, ' ')) AS tok FROM sqlface_t))""")
+      .collect()(0).getAs[Long]("dup_est")
+    assert(est == 2L)
+    val fm = spark.sql("SELECT graft_fm(text) AS f FROM sqlface_t")
+      .collect()(0).getAs[Long]("f")
+    assert(fm >= 1L)
+    val lang = spark.sql("SELECT graft_lang_guess('the the of') AS l")
+      .collect()(0).getAs[String]("l")
+    assert(lang == "en")
+    val rh = spark.sql("SELECT graft_rolling_hash('ab') AS h")
+      .collect()(0).getAs[Long]("h")
+    assert(rh == (97L * 31 + 98) % 1000000007L)
+  }
 }

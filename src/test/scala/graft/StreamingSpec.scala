@@ -351,4 +351,25 @@ class StreamingSpec extends SparkSpec {
     assert(est.keySet == Sketches.TrackedKeywords.toSet)
     assert(est("dup") == 2L && est("hash") == 1L && est("stream") == 1L)
   }
+
+  test("cumulative CMS stream accumulates across batches (reference lifetime parity)") {
+    implicit val ctx = sql.sqlContext
+    val in = MemoryStream[String]
+    val q = Pipeline.cmsCumulative(Pipeline.parseTweets(in.toDF()))
+      .writeStream.format("memory").queryName("cumcms_t")
+      .outputMode("complete").start()
+    try {
+      in.addData(tweetJson("dup hash", "2024-01-01 00:00:00", "Positive"))
+      q.processAllAvailable()
+      val r1 = sql.table("cumcms_t").collect()(0)
+      assert(r1.getAs[Long]("dup") == 1L && r1.getAs[Long]("hash") == 1L
+        && r1.getAs[Long]("stream") == 0L)
+      in.addData(tweetJson("dup stream", "2024-01-01 00:00:01", "Negative"))
+      q.processAllAvailable()
+      val r2 = sql.table("cumcms_t").collect()(0)
+      // the sketch carried batch-1 state: counts are lifetime, not per-batch
+      assert(r2.getAs[Long]("dup") == 2L && r2.getAs[Long]("hash") == 1L
+        && r2.getAs[Long]("stream") == 1L)
+    } finally q.stop()
+  }
 }
