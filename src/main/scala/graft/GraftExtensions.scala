@@ -1,9 +1,12 @@
 package graft
 
-import graft.expressions.DotProductDouble
+import graft.expressions.{DotProductDouble, IntersectionSizeString}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{ArrayIntersect, Expression, ExpressionInfo, Size}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, StringType}
 
 /** SQL-surface registration for graft's native expressions, so they are
   * callable from `spark.sql(...)` text as well as the Scala DSL.
@@ -15,8 +18,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    (notebooks, tests).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotProductDescriptor)
+    ext.injectOptimizerRule(_ => GraftExtensions.IntersectionSizeRewrite)
+  }
 }
 
 object GraftExtensions {
@@ -31,10 +36,29 @@ object GraftExtensions {
       DotProductDouble(children.head, children(1))
     })
 
-  /** Register on an already-built session. */
-  def register(spark: SparkSession): Unit =
+  /** Optimizer rule: `size(array_intersect(a, b))` over string arrays →
+    * [[IntersectionSizeString]] — counts distinct common elements without
+    * materializing the intersection array (the hot inner op of similarity
+    * verification joins). Only fires under non-legacy size semantics
+    * (size(NULL) = NULL), which is what the rewrite preserves. */
+  object IntersectionSizeRewrite extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      plan.transformAllExpressions {
+        case Size(ai: ArrayIntersect, false)
+            if ai.left.dataType.isInstanceOf[ArrayType] &&
+               ai.left.dataType.asInstanceOf[ArrayType].elementType == StringType =>
+          IntersectionSizeString(ai.left, ai.right)
+      }
+  }
+
+  /** Register on an already-built session (functions + optimizer rule). */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       dotProductDescriptor._1, dotProductDescriptor._2, dotProductDescriptor._3)
+    if (!spark.experimental.extraOptimizations.contains(IntersectionSizeRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ IntersectionSizeRewrite
+  }
 
   /** Register the engine's aggregate sketches and scalar text/similarity
     * UDFs for `spark.sql(...)` text — the SQL face of the library surface

@@ -40,7 +40,9 @@ object SimilarityQueries {
     cand
       .join(sets.as("x"), $"doc_a" === $"x.doc_id")
       .join(sets.as("y"), $"doc_b" === $"y.doc_id")
-      .withColumn("common", size(array_intersect($"x.sh", $"y.sh")))
+      // native codegen count — no intermediate intersection array per pair
+      .withColumn("common",
+        graft.expressions.ArrayOps.intersectionSize($"x.sh", $"y.sh"))
       .withColumn("j",
         $"common".cast("double") / (size($"x.sh") + size($"y.sh") - $"common"))
       .filter($"j" >= Similarity.JaccardThreshold)
@@ -92,8 +94,8 @@ object SimilarityQueries {
       .join(cnt.as("y"), $"doc_b" === $"y.doc_id")
       .join(hotSets.as("hx"), $"doc_a" === $"hx.doc_id", "left")
       .join(hotSets.as("hy"), $"doc_b" === $"hy.doc_id", "left")
-      .withColumn("c", $"c_rare" +
-        coalesce(size(array_intersect($"hx.hot", $"hy.hot")), lit(0)))
+      .withColumn("c", $"c_rare" + coalesce(
+        graft.expressions.ArrayOps.intersectionSize($"hx.hot", $"hy.hot"), lit(0)))
       .withColumn("j", $"c".cast("double") / ($"x.n" + $"y.n" - $"c"))
       .filter($"j" >= Similarity.JaccardThreshold)
       .select($"doc_a", $"doc_b", round($"j", 6).as("jaccard"))

@@ -50,4 +50,38 @@ class ArrayOpsSpec extends SparkSpec {
     assert(err.getMessage.contains("dot_product_d") ||
       err.getMessage.toLowerCase.contains("type"))
   }
+
+  test("intersection size == size(array_intersect) on randomized arrays") {
+    val rnd = new scala.util.Random(1234)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "f", "gg", "hhh")
+    def arr(): Option[Seq[Option[String]]] =
+      if (rnd.nextInt(20) == 0) None
+      else Some(Seq.fill(rnd.nextInt(12))(
+        if (rnd.nextInt(15) == 0) None else Some(vocab(rnd.nextInt(vocab.size)))))
+    val rows = Seq.fill(300)((arr(), arr()))
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      ArrayOps.intersectionSize($"a", $"b").as("fast"),
+      size(array_intersect($"a", $"b")).as("builtin")).collect()
+    got.zipWithIndex.foreach { case (r, i) =>
+      if (r.isNullAt(0) || r.isNullAt(1))
+        assert(r.isNullAt(0) && r.isNullAt(1), s"row $i null mismatch")
+      else assert(r.getInt(0) == r.getInt(1), s"row $i: ${rows(i)}")
+    }
+  }
+
+  test("intersection size participates in whole-stage codegen") {
+    // non-foldable inputs (derived from range) so the expression survives
+    // constant folding and lands in the generated stage
+    val df = sql.range(3)
+      .select(array(concat(lit("x"), $"id"), lit("y")).as("a"),
+        array(lit("y"), lit("x1")).as("b"))
+      .select(ArrayOps.intersectionSize($"a", $"b").as("n"))
+    assert(df.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 1, 2))
+    // "*(n)" marks operators inside a WholeStageCodegen stage
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("intersection_size_s") && l.trim.startsWith("*(")),
+      s"intersection_size_s not inside a codegen stage:\n$plan")
+  }
 }

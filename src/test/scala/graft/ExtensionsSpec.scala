@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 class ExtensionsSpec extends SparkSpec {
 
   test("dot_product_d is callable from SQL text after registration") {
@@ -50,5 +52,24 @@ class ExtensionsSpec extends SparkSpec {
     val rh = spark.sql("SELECT graft_rolling_hash('ab') AS h")
       .collect()(0).getAs[Long]("h")
     assert(rh == (97L * 31 + 98) % 1000000007L)
+  }
+
+  test("optimizer rule rewrites size(array_intersect) over strings") {
+    graft.GraftExtensions.register(spark)
+    val sql3 = spark
+    import sql3.implicits._
+    // non-foldable inputs so constant folding can't pre-evaluate the plan
+    val df = spark.range(3)
+      .select(array(concat(lit("a"), $"id"), lit("b")).as("x"),
+        array(lit("b"), lit("a1")).as("y"))
+      .select(size(array_intersect($"x", $"y")).as("n"))
+    assert(df.queryExecution.optimizedPlan.toString.contains("intersection_size_s"))
+    assert(df.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 1, 2))
+    // double arrays are untouched (rule is string-typed)
+    val dd = spark.range(2)
+      .select(array($"id".cast("double")).as("x"), array(lit(1.0)).as("y"))
+      .select(size(array_intersect($"x", $"y")).as("n"))
+    assert(!dd.queryExecution.optimizedPlan.toString.contains("intersection_size_s"))
+    assert(dd.collect().map(_.getInt(0)).sorted.toSeq == Seq(0, 1))
   }
 }
