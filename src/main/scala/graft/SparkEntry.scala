@@ -43,6 +43,7 @@ object SparkEntry {
     "q_bloom_join"     -> ((s, d) => SketchQueries.bloomJoin(s, d)),
     "q_percentiles_approx" -> ((s, d) => AnalyticQueries.valuePercentilesApprox(s, d)),
     "q_neardup_editdist"   -> ((s, d) => SimilarityQueries.nearDupEditDistance(s, d)),
+    "q_dedup_components"   -> ((s, d) => SimilarityQueries.dedupComponents(s, d)),
     // --- near-dup / similarity (north-star LLM-pipeline ops) ---
     "q_jaccard_pairs"  -> ((s, d) => SimilarityQueries.jaccardPairs(s, d)),
     "q_jaccard_prefix" -> ((s, d) => SimilarityQueries.jaccardPairsPrefix(s, d)),
@@ -364,6 +365,19 @@ object SparkEntry {
             JOIN documents y ON jp.doc_b = y.doc_id
             ORDER BY jp.doc_a, jp.doc_b"""),
     "q_jaccard_pairs" -> JaccardOracle,
+    // connected components of the same pair graph via recursive reachability
+    // (undirected edges both ways; component label = min reachable node)
+    "q_dedup_components" ->
+      (JaccardCte.replaceFirst("WITH", "WITH RECURSIVE") +
+        """, edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+             UNION ALL SELECT doc_b, doc_a FROM jp),
+          reach(node, comp) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node)
+          SELECT node AS doc_id, min(comp) AS component,
+                 (node = min(comp)) AS is_keeper
+          FROM reach GROUP BY node ORDER BY node"""),
     // prefix filtering is exact by construction → same oracle
     "q_jaccard_prefix" -> JaccardOracle,
     // minhash-LSH misses a J>=0.8 pair with p~5e-8 → same exact oracle

@@ -201,6 +201,40 @@ object SimilarityQueries {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Near-duplicate CLUSTERS: connected components of the J ≥ 0.8 pair
+    * graph, labeled by min doc_id — the step that turns pairwise matches
+    * into dedup groups (keep the representative, drop the rest). Iterative
+    * min-label propagation to fixpoint: each round is one distributed
+    * join + aggregate (the Pregel shape); rounds = graph diameter, and
+    * near-dup clusters are near-cliques, so 2–3 rounds in practice. The
+    * driver loop holds only the convergence counter — labels never leave
+    * executors; `localCheckpoint` truncates lineage per round so plans
+    * stay constant-size at any iteration count. Emits (doc_id, component,
+    * is_keeper); singleton docs (no near-dup) are not emitted. Oracle:
+    * DuckDB recursive CTE over the same pair graph. */
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = minhashDedup(spark, dir).select($"doc_a", $"doc_b")
+    val edges = pairs.union(pairs.select($"doc_b", $"doc_a"))
+      .toDF("src", "dst").localCheckpoint()
+    var labels = edges.select($"src".as("node")).distinct()
+      .withColumn("comp", $"node").localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges.join(labels, $"src" === $"node")
+        .select($"dst".as("node"), $"comp")
+      val next = labels.unionByName(neighborMin)
+        .groupBy($"node").agg(min($"comp").as("comp")).localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("comp", "old"), "node")
+        .filter($"comp" < $"old").count()
+      labels = next
+    }
+    labels
+      .select($"node".as("doc_id"), $"comp".as("component"),
+        ($"node" === $"comp").as("is_keeper"))
+      .orderBy($"doc_id")
+  }
+
   /** SimHash near-dup pairs: 64-bit fingerprints, candidates from 4×16-bit
     * band equality (guaranteed to catch hamming ≤ 3, catches most ≤ 6),
     * verified by exact hamming distance. Rows-only check (fingerprints hash
