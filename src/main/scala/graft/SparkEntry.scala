@@ -58,6 +58,7 @@ object SparkEntry {
     "q_hash_split"     -> ((s, d) => PipelineQueries.hashSplit(s, d)),
     "q_pii_scrub"      -> ((s, d) => PipelineQueries.piiScrub(s, d)),
     "q_gopher_quality" -> ((s, d) => PipelineQueries.gopherQuality(s, d)),
+    "q_stratified_sample" -> ((s, d) => PipelineQueries.stratifiedSample(s, d)),
     "q_bigram_counts"  -> ((s, d) => PipelineQueries.bigramCounts(s, d)),
     "q_tfidf_top"      -> ((s, d) => PipelineQueries.tfidfTop(s, d)),
     // --- multimodal binary-column plumbing (stub decode, real pipeline) ---
@@ -198,6 +199,11 @@ object SparkEntry {
                       WHEN substr(md5(text), 1, 1) = 'f' THEN 'test'
                       ELSE 'train' END AS split
                FROM documents)
+         GROUP BY 1 ORDER BY 1""",
+    "q_stratified_sample" ->
+      """SELECT source, count(*) AS n_sampled,
+         min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         FROM documents WHERE substr(md5(text), 1, 1) < '4'
          GROUP BY 1 ORDER BY 1""",
     "q_pii_scrub" ->
       """SELECT doc_id,

@@ -36,6 +36,16 @@ object Text {
     size(regexp_extract_all(text,
       lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
 
+  /** Unicode NFC normalization (composed form) — the canonicalization step
+    * before fingerprinting/dedup on real-world corpora where "é" may arrive
+    * either precomposed (U+00E9) or decomposed (e + U+0301). One JVM call
+    * per document; null-propagating. */
+  def nfcOf(s: String): String =
+    if (s == null) null
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+  private val nfcUdf = udf((s: String) => nfcOf(s))
+  def nfc(text: Column): Column = nfcUdf(text)
+
   /** Normalized text: lowercase, whitespace collapsed, trimmed — canonical
     * form for exact-dup detection. */
   def normText(text: Column): Column =

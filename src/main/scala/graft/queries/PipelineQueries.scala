@@ -32,6 +32,18 @@ object PipelineQueries {
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
       .orderBy("split")
 
+  /** Deterministic ~25% stratified sample (first md5 hex digit < '4'),
+    * profiled per stratum (source) — reproducible subsampling that needs
+    * no RNG state, no row ordering, and no cross-partition coordination:
+    * the same rows are selected on any cluster at any partitioning. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(substring(md5(col("text")), 1, 1) < "4")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy("source")
+
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val UrlRe = "https?://[^\\s]+"
 

@@ -71,4 +71,19 @@ class TextSpec extends SparkSpec {
       .toDF("t").select(Text.langGuess($"t").as("l")).collect().map(_.getString(0))
     assert(r.toSeq == Seq("en", "es"))
   }
+
+  test("nfc normalization composes decomposed code points; null propagates") {
+    val composed = "caf\u00e9"          // precomposed e-acute
+    val decomposed = "cafe\u0301"       // e + combining acute
+    assert(Text.nfcOf(decomposed) == composed)
+    assert(Text.nfcOf(composed) == composed)
+    assert(Text.nfcOf(null) == null)
+    // via the Column surface: both forms fingerprint identically after nfc
+    val sql2 = SparkSpec.spark
+    import sql2.implicits._
+    val fps = Seq(composed, decomposed).toDF("text")
+      .select(Text.fingerprint(Text.nfc(col("text"))).as("fp"))
+      .collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+  }
 }
