@@ -188,6 +188,69 @@ object Pipeline {
       }
   }
 
+  /** A closed session emitted by [[sessionize]]. */
+  case class ClosedSession(key: String, session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Explicit-state sessionization via `flatMapGroupsWithState` with an
+    * EVENT-TIME timeout — the general form of session aggregation when the
+    * built-in `session_window` can't express the semantics (custom close
+    * conditions, emit-on-close only, per-session payloads). State per key
+    * is one (start, last, count) triple in the state store; a session
+    * closes when the watermark passes last + gap (timeout fires with no
+    * rows) or when a new event arrives past the gap. Append-mode output:
+    * exactly one row per CLOSED session — open sessions emit nothing. */
+  def sessionize(parsed: DataFrame, gapMinutes: Long = 30,
+                 lateness: String = "1 hour"): Dataset[ClosedSession] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = parsed.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    parsed
+      .filter(col("created_at").isNotNull && col("sentiment").isNotNull)
+      .withWatermark("created_at", lateness)
+      // keep the watermarked timestamp column itself — casting it would
+      // mint a fresh attribute without the event-time tag and event-time
+      // timeouts would be rejected at analysis
+      .select(col("sentiment").as("key"), col("created_at").as("ts"))
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, rowsTs: Iterator[(String, java.sql.Timestamp)],
+         state: GroupState[(Long, Long, Long)]) =>
+          val rows = rowsTs.map { case (k, t) => (k, t.getTime / 1000L) }
+          def close(s: (Long, Long, Long)): ClosedSession =
+            ClosedSession(key, new java.sql.Timestamp(s._1 * 1000L),
+              new java.sql.Timestamp(s._2 * 1000L), s._3)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val ts = rows.map(_._2).toSeq.sorted
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            ts.foreach { t =>
+              cur match {
+                case Some(s) if t * 1000L - s._2 * 1000L < gapMs =>
+                  cur = Some((s._1, math.max(s._2, t), s._3 + 1))
+                case Some(s) => // gap exceeded in-stream: close, start anew
+                  closed ::= close(s)
+                  cur = Some((t, t, 1L))
+                case None =>
+                  cur = Some((t, t, 1L))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s._2 * 1000L + gapMs)
+            }
+            closed.reverse.iterator
+          }
+      }
+  }
+
   /** JDBC append sink body (spark_stream.py:40-48) — parity API for the
     * reference's Postgres path. Driver defaults to Postgres like the
     * reference; the sandbox round-trip test passes embedded Derby

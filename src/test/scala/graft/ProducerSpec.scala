@@ -47,4 +47,30 @@ class ProducerSpec extends SparkSpec {
     val kw = Set("LeBron", "GOAT", "Lakers", "Wemby", "Messi", "Cricket", "Basketball")
     assert(tweets.exists(_.entities.exists(kw.contains)))
   }
+
+  test("DSv2 tweet source: partitioned, deterministic, schema-correct") {
+    def read(seed: Long, total: Int, parts: Int) =
+      spark.read.format("graft.sources.TweetSourceProvider")
+        .option("seed", seed).option("total", total)
+        .option("partitions", parts).load()
+    val df = read(42L, 1000, 4)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("text", "created_at", "sentiment", "entities"))
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.count() == 1000)
+    // deterministic: same options -> identical rows
+    val a = df.collect().map(_.toString).sorted
+    val b = read(42L, 1000, 4).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+    // different seed -> different corpus
+    val c = read(7L, 1000, 4).collect().map(_.toString).sorted
+    assert(!a.sameElements(c))
+    // injection contract holds for the union of slices
+    val kw = SyntheticTweets.Keywords.toSet
+    val injected = df.select("text").collect()
+      .count(_.getString(0).split("\\s+").exists(kw.contains))
+    assert(injected >= 200 && injected <= 500, s"$injected outside [200,500]")
+    // uneven split covers the remainder path
+    assert(read(1L, 10, 3).count() == 10)
+  }
 }

@@ -372,4 +372,33 @@ class StreamingSpec extends SparkSpec {
         && r2.getAs[Long]("stream") == 1L)
     } finally q.stop()
   }
+
+  test("flatMapGroupsWithState sessionization closes sessions by event-time timeout") {
+    implicit val ctx = sql.sqlContext
+    val in = MemoryStream[String]
+    val q = Pipeline.sessionize(Pipeline.parseTweets(in.toDF()))
+      .toDF().writeStream.format("memory").queryName("fmg_t")
+      .outputMode("append").start()
+    try {
+      // two Positive events 10 min apart -> one open session
+      in.addData(
+        tweetJson("a", "2024-01-01 00:00:00", "Positive"),
+        tweetJson("b", "2024-01-01 00:10:00", "Positive"))
+      q.processAllAvailable()
+      assert(sql.table("fmg_t").count() == 0) // still open, nothing emitted
+      // an event 3h later advances the watermark past start-session+gap...
+      in.addData(tweetJson("c", "2024-01-01 03:00:00", "Positive"))
+      q.processAllAvailable()
+      // ...and the timeout fires on the following trigger
+      in.addData(tweetJson("d", "2024-01-01 03:00:01", "Positive"))
+      q.processAllAvailable()
+      val rows = sql.table("fmg_t").collect()
+      assert(rows.length == 1)
+      val r = rows(0)
+      assert(r.getAs[String]("key") == "Positive")
+      assert(r.getAs[java.sql.Timestamp]("session_start").toString.startsWith("2024-01-01 00:00:00"))
+      assert(r.getAs[java.sql.Timestamp]("session_end").toString.startsWith("2024-01-01 00:10:00"))
+      assert(r.getAs[Long]("n_events") == 2L)
+    } finally q.stop()
+  }
 }
