@@ -86,6 +86,9 @@ object SparkEntry {
     "q_anti_nourgent"   -> ((s, d) => AnalyticQueries.customersWithoutUrgent(s, d)),
     "q_orders_cube"     -> ((s, d) => AnalyticQueries.ordersCube(s, d)),
     "q_value_stats"     -> ((s, d) => AnalyticQueries.valueStats(s, d)),
+    "q_window_suite"    -> ((s, d) => AnalyticQueries.windowSuite(s, d)),
+    "q_grouping_sets"   -> ((s, d) => AnalyticQueries.ordersGroupingSets(s, d)),
+    "q_weighted_sample" -> ((s, d) => PipelineQueries.weightedSample(s, d)),
     "q_rolling_fp"      -> ((s, d) => TextQueries.rollingFingerprints(s, d)),
     "q_unpivot_daily"   -> ((s, d) => AnalyticQueries.unpivotDaily(s, d)),
     "q_dow_profile"     -> ((s, d) => AnalyticQueries.dowProfile(s, d)),
@@ -205,6 +208,32 @@ object SparkEntry {
          min(doc_id) AS min_doc, max(doc_id) AS max_doc
          FROM documents WHERE substr(md5(text), 1, 1) < '4'
          GROUP BY 1 ORDER BY 1""",
+    "q_window_suite" ->
+      """SELECT user_id, event_id, round(value, 6) AS value,
+         round(coalesce(lead(value, 1) OVER w, 0.0), 6) AS next_value,
+         round(coalesce(lag(value, 1) OVER w, 0.0), 6) AS prev_value,
+         ntile(4) OVER w AS quartile,
+         round(percent_rank() OVER w, 6) AS pct_rank,
+         round(cume_dist() OVER w, 6) AS cume
+         FROM events WHERE user_id < 5
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY user_id, event_id""",
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+         grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS gid,
+         count(*) AS n_orders, round(sum(o_totalprice), 6) AS total_price
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                 (o_orderstatus), ())
+         ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    // Efraimidis-Spirakis keys from the same md5-derived uniform
+    "q_weighted_sample" ->
+      """SELECT doc_id, length(text) AS n_chars,
+         round(pow((CAST('0x' || substr(md5(text), 1, 8) AS UBIGINT) + 1.0)
+                     / 4294967297.0,
+                   1.0 / length(text)), 6) AS sample_key
+         FROM documents
+         ORDER BY sample_key DESC, doc_id LIMIT 50""",
     "q_pii_scrub" ->
       """SELECT doc_id,
          len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,

@@ -142,6 +142,37 @@ object AnalyticQueries {
 
   /** Moment statistics of value per event type (sample stddev/variance,
     * min/max/avg) — numeric parity with DuckDB pinned by 6-dp rounding. */
+  /** Window-function breadth on one pass: lead/lag, ntile, percent_rank,
+    * cume_dist over per-user event sequences — all share one
+    * (user_id, ts) window, so Spark plans a single sort+Window exec. */
+  def windowSuite(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .filter(col("user_id") < 5)
+      .select(col("user_id"), col("event_id"),
+        round(col("value"), 6).as("value"),
+        round(coalesce(lead(col("value"), 1).over(w), lit(0.0)), 6).as("next_value"),
+        round(coalesce(lag(col("value"), 1).over(w), lit(0.0)), 6).as("prev_value"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Explicit GROUPING SETS with grouping_id — finer than rollup/cube:
+    * exactly the (status, priority), (status), () sets, tagged. */
+  def ordersGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders_gs")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+         grouping_id(o_orderstatus, o_orderpriority) AS gid,
+         count(*) AS n_orders, round(sum(o_totalprice), 6) AS total_price
+         FROM graft_orders_gs
+         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                 (o_orderstatus), ())
+         ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
+  }
+
   /** Fixed-width value histogram (bucket = ⌊value/50⌋ — exact double
     * arithmetic on both engines, unlike data-dependent bucket boundaries):
     * one partial+final aggregate, bucket count ≈ range/50. */

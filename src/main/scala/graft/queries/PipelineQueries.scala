@@ -44,6 +44,25 @@ object PipelineQueries {
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
       .orderBy("source")
 
+  /** Deterministic weighted sample (Efraimidis–Spirakis A-Res, public
+    * algorithm): key = u^(1/w) with u a hash-derived uniform in (0,1) —
+    * here the first 8 md5 hex digits of the text — and w = document length;
+    * the top-k keys are a weighted sample WITHOUT replacement. Because u
+    * comes from the content hash rather than an RNG, the sample is
+    * identical on any cluster at any partitioning, and the whole op is a
+    * map + top-k (TakeOrderedAndProject — no shuffle of the corpus). Keys
+    * round to 6 dp before ranking (doc_id tiebreak) for oracle parity. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val u = (conv(substring(md5(col("text")), 1, 8), 16, 10).cast("double") + 1.0) /
+      4294967297.0 // 2^32 + 1: open interval, u in (0, 1)
+    val key = round(pow(u, lit(1.0) / length(col("text")).cast("double")), 6)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), length(col("text")).as("n_chars"),
+        key.as("sample_key"))
+      .orderBy(col("sample_key").desc, col("doc_id"))
+      .limit(50)
+  }
+
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val UrlRe = "https?://[^\\s]+"
 
