@@ -221,7 +221,8 @@ object SparkEntry {
     "q_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
          grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS gid,
-         count(*) AS n_orders, round(sum(o_totalprice), 6) AS total_price
+         count(*) AS n_orders,
+         round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 6) AS total_price
          FROM orders
          GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                  (o_orderstatus), ())
@@ -427,15 +428,18 @@ object SparkEntry {
          SELECT query_id, neighbor_id, cosine,
                 row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
          FROM j QUALIFY rank <= 10 ORDER BY query_id, rank""",
+    // DECIMAL accumulation on both sides: order-independent exact sums, so
+    // Spark's partial-merge order and DuckDB's parallel fold agree at ANY
+    // SF (doubles diverge in the 6th decimal past ~10^5 rows)
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-         round(sum(l_quantity), 6) AS sum_qty,
-         round(sum(l_extendedprice), 6) AS sum_base_price,
-         round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
-         round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
-         round(avg(l_quantity), 6) AS avg_qty,
-         round(avg(l_extendedprice), 6) AS avg_price,
-         round(avg(l_discount), 6) AS avg_disc,
+         round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 6) AS sum_qty,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 6) AS sum_base_price,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE), 6) AS sum_disc_price,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2)) * CAST(1 + l_tax AS DECIMAL(12,2))) AS DOUBLE), 6) AS sum_charge,
+         round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+         round(CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          GROUP BY 1, 2 ORDER BY 1, 2""",
@@ -457,7 +461,7 @@ object SparkEntry {
          GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10""",
     "q_revenue_by_nation" ->
       """SELECT r_name, n_name,
-         round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE), 6) AS revenue,
          count(*) AS n_items
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
@@ -482,7 +486,8 @@ object SparkEntry {
          ORDER BY c_custkey""",
     "q_orders_rollup" ->
       """SELECT o_orderstatus, o_orderpriority,
-         count(*) AS n_orders, round(sum(o_totalprice), 6) AS total_price
+         count(*) AS n_orders,
+         round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 6) AS total_price
          FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
          ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
     // DuckDB's native ASOF JOIN oracles the union+LOCF composition; view
@@ -549,7 +554,8 @@ object SparkEntry {
          ORDER BY c_custkey""",
     "q_orders_cube" ->
       """SELECT o_orderstatus, o_orderpriority,
-         count(*) AS n_orders, round(sum(o_totalprice), 6) AS total_price
+         count(*) AS n_orders,
+         round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 6) AS total_price
          FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
          ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
     "q_value_stats" ->

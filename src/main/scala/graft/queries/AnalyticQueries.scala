@@ -136,12 +136,11 @@ object AnalyticQueries {
     import spark.implicits._
     Tables.orders(spark, dir)
       .cube($"o_orderstatus", $"o_orderpriority")
-      .agg(count(lit(1)).as("n_orders"), round(sum($"o_totalprice"), 6).as("total_price"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice".cast("decimal(12,2)")).cast("double"), 6).as("total_price"))
       .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
   }
 
-  /** Moment statistics of value per event type (sample stddev/variance,
-    * min/max/avg) — numeric parity with DuckDB pinned by 6-dp rounding. */
   /** Window-function breadth on one pass: lead/lag, ntile, percent_rank,
     * cume_dist over per-user event sequences — all share one
     * (user_id, ts) window, so Spark plans a single sort+Window exec. */
@@ -166,7 +165,8 @@ object AnalyticQueries {
     spark.sql(
       """SELECT o_orderstatus, o_orderpriority,
          grouping_id(o_orderstatus, o_orderpriority) AS gid,
-         count(*) AS n_orders, round(sum(o_totalprice), 6) AS total_price
+         count(*) AS n_orders,
+         round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 6) AS total_price
          FROM graft_orders_gs
          GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                  (o_orderstatus), ())
@@ -183,6 +183,8 @@ object AnalyticQueries {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total_value"))
       .orderBy("bucket")
 
+  /** Moment statistics of value per event type (sample stddev/variance,
+    * min/max/avg) — numeric parity with DuckDB pinned by 6-dp rounding. */
   def valueStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, dir)

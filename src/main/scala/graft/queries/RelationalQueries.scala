@@ -18,20 +18,30 @@ object RelationalQueries {
 
   /** TPC-H Q1-style pricing summary: scan → filter → hash agg (partial+final,
     * map-side combine; ~6 groups so the shuffle is bytes). */
-  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    // money sums accumulate in DECIMAL (order-independent exact arithmetic;
+    // a double fold's result depends on partial-aggregate merge order, which
+    // diverges from DuckDB's parallel fold in the 6th decimal past ~10^5
+    // rows); averages divide the exact sum as double — deterministic at any
+    // SF and any parallelism
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
+    val n = count(lit(1))
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 6).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 6).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 6).as("sum_charge"),
-        round(avg(col("l_quantity")), 6).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 6).as("avg_price"),
-        round(avg(col("l_discount")), 6).as("avg_disc"),
-        count(lit(1)).as("count_order"))
+        round(sum(dec(col("l_quantity"))).cast("double"), 6).as("sum_qty"),
+        round(sum(dec(col("l_extendedprice"))).cast("double"), 6).as("sum_base_price"),
+        round(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+          .cast("double"), 6).as("sum_disc_price"),
+        round(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))
+          * dec(lit(1) + col("l_tax"))).cast("double"), 6).as("sum_charge"),
+        round(sum(dec(col("l_quantity"))).cast("double") / n, 6).as("avg_qty"),
+        round(sum(dec(col("l_extendedprice"))).cast("double") / n, 6).as("avg_price"),
+        round(sum(dec(col("l_discount"))).cast("double") / n, 6).as("avg_disc"),
+        n.as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
+  }
 
   /** Pricing summary with ORDER-INDEPENDENT exact aggregation: every term
     * is cast to DECIMAL before summing, so partial-aggregate merge order
@@ -83,7 +93,10 @@ object RelationalQueries {
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6).as("revenue"),
+      // exact decimal accumulation: immune to merge-order float divergence
+      .agg(round(sum(col("l_extendedprice").cast("decimal(12,2)")
+             * (lit(1) - col("l_discount")).cast("decimal(12,2)")).cast("double"), 6)
+           .as("revenue"),
            count(lit(1)).as("n_items"))
       .orderBy("r_name", "n_name")
   }
@@ -141,7 +154,8 @@ object RelationalQueries {
   def ordersRollup(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 6).as("total_price"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(12,2)")).cast("double"), 6).as("total_price"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
   /** As-of join — the point-in-time operator Spark lacks natively: each
