@@ -44,6 +44,7 @@ object SparkEntry {
     "q_percentiles_approx" -> ((s, d) => AnalyticQueries.valuePercentilesApprox(s, d)),
     "q_neardup_editdist"   -> ((s, d) => SimilarityQueries.nearDupEditDistance(s, d)),
     "q_dedup_components"   -> ((s, d) => SimilarityQueries.dedupComponents(s, d)),
+    "q_dedup_corpus"       -> ((s, d) => SimilarityQueries.dedupCorpus(s, d)),
     // --- near-dup / similarity (north-star LLM-pipeline ops) ---
     "q_jaccard_pairs"  -> ((s, d) => SimilarityQueries.jaccardPairs(s, d)),
     "q_jaccard_prefix" -> ((s, d) => SimilarityQueries.jaccardPairsPrefix(s, d)),
@@ -414,6 +415,22 @@ object SparkEntry {
           SELECT node AS doc_id, min(comp) AS component,
                  (node = min(comp)) AS is_keeper
           FROM reach GROUP BY node ORDER BY node"""),
+    // survivors = all docs minus non-keeper cluster members
+    "q_dedup_corpus" ->
+      (JaccardCte.replaceFirst("WITH", "WITH RECURSIVE") +
+        """, edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+             UNION ALL SELECT doc_b, doc_a FROM jp),
+          reach(node, comp) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node),
+          lab AS (SELECT node, min(comp) AS component FROM reach GROUP BY node)
+          SELECT d.doc_id,
+                 CASE WHEN lab.node IS NOT NULL THEN 'keeper' ELSE 'unique' END AS kept_as
+          FROM documents d
+          LEFT JOIN lab ON d.doc_id = lab.node
+          WHERE lab.node IS NULL OR lab.node = lab.component
+          ORDER BY d.doc_id"""),
     // prefix filtering is exact by construction → same oracle
     "q_jaccard_prefix" -> JaccardOracle,
     // minhash-LSH misses a J>=0.8 pair with p~5e-8 → same exact oracle

@@ -235,6 +235,25 @@ object SimilarityQueries {
       .orderBy($"doc_id")
   }
 
+  /** The deduplicated corpus — the pipeline's end product: every document
+    * except non-keeper members of near-dup clusters (cluster representative
+    * = min doc_id, from [[dedupComponents]]). Anti-join against the (tiny)
+    * non-keeper set; emits surviving doc_ids with a kept-flag breakdown of
+    * why: "unique" (no near-dup at all) vs "keeper" (cluster
+    * representative). */
+  def dedupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val comp = dedupComponents(spark, dir)
+    val members = comp.select($"doc_id", $"is_keeper")
+    Tables.documents(spark, dir).select($"doc_id")
+      .join(members.filter(!$"is_keeper"), Seq("doc_id"), "left_anti")
+      .join(members.filter($"is_keeper"), Seq("doc_id"), "left")
+      .select($"doc_id",
+        when($"is_keeper".isNotNull, lit("keeper")).otherwise(lit("unique"))
+          .as("kept_as"))
+      .orderBy($"doc_id")
+  }
+
   /** SimHash near-dup pairs: 64-bit fingerprints, candidates from 4×16-bit
     * band equality (guaranteed to catch hamming ≤ 3, catches most ≤ 6),
     * verified by exact hamming distance. Rows-only check (fingerprints hash

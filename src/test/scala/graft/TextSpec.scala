@@ -86,4 +86,35 @@ class TextSpec extends SparkSpec {
       .collect().map(_.getString(0))
     assert(fps(0) == fps(1))
   }
+
+  test("null text propagates safely through the whole text surface") {
+    val sql2 = SparkSpec.spark
+    import sql2.implicits._
+    val df = Seq[Option[String]](None, Some("a quick test"), Some(""))
+      .toDF("text")
+    val out = df.select(
+      Text.tokenize(col("text")).as("toks"),
+      Text.tokenCount(col("text")).as("n"),
+      Text.fingerprint(col("text")).as("fp"),
+      Text.rollingHash(col("text")).as("rh"),
+      Text.winnow(col("text")).as("wf"),
+      Text.langGuess(col("text")).as("lg"),
+      Text.nfc(col("text")).as("nfc"),
+      Text.qualityScore(col("text")).as("q"),
+      Text.extractEntities(col("text")).as("ents"),
+      Text.ngrams(col("text"), 2).as("bg")).collect()
+    val nullRow = out(0)
+    // null in -> null/empty out, never a throw
+    assert(nullRow.isNullAt(nullRow.fieldIndex("toks")))
+    assert(nullRow.isNullAt(nullRow.fieldIndex("fp")))
+    assert(nullRow.isNullAt(nullRow.fieldIndex("rh")))
+    assert(nullRow.getSeq[Long](nullRow.fieldIndex("wf")).isEmpty)
+    assert(nullRow.getString(nullRow.fieldIndex("lg")) == "und")
+    assert(nullRow.isNullAt(nullRow.fieldIndex("nfc")))
+    assert(nullRow.getSeq[String](nullRow.fieldIndex("bg")).isEmpty)
+    // empty string: zero counts, no tokens, defined score
+    val emptyRow = out(2)
+    assert(emptyRow.getInt(emptyRow.fieldIndex("n")) == 0)
+    assert(!emptyRow.isNullAt(emptyRow.fieldIndex("q")))
+  }
 }
