@@ -41,6 +41,7 @@ object SparkEntry {
     "q_distinct_hll"   -> ((s, d) => SketchQueries.distinctHll(s, d)),
     "q_cms_grouped"    -> ((s, d) => SketchQueries.eventTypeUserCms(s, d)),
     "q_bloom_join"     -> ((s, d) => SketchQueries.bloomJoin(s, d)),
+    "q_heavy_hitters"  -> ((s, d) => SketchQueries.heavyHitters(s, d)),
     "q_percentiles_approx" -> ((s, d) => AnalyticQueries.valuePercentilesApprox(s, d)),
     "q_neardup_editdist"   -> ((s, d) => SimilarityQueries.nearDupEditDistance(s, d)),
     "q_dedup_components"   -> ((s, d) => SimilarityQueries.dedupComponents(s, d)),
@@ -340,6 +341,12 @@ object SparkEntry {
            FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0)) AS w
                  FROM documents) GROUP BY 1) c USING (keyword)
          ORDER BY k.keyword""",
+    // exact oracle valid because the 31-word vocabulary fits the 32-counter
+    // MG budget (candidate set lossless); see SketchQueries.heavyHitters
+    "q_heavy_hitters" ->
+      """SELECT w AS word, count(*) AS n
+         FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0)) AS w FROM documents)
+         GROUP BY 1 ORDER BY n DESC, word LIMIT 10""",
     "q_cms_grouped" ->
       """SELECT e.event_type, d.decile, coalesce(c.n, 0) AS est_count
          FROM (SELECT DISTINCT event_type FROM events) e

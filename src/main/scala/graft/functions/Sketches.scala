@@ -169,8 +169,55 @@ object Sketches {
     def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   }
 
+  // ----- Misra–Gries heavy hitters (frequency sketch, top-k) -----
+
+  /** Misra–Gries summary as a mergeable Aggregator (Misra & Gries 1982;
+    * mergeability per Agarwal et al., PODS 2012 — public techniques): at
+    * most k−1 counters; any item with true frequency > n/k is guaranteed a
+    * surviving counter, and every counter underestimates by ≤ n/k. The
+    * sketch finds heavy hitters WITHOUT a pre-declared keyword list —
+    * the reference's CMS can only answer for its fixed five (cms_stream
+    * .py:110). Scale pattern: MG candidates (tiny map) → exact-count only
+    * the candidates → deterministic verified top-k. */
+  class MisraGriesAggregator(k: Int = MgCounters)
+      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    require(k > 1, s"need k > 1 counters, got $k")
+    def zero: Map[String, Long] = Map.empty
+    def reduce(m: Map[String, Long], item: String): Map[String, Long] = {
+      val s = if (item == null) "null" else item
+      m.get(s) match {
+        case Some(c) => m.updated(s, c + 1)
+        case None if m.size < k - 1 => m.updated(s, 1L)
+        case None => // decrement-all step (drop zeros)
+          m.flatMap { case (w, c) => if (c > 1) Some(w -> (c - 1)) else None }
+      }
+    }
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val sum = b.foldLeft(a) { case (m, (w, c)) =>
+        m.updated(w, m.getOrElse(w, 0L) + c)
+      }
+      if (sum.size <= k - 1) sum
+      else { // keep the k-1 largest after subtracting the k-th value
+        val kth = sum.values.toSeq.sortBy(-_).apply(k - 1)
+        sum.flatMap { case (w, c) =>
+          if (c - kth > 0) Some(w -> (c - kth)) else None
+        }
+      }
+    }
+    def finish(m: Map[String, Long]): Map[String, Long] = m
+    def bufferEncoder: Encoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
+    def outputEncoder: Encoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
+  }
+
+  /** Default counter budget: 32 counters → any word with freq > n/32
+    * survives. */
+  val MgCounters = 32
+
   /** Untyped (DataFrame) registrations: `cms($"tok")`, `fm($"text")`. */
   val cms = org.apache.spark.sql.functions.udaf(new CmsAggregator(), Encoders.STRING)
   val fm = org.apache.spark.sql.functions.udaf(new FmAggregator(), Encoders.STRING)
   val bloom = org.apache.spark.sql.functions.udaf(new BloomAggregator(), Encoders.STRING)
+  val mg = org.apache.spark.sql.functions.udaf(new MisraGriesAggregator(), Encoders.STRING)
 }

@@ -102,4 +102,26 @@ object SketchQueries {
         Sketches.cmsEstimateUdf($"sketch", $"decile").as("est_count"))
       .orderBy($"event_type", $"decile")
   }
+
+  /** Heavy hitters WITHOUT a pre-declared keyword list: Misra–Gries
+    * candidates (one tiny mergeable map — any word with freq > n/32 is
+    * guaranteed in it) → exact-count ONLY the candidates → top-10. The
+    * scale pattern: the first pass shuffles one ≤31-entry map, the second
+    * counts a filtered token stream — never a full-vocabulary aggregation.
+    * On this corpus the vocabulary (31 words) fits the counter budget, so
+    * the candidate set is lossless and the exact top-10 oracle applies;
+    * the lossy regime (k smaller than vocabulary) is pinned in SketchSpec
+    * against the MG guarantees. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select(explode(Text.tokenize($"text")).as("word"))
+    val candidates = toks.agg(Sketches.mg($"word").as("summary"))
+      .select(explode($"summary"))
+      .select($"key".as("word"))
+    toks.join(broadcast(candidates), "word")
+      .groupBy($"word").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"word")
+      .limit(10)
+  }
 }

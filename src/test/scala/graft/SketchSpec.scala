@@ -76,4 +76,46 @@ class SketchSpec extends AnyFunSuite {
     // empty sketch contains nothing
     assert(!Sketches.bloomContains(agg.zero, "anything"))
   }
+
+  test("misra-gries: heavy-hitter and error guarantees in the lossy regime") {
+    val rnd = new scala.util.Random(99)
+    // skewed stream over a vocabulary larger than the counter budget
+    val vocab = ('a' to 'z').map(_.toString)
+    val stream = Seq.fill(5000) {
+      val r = rnd.nextInt(10)
+      if (r < 5) vocab(rnd.nextInt(3))        // 3 hot items share ~50%
+      else vocab(3 + rnd.nextInt(23))         // long tail
+    }
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = stream.size
+    val k = 8
+    val agg = new Sketches.MisraGriesAggregator(k)
+    // sequential reduce AND a split+merge must both honor the guarantees
+    val whole = stream.foldLeft(agg.zero)(agg.reduce)
+    val (l, r) = stream.splitAt(n / 3)
+    val merged = agg.merge(
+      l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+    for ((name, sk) <- Seq("whole" -> whole, "merged" -> merged)) {
+      assert(sk.size <= k - 1, s"$name: too many counters")
+      truth.foreach { case (w, c) =>
+        if (c > n.toDouble / k)
+          assert(sk.contains(w), s"$name: heavy hitter $w (freq $c) missing")
+      }
+      sk.foreach { case (w, est) =>
+        val c = truth(w)
+        assert(est <= c, s"$name: $w overestimated ($est > $c)")
+        assert(est >= c - n.toDouble / k, s"$name: $w underestimated past n/k")
+      }
+    }
+  }
+
+  test("heavy hitters query == exact top-10 keywords (lossless vocab regime)") {
+    val spark = SparkSpec.spark
+    val sf = SparkSpec.Sf
+    val viaMg = graft.queries.SketchQueries.heavyHitters(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exact = graft.queries.TextQueries.topKeywords(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.take(10)
+    assert(viaMg == exact)
+  }
 }
