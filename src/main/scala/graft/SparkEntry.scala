@@ -68,6 +68,7 @@ object SparkEntry {
     "q_media_features" -> ((s, d) => MultimodalQueries.mediaFeatures(s, d)),
     "q_media_frames"   -> ((s, d) => MultimodalQueries.mediaFrames(s, d)),
     "q_value_histogram" -> ((s, d) => AnalyticQueries.valueHistogram(s, d)),
+    "q_daily_full_outer" -> ((s, d) => AnalyticQueries.dailyPurchaseVsError(s, d)),
     // --- relational breadth ---
     "q_pricing_summary" -> ((s, d) => RelationalQueries.pricingSummary(s, d)),
     "q_pricing_exact"   -> ((s, d) => RelationalQueries.pricingSummaryExact(s, d)),
@@ -389,6 +390,26 @@ object SparkEntry {
          CASE WHEN strlen(text) // 4 > 0 THEN 4 ELSE 0 END AS n_frames,
          strlen(text) // 4 AS frame_len
          FROM documents WHERE text IS NOT NULL ORDER BY doc_id""",
+    "q_daily_full_outer" ->
+      """SELECT coalesce(p.day, e.day) AS day,
+         coalesce(p.n_purchase, 0) AS n_purchase,
+         coalesce(e.n_error, 0) AS n_error
+         FROM (SELECT date_trunc('day', ts) AS day, count(*) AS n_purchase
+               FROM events WHERE event_type = 'purchase' GROUP BY 1) p
+         FULL OUTER JOIN (SELECT date_trunc('day', ts) AS day, count(*) AS n_error
+               FROM events WHERE event_type = 'error' GROUP BY 1) e
+           ON p.day = e.day
+         ORDER BY day""",
+    "q_daily_full_outer" ->
+      """SELECT coalesce(p.day, e.day) AS day,
+         coalesce(p.n_purchase, 0) AS n_purchase,
+         coalesce(e.n_error, 0) AS n_error
+         FROM (SELECT date_trunc('day', ts) AS day, count(*) AS n_purchase
+               FROM events WHERE event_type = 'purchase' GROUP BY 1) p
+         FULL OUTER JOIN (SELECT date_trunc('day', ts) AS day, count(*) AS n_error
+               FROM events WHERE event_type = 'error' GROUP BY 1) e
+           ON p.day = e.day
+         ORDER BY day""",
     "q_value_histogram" ->
       """SELECT CAST(floor(value / 50) AS BIGINT) AS bucket,
          count(*) AS n, round(sum(value), 6) AS total_value

@@ -173,6 +173,25 @@ object AnalyticQueries {
          ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
   }
 
+  /** Full outer join of two daily series (purchases vs errors): days where
+    * either side is absent survive with null-coalesced zeros — the join
+    * completeness case rollup/semi/anti don't cover. Both sides are tiny
+    * post-aggregation, so the join is broadcast-able; at scale it shuffles
+    * on the day key only. */
+  def dailyPurchaseVsError(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    def daily(t: String, alias: String) = ev.filter($"event_type" === t)
+      .groupBy(date_trunc("day", $"ts").as("day"))
+      .agg(count(lit(1)).as(alias))
+    daily("purchase", "n_purchase").as("p")
+      .join(daily("error", "n_error").as("e"), Seq("day"), "full_outer")
+      .select($"day",
+        coalesce($"n_purchase", lit(0L)).as("n_purchase"),
+        coalesce($"n_error", lit(0L)).as("n_error"))
+      .orderBy($"day")
+  }
+
   /** Fixed-width value histogram (bucket = ⌊value/50⌋ — exact double
     * arithmetic on both engines, unlike data-dependent bucket boundaries):
     * one partial+final aggregate, bucket count ≈ range/50. */

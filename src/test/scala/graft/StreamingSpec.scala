@@ -401,4 +401,13 @@ class StreamingSpec extends SparkSpec {
       assert(r.getAs[Long]("n_events") == 2L)
     } finally q.stop()
   }
+
+  test("StreamMain.run rejects unknown job names") {
+    implicit val ctx = sql.sqlContext
+    val in = MemoryStream[String]
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamMain.run("nope", in.toDF(), "/tmp/x", "/tmp/y")
+    }
+    assert(e.getMessage.contains("unknown job"))
+  }
 }
