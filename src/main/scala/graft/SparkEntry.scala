@@ -400,16 +400,6 @@ object SparkEntry {
                FROM events WHERE event_type = 'error' GROUP BY 1) e
            ON p.day = e.day
          ORDER BY day""",
-    "q_daily_full_outer" ->
-      """SELECT coalesce(p.day, e.day) AS day,
-         coalesce(p.n_purchase, 0) AS n_purchase,
-         coalesce(e.n_error, 0) AS n_error
-         FROM (SELECT date_trunc('day', ts) AS day, count(*) AS n_purchase
-               FROM events WHERE event_type = 'purchase' GROUP BY 1) p
-         FULL OUTER JOIN (SELECT date_trunc('day', ts) AS day, count(*) AS n_error
-               FROM events WHERE event_type = 'error' GROUP BY 1) e
-           ON p.day = e.day
-         ORDER BY day""",
     "q_value_histogram" ->
       """SELECT CAST(floor(value / 50) AS BIGINT) AS bucket,
          count(*) AS n, round(sum(value), 6) AS total_value

@@ -129,8 +129,10 @@ object Text {
       sb.toString
     }
   }
+  private val ngramUdfs =
+    scala.collection.concurrent.TrieMap.empty[Int, org.apache.spark.sql.expressions.UserDefinedFunction]
   def ngrams(text: Column, n: Int): Column =
-    udf((s: String) => ngramsOf(s, n)).apply(text)
+    ngramUdfs.getOrElseUpdate(n, udf((s: String) => ngramsOf(s, n))).apply(text)
 
   /** Entity extraction port (SURVEY.md S4/F8): the producers run spaCy NER
     * filtered to PERSON/ORG; in-engine the deterministic, dictionary-free

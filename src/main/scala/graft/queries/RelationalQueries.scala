@@ -16,6 +16,12 @@ import org.apache.spark.sql.functions._
   */
 object RelationalQueries {
 
+  /** Lossless per-value DECIMAL(12,2) cast for monetary columns — shared by
+    * the order-independent exact aggregations below (and mirrored in the
+    * q_pricing_* / q_revenue_by_nation oracles). */
+  private def dec2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.cast("decimal(12,2)")
+
   /** TPC-H Q1-style pricing summary: scan → filter → hash agg (partial+final,
     * map-side combine; ~6 groups so the shuffle is bytes). */
   def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
@@ -24,7 +30,7 @@ object RelationalQueries {
     // diverges from DuckDB's parallel fold in the 6th decimal past ~10^5
     // rows); averages divide the exact sum as double — deterministic at any
     // SF and any parallelism
-    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
+    def dec(c: org.apache.spark.sql.Column) = dec2(c)
     val n = count(lit(1))
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
@@ -52,14 +58,14 @@ object RelationalQueries {
     * inputs carry 2 decimals, so DECIMAL(12,2) per-value casts are lossless.
     */
   def pricingSummaryExact(spark: SparkSession, dir: String): DataFrame = {
-    val ep = col("l_extendedprice").cast("decimal(12,2)")
-    val disc1 = (lit(1) - col("l_discount")).cast("decimal(12,2)")
-    val tax1 = (lit(1) + col("l_tax")).cast("decimal(12,2)")
+    val ep = dec2(col("l_extendedprice"))
+    val disc1 = dec2(lit(1) - col("l_discount"))
+    val tax1 = dec2(lit(1) + col("l_tax"))
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
         sum(ep).cast("double").as("sum_base_price"),
         sum(ep * disc1).cast("double").as("sum_disc_price"),
         sum(ep * disc1 * tax1).cast("double").as("sum_charge"),
@@ -94,8 +100,8 @@ object RelationalQueries {
       .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
       .groupBy(col("r_name"), col("n_name"))
       // exact decimal accumulation: immune to merge-order float divergence
-      .agg(round(sum(col("l_extendedprice").cast("decimal(12,2)")
-             * (lit(1) - col("l_discount")).cast("decimal(12,2)")).cast("double"), 6)
+      .agg(round(sum(dec2(col("l_extendedprice"))
+             * dec2(lit(1) - col("l_discount"))).cast("double"), 6)
            .as("revenue"),
            count(lit(1)).as("n_items"))
       .orderBy("r_name", "n_name")
@@ -200,6 +206,9 @@ object RelationalQueries {
   def distinctUsersByType(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, dir)
+      // count(DISTINCT x) ignores NULLs — the two-stage form must too, or a
+      // null user would count as one extra "user" per event type
+      .filter($"user_id".isNotNull)
       .select($"event_type", $"user_id").distinct()
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n_users"))

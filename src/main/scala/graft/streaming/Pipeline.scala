@@ -219,10 +219,12 @@ object Pipeline {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (key: String, rowsTs: Iterator[(String, java.sql.Timestamp)],
          state: GroupState[(Long, Long, Long)]) =>
-          val rows = rowsTs.map { case (k, t) => (k, t.getTime / 1000L) }
+          // keep millisecond precision: truncating to seconds here would
+          // shift gap comparisons by up to ~1s and split sessions wrongly
+          val rows = rowsTs.map { case (k, t) => (k, t.getTime) }
           def close(s: (Long, Long, Long)): ClosedSession =
-            ClosedSession(key, new java.sql.Timestamp(s._1 * 1000L),
-              new java.sql.Timestamp(s._2 * 1000L), s._3)
+            ClosedSession(key, new java.sql.Timestamp(s._1),
+              new java.sql.Timestamp(s._2), s._3)
           if (state.hasTimedOut) {
             val out = state.getOption.map(close).toSeq
             state.remove()
@@ -233,7 +235,7 @@ object Pipeline {
             var cur = state.getOption
             ts.foreach { t =>
               cur match {
-                case Some(s) if t * 1000L - s._2 * 1000L < gapMs =>
+                case Some(s) if t - s._2 < gapMs =>
                   cur = Some((s._1, math.max(s._2, t), s._3 + 1))
                 case Some(s) => // gap exceeded in-stream: close, start anew
                   closed ::= close(s)
@@ -244,7 +246,7 @@ object Pipeline {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s._2 * 1000L + gapMs)
+              state.setTimeoutTimestamp(s._2 + gapMs)
             }
             closed.reverse.iterator
           }

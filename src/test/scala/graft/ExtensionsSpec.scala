@@ -55,7 +55,11 @@ class ExtensionsSpec extends SparkSpec {
   }
 
   test("optimizer rule rewrites size(array_intersect) over strings") {
+    // restore afterwards: a leaked rule would rewrite the built-in branch of
+    // ArrayOpsSpec's parity test into the expression under test
+    val prevRules = spark.experimental.extraOptimizations
     graft.GraftExtensions.register(spark)
+    try {
     val sql3 = spark
     import sql3.implicits._
     // non-foldable inputs so constant folding can't pre-evaluate the plan
@@ -71,5 +75,6 @@ class ExtensionsSpec extends SparkSpec {
       .select(size(array_intersect($"x", $"y")).as("n"))
     assert(!dd.queryExecution.optimizedPlan.toString.contains("intersection_size_s"))
     assert(dd.collect().map(_.getInt(0)).sorted.toSeq == Seq(0, 1))
+    } finally spark.experimental.extraOptimizations = prevRules
   }
 }
