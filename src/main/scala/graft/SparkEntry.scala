@@ -55,6 +55,7 @@ object SparkEntry {
     "q_ann_lsh"        -> ((s, d) => SimilarityQueries.annLsh(s, d)),
     "q_embed_dup"      -> ((s, d) => SimilarityQueries.embedDupPairs(s, d)),
     "q_ann_ivf"        -> ((s, d) => SimilarityQueries.annIvf(s, d)),
+    "q_label_centroids" -> ((s, d) => SimilarityQueries.labelCentroids(s, d)),
     "q_subword_stats"  -> ((s, d) => TextQueries.subwordStats(s, d)),
     // --- training-data pipeline ops (split/scrub/quality/ngram/tfidf) ---
     "q_hash_split"     -> ((s, d) => PipelineQueries.hashSplit(s, d)),
@@ -453,6 +454,14 @@ object SparkEntry {
     "q_jaccard_prefix" -> JaccardOracle,
     // minhash-LSH misses a J>=0.8 pair with p~5e-8 → same exact oracle
     "q_minhash_dedup" -> JaccardOracle,
+    // 1-based element access over the first 8 dims; Spark's posexplode dim
+    // is 0-based, hence i - 1
+    "q_label_centroids" ->
+      """SELECT label, i - 1 AS dim,
+         round(avg(CAST(embedding AS DOUBLE[])[i]), 6) AS mean_val,
+         count(*) AS n_vecs
+         FROM embeddings, range(1, 9) t(i)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_knn_cosine" ->
       """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm

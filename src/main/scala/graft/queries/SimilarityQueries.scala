@@ -415,6 +415,24 @@ object SimilarityQueries {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  /** Per-label centroid profile over the embedding table (first 8 dims):
+    * component means per label — the building block of cluster-quality
+    * checks and the k-means step IVF plugs in. posexplode → (label, dim)
+    * partial+final aggregate; output is labels × dims regardless of table
+    * size. Component magnitudes are ~O(1), so 6-dp rounding absorbs any
+    * fold-order ulp noise (unlike the ~1e9 money sums, which needed
+    * DECIMAL). */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select($"label",
+        posexplode($"embedding".cast("array<double>")).as(Seq("dim", "x")))
+      .filter($"dim" < 8)
+      .groupBy($"label", $"dim")
+      .agg(round(avg($"x"), 6).as("mean_val"), count(lit(1)).as("n_vecs"))
+      .orderBy($"label", $"dim")
+  }
+
   /** Approximate NN via sign-LSH: bucket every embedding by the sign pattern
     * of 4 fixed hyperplane projections, then search only the query's bucket.
     * Scale path: bucketing is a map; the join shuffles on bucket id only.
