@@ -105,6 +105,34 @@ object Pipeline {
       .select(Sketches.TrackedKeywords.map(k =>
         Sketches.cmsEstimateUdf(col("sketch"), lit(k)).as(k)): _*)
 
+  /** Windowed trending keywords — the reference project's headline use case
+    * (sports-keyword trend analysis) as one composable stream: tokenize →
+    * watermarked tumbling window × word counts. Counts are incrementally
+    * maintainable so they stream in append mode (rows final once the
+    * watermark closes a window); RANKING is not incrementally maintainable,
+    * so top-k runs per emitted window in the sink via [[topKPerWindow]] —
+    * a few rows per window, trivial wherever it lands. */
+  def keywordTrend(parsed: DataFrame, windowLen: String = "10 minutes",
+                   lateness: String = "10 minutes"): DataFrame =
+    parsed
+      .filter(col("created_at").isNotNull)
+      .withWatermark("created_at", lateness)
+      .select(col("created_at"), explode(Text.tokenize(col("text"))).as("word"))
+      .groupBy(window(col("created_at"), windowLen), col("word"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket"), col("word"), col("n"))
+
+  /** Rank a [[keywordTrend]] output batch: top-k words per window bucket
+    * (ties → word). */
+  def topKPerWindow(counts: DataFrame, k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("n").desc, col("word"))
+    counts.withColumn("rank",
+        org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("bucket"), col("rank"))
+  }
+
   /** Per-batch FM distinct estimate (flajolent_stream.py:64-101). */
   def fmMetrics(batch: DataFrame): DataFrame =
     batch.agg(Sketches.fm(col("text")).as("fm_estimate"))

@@ -410,4 +410,31 @@ class StreamingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("unknown job"))
   }
+
+  test("windowed trending keywords: append-mode counts + top-k per window") {
+    implicit val ctx = sql.sqlContext
+    val in = MemoryStream[String]
+    val q = Pipeline.keywordTrend(Pipeline.parseTweets(in.toDF()))
+      .writeStream.format("memory").queryName("trendkw_t")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        tweetJson("goal goal win", "2024-01-01 00:01:00", "Positive"),
+        tweetJson("goal match", "2024-01-01 00:02:00", "Positive"),
+        tweetJson("rain delay", "2024-01-01 00:11:00", "Negative"))
+      q.processAllAvailable()
+      // watermark far past both windows -> rows finalize
+      in.addData(tweetJson("x", "2024-01-01 01:00:00", "Neutral"))
+      q.processAllAvailable()
+      val top = Pipeline.topKPerWindow(sql.table("trendkw_t"), 2).collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("bucket").toString.substring(11, 16),
+          r.getAs[String]("word"), r.getAs[Long]("n"), r.getAs[Int]("rank")))
+      // window 00:00: goal x3, then match/win tie -> 'match' on word order
+      assert(top.contains(("00:00", "goal", 3L, 1)))
+      assert(top.contains(("00:00", "match", 1L, 2)))
+      // window 00:10: delay/rain tie -> alphabetical
+      assert(top.contains(("00:10", "delay", 1L, 1)))
+      assert(top.contains(("00:10", "rain", 1L, 2)))
+    } finally q.stop()
+  }
 }
