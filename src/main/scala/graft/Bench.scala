@@ -45,7 +45,8 @@ object Bench {
     // ±50% on individual queries, while the minimum is stable
     // run-over-run (the steady-state cost of the plan itself). Cold and
     // per-pass totals ride along so rounds stay comparable.
-    val passes = Seq.fill(3) { val p = timedPass(); System.gc(); p }
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt.max(1)
+    val passes = Seq.fill(nPasses) { val p = timedPass(); System.gc(); p }
     val cold = passes.head
     def total(rs: Seq[(String, Double)]): Double = rs.map(_._2).filter(_ >= 0).sum
     val best = ordered.map { case (name, _) =>
@@ -56,7 +57,7 @@ object Bench {
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val passTotals = passes.map(total).mkString("[", ",", "]")
     println(s"""{"metric":"total","value":${total(best)},"unit":"sec",""" +
-      s""""method":"min-of-3-passes","queries":${fmt(best)},""" +
+      s""""method":"min-of-$nPasses-passes","queries":${fmt(best)},""" +
       s""""cold_total":${total(cold)},"queries_cold":${fmt(cold)},""" +
       s""""pass_totals":$passTotals,"sf":"$sfDir"}""")
     spark.stop()
