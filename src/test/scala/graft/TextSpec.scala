@@ -117,4 +117,17 @@ class TextSpec extends SparkSpec {
     assert(emptyRow.getInt(emptyRow.fieldIndex("n")) == 0)
     assert(!emptyRow.isNullAt(emptyRow.fieldIndex("q")))
   }
+
+  test("winnowing guarantee: shared substring >= k+w-1 yields a shared fingerprint") {
+    // Schleimer et al. guarantee, checked over seeded random docs
+    val rnd = new scala.util.Random(4242)
+    def randStr(n: Int) = Seq.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    (1 to 50).foreach { i =>
+      val shared = randStr(8) // k + w - 1 = 5 + 4 - 1 = 8
+      val a = randStr(rnd.nextInt(20)) + shared + randStr(rnd.nextInt(20))
+      val b = randStr(rnd.nextInt(20)) + shared + randStr(rnd.nextInt(20))
+      val common = Text.winnowOf(a).toSet intersect Text.winnowOf(b).toSet
+      assert(common.nonEmpty, s"iteration $i: no shared fingerprint for '$shared'")
+    }
+  }
 }
