@@ -73,4 +73,12 @@ class ProducerSpec extends SparkSpec {
     // uneven split covers the remainder path
     assert(read(1L, 10, 3).count() == 10)
   }
+
+  test("DSv2 tweet source rejects invalid partition counts") {
+    val e = intercept[Exception] {
+      spark.read.format("graft.sources.TweetSourceProvider")
+        .option("partitions", 0).load().count()
+    }
+    assert(e.getMessage.contains("partitions > 0"))
+  }
 }

@@ -118,4 +118,22 @@ class SketchSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1))).toSeq.take(10)
     assert(viaMg == exact)
   }
+
+  test("bloom width must be a positive multiple of 64 (ADVICE r1 fix)") {
+    intercept[IllegalArgumentException] { new Sketches.BloomAggregator(m = 100) }
+    intercept[IllegalArgumentException] { Sketches.bloomPositions("x", m = 100) }
+    intercept[IllegalArgumentException] { new Sketches.BloomAggregator(m = 0) }
+    // valid width still works
+    val agg = new Sketches.BloomAggregator(m = 128)
+    val buf = agg.reduce(agg.zero, "hello")
+    assert(Sketches.bloomContains(buf, "hello"))
+    assert(!Sketches.bloomContains(buf, "absent"))
+  }
+
+  test("FM estimate clamps instead of wrapping at rank >= 63 (ADVICE r1 fix)") {
+    val agg = new Sketches.FmAggregator
+    assert(agg.finish(62) == (1L << 62))
+    assert(agg.finish(63) == (1L << 62)) // would wrap to negative unclamped
+    assert(agg.finish(64) == (1L << 62)) // 1L << 64 == 1 unclamped
+  }
 }
