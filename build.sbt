@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// forked run output goes straight to stdout, NOT through the sbt logger:
+// the "[info] " prefix made the Bench JSON line unparseable by the round
+// driver (BENCH_r01/r02 carried "parsed": null)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -26,8 +30,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 8g GC-thrashes the two-pass bench (61 queries × 2 at local[32]); the
-  // container has 128 GiB — size the single-JVM driver+executors like the
-  // cluster executors it stands in for
+  // 8g GC-thrashes the bench (~70 queries × SPARK_GRAFT_BENCH_PASSES=3
+  // passes at local[32]); the container has 128 GiB — size the single-JVM
+  // driver+executors like the cluster executors it stands in for
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -56,10 +56,19 @@ object Bench {
     def fmt(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val passTotals = passes.map(total).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${total(best)},"unit":"sec",""" +
+    // metric named for what it measures (ADVICE r2 #2): per-query min across
+    // passes — the steady-state plan cost; the cold single pass rides along
+    // so rounds stay comparable on both axes
+    val json = s"""{"metric":"steady_total","value":${total(best)},"unit":"sec",""" +
       s""""method":"min-of-$nPasses-passes","queries":${fmt(best)},""" +
       s""""cold_total":${total(cold)},"queries_cold":${fmt(cold)},""" +
-      s""""pass_totals":$passTotals,"sf":"$sfDir"}""")
+      s""""pass_totals":$passTotals,"sf":"$sfDir"}"""
+    println(json)
+    // also a file copy (VERDICT r2 #2): sbt log prefixes defeated the
+    // driver's stdout parser in r1/r2; the file is always machine-readable
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()
   }
 }

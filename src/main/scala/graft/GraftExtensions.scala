@@ -81,6 +81,9 @@ object GraftExtensions {
     spark.udf.register("graft_shingles",
       (s: String) => Similarity.shinglesOf(s, 3))
     spark.udf.register("graft_minhash_sig",
-      (sh: Seq[String]) => Similarity.minhashSigOf(sh))
+      // null-safe like the other *Of helpers: NULL array → NULL signature
+      (sh: Seq[String]) =>
+        if (sh == null) null.asInstanceOf[Array[Long]]
+        else Similarity.minhashSigOf(sh))
   }
 }

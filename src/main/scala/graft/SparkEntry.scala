@@ -549,6 +549,46 @@ object SparkEntry {
     "q_distinct_by_type" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1 ORDER BY 1""",
+    // FM rank r = trailing zero bits of the 128-bit md5 integer (reference
+    // flajolent_stream.py:19-28; bin(0) == "0b0" counts as 1), via the low
+    // 64-bit hex half — falling back to 64 + tz(high half) when the low
+    // half is all-zero; estimate = 2^min(max r, 62), the engine's shift
+    // clamp. Exact deterministic match, not an approximation band.
+    "q_distinct_fm" ->
+      """WITH r AS (SELECT
+           CASE WHEN CAST('0x' || substr(md5(text), 17, 16) AS UBIGINT) = 0 THEN
+             CASE WHEN CAST('0x' || substr(md5(text), 1, 16) AS UBIGINT) = 0 THEN 1
+                  ELSE 64 + length(bin(CAST('0x' || substr(md5(text), 1, 16) AS UBIGINT)))
+                          - length(rtrim(bin(CAST('0x' || substr(md5(text), 1, 16) AS UBIGINT)), '0')) END
+           ELSE length(bin(CAST('0x' || substr(md5(text), 17, 16) AS UBIGINT)))
+              - length(rtrim(bin(CAST('0x' || substr(md5(text), 17, 16) AS UBIGINT)), '0')) END AS r
+         FROM documents)
+         SELECT CAST(pow(2, least(coalesce(max(r), 0), 62)) AS BIGINT) AS fm_estimate,
+                (SELECT count(DISTINCT text) FROM documents) AS exact_distinct
+         FROM r""",
+    // per-bit majority vote over md5-top-64 token hashes → 64-bit
+    // fingerprint; 4×16-bit band collisions → candidates; hamming ≤ 6.
+    // Same bit patterns as the Spark side's signed-long fingerprints.
+    "q_simhash_pairs" ->
+      """WITH tok AS (SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0)) AS tok
+           FROM documents),
+         h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 16) AS UBIGINT) AS h FROM tok),
+         bits AS (SELECT doc_id, i,
+             CASE WHEN sum(CASE WHEN (h >> CAST(i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                  THEN 1 ELSE 0 END AS b
+           FROM h CROSS JOIN range(0, 64) t(i) GROUP BY 1, 2),
+         fp AS (SELECT doc_id, CAST(sum(b * (1::HUGEINT << CAST(i AS INT))) AS UBIGINT) AS fp
+           FROM bits GROUP BY 1),
+         bands AS (SELECT doc_id, fp, b, (fp >> CAST(b*16 AS INT)) & 65535 AS bh
+           FROM fp CROSS JOIN range(0, 4) t(b)),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.fp AS fpa, b.fp AS fpb
+           FROM bands a JOIN bands b
+             ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, CAST(bit_count(xor(fpa, fpb)) AS INT) AS hamming
+         FROM cand WHERE bit_count(xor(fpa, fpb)) <= 6
+         ORDER BY doc_a, doc_b""",
     // Spark session_window: event at exactly last+gap starts a NEW session,
     // hence >= in the gaps-and-islands islanding below.
     "q_session_windows" ->

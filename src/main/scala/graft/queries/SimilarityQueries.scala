@@ -256,14 +256,24 @@ object SimilarityQueries {
 
   /** SimHash near-dup pairs: 64-bit fingerprints, candidates from 4×16-bit
     * band equality (guaranteed to catch hamming ≤ 3, catches most ≤ 6),
-    * verified by exact hamming distance. Rows-only check (fingerprints hash
-    * with xxhash64, not SQL-expressible in the oracle); cross-checked against
-    * the Jaccard pair set in ScalaTest. */
+    * verified by exact hamming distance.
+    *
+    * The per-token 64-bit hash is the TOP half of md5 (first 16 hex chars,
+    * assembled from two 32-bit `conv` lanes so it stays in codegen'd
+    * builtins) rather than xxhash64 — bit-identical to DuckDB's
+    * `CAST('0x' || substr(md5(tok), 1, 16) AS UBIGINT)`, which makes the
+    * whole query SQL-expressible: q_simhash_pairs carries a full hash-match
+    * oracle (VERDICT r2 #6) instead of the old rows-only check. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val fps = Tables.documents(spark, dir)
       .select($"doc_id", explode(Text.tokenize($"text")).as("tok"))
-      .select($"doc_id", xxhash64($"tok").as("h"))
+      .withColumn("hx", md5($"tok"))
+      // signed-long reinterpretation of the unsigned top-64 md5 bits: the
+      // aggregator and banding only ever look at bit patterns
+      .select($"doc_id",
+        shiftleft(conv(substring($"hx", 1, 8), 16, 10).cast("long"), 32)
+          .bitwiseOR(conv(substring($"hx", 9, 8), 16, 10).cast("long")).as("h"))
       .groupBy($"doc_id").agg(Similarity.simhash($"h").as("fp"))
     val bandCols = (0 until 4).map(b => struct(lit(b).as("band"),
       shiftrightunsigned($"fp", b * 16).bitwiseAND(lit(0xFFFFL)).as("bh")))

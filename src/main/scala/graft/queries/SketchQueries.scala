@@ -36,9 +36,10 @@ object SketchQueries {
   }
 
   /** Flajolet–Martin distinct-document estimate (flajolent_stream.py:96-101)
-    * next to the exact count — one row, both numbers. Rows-only check (the
-    * FM estimate is a power of two, not SQL-expressible in the oracle;
-    * exactness twin is q_distinct_exact). */
+    * next to the exact count — one row, both numbers. The estimate is fully
+    * deterministic (md5 trailing-zero rank, 2^max), so it carries a real
+    * DuckDB oracle (VERDICT r2 #3): trailing zeros of the 128-bit md5 via
+    * `bin()`/`rtrim` over the low/high 64-bit halves. */
   def distinctFm(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)

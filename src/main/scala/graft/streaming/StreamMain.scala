@@ -11,14 +11,18 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   *   spark-submit --class graft.streaming.StreamMain graft.jar \
   *     <etl|edw|cms|fm> <kafkaBootstrap> <topic> <outDir> <checkpointDir> \
-  *     [availableNow|continuous]
+  *     [availableNow|processingTime]
   *
   * Sinks are parquet-append directories keyed by batch_id (the sandbox has
   * no Postgres; substitute `Pipeline.jdbcAppend(batch, url, table, u, p)`
   * in a sink lambda for the reference's JDBC path — round-tripped against
   * embedded Derby in StreamingSpec). The default `availableNow` trigger
-  * drains the topic and terminates (run-to-completion); `continuous`
-  * re-polls forever like the reference jobs. */
+  * drains the topic and terminates (run-to-completion); `processingTime`
+  * re-polls forever like the reference jobs as a 10-second MICRO-BATCH
+  * trigger (`Trigger.ProcessingTime` — NOT Spark's experimental
+  * `Trigger.Continuous`, which the sketch/state operators here don't
+  * support; the old argv spelling "continuous" is kept as a deprecated
+  * alias, ADVICE r2 #4). */
 object StreamMain {
 
   /** Wire a job by name onto an arbitrary raw source frame (a Kafka wire
@@ -45,10 +49,11 @@ object StreamMain {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 5,
-      "usage: StreamMain <etl|edw|cms|fm> <bootstrap> <topic> <outDir> <ckptDir> [availableNow|continuous]")
+      "usage: StreamMain <etl|edw|cms|fm> <bootstrap> <topic> <outDir> <ckptDir> [availableNow|processingTime]")
     val Array(job, bootstrap, topic, outDir, ckpt) = args.take(5)
     val trigger =
-      if (args.length > 5 && args(5) == "continuous")
+      // "continuous" = deprecated alias for processingTime (10 s micro-batch)
+      if (args.length > 5 && (args(5) == "processingTime" || args(5) == "continuous"))
         Trigger.ProcessingTime("10 seconds")
       else Trigger.AvailableNow()
     val spark = SparkSession.builder() // master comes from spark-submit
