@@ -61,6 +61,27 @@ class SimilaritySpec extends SparkSpec {
     assert((exact & sim).size >= (exact.size * 0.8).toInt)
   }
 
+  test("jaccardPairs finds pairs whose EVERY shared shingle is hot (df > cap)") {
+    // corpus constructed so the target pair (2000, 2001) shares ONLY hot
+    // shingles: 1200 filler docs each contain both target shingles, pushing
+    // their df to 1202 > DfCap = 1000; fillers pairwise reach J = 0.5 and
+    // filler–target J = 2/3, both < 0.8 — the ONLY qualifying pair is the
+    // identical target pair, invisible to the rare-shingle join and
+    // recovered by the hot-restricted PPJoin prefix index.
+    val dir = java.nio.file.Files.createTempDirectory("graft_allhot").toString
+    val docs = (0 until 1200).map(i => (i.toLong, s"w1 w2 w3 w4 u$i")) ++
+      Seq((2000L, "w1 w2 w3 w4"), (2001L, "w1 w2 w3 w4"))
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = SimilarityQueries.jaccardPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((2000L, 2001L, 1.0)))
+    // and agrees with the unconditional prefix variant on the same corpus
+    val viaPrefix = SimilarityQueries.jaccardPairsPrefix(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(viaPrefix.toSeq == got.toSeq)
+  }
+
   test("IVF ANN never beats brute force; every query probes a list (sf0.001)") {
     val knnTop = SimilarityQueries.knnCosine(spark, sf)
       .filter(col("rank") === 1).collect()
