@@ -119,6 +119,32 @@ class SimilaritySpec extends SparkSpec {
     viaOnePass.foreach { case (id, sig) => assert(sig == viaAgg(id), s"doc $id") }
   }
 
+  test("k-means centroids: k rows, deterministic, no worse than the seeds") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.expressions.Window
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // mean cosine distance of every vector to its nearest centroid
+    def cost(cents: DataFrame): Double = {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+      emb.crossJoin(broadcast(cents))
+        .withColumn("ccos", Similarity.dot(col("v"), col("cv")) /
+          (Similarity.l2norm(col("v")) * col("cn")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .agg(avg(lit(1.0) - col("ccos"))).head().getDouble(0)
+    }
+    val seeds = SimilarityQueries.kmeansCentroids(emb, 16, 0)
+    val fitted = SimilarityQueries.kmeansCentroids(emb, 16, SimilarityQueries.KmeansIters)
+    assert(seeds.count() == 16 && fitted.count() == 16)
+    assert(cost(fitted) <= cost(seeds) + 1e-6,
+      s"Lloyd rounds made the quantizer worse: ${cost(fitted)} vs ${cost(seeds)}")
+    // bit-identical across invocations (9-dp mean rounding kills fold noise)
+    val a = fitted.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val b = SimilarityQueries.kmeansCentroids(emb, 16, SimilarityQueries.KmeansIters)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(a == b)
+  }
+
   test("metric-join embed dup pairs == brute-force all-pairs (sf0.001)") {
     val brute = SimilarityQueries.embedDupBrute(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
