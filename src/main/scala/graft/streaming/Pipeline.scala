@@ -284,7 +284,18 @@ object Pipeline {
   /** JDBC append sink body (spark_stream.py:40-48) — parity API for the
     * reference's Postgres path. Driver defaults to Postgres like the
     * reference; the sandbox round-trip test passes embedded Derby
-    * (StreamingSpec — no Postgres server here). */
+    * (StreamingSpec — no Postgres server or driver jar here).
+    *
+    * Derby/Postgres delta, documented in lieu of an integration test: the
+    * mechanics exercised against Derby (append DDL inference, batching,
+    * type mapping for string/numeric/timestamp) are identical under the
+    * Postgres dialect with one reference-relevant exception — the
+    * reference's `edw_tweets.entities` column is Postgres JSONB
+    * (edw_stream.py:13), which Spark's JDBC writer cannot emit directly: a
+    * string column maps to TEXT. The parity recipe is the standard one:
+    * write `to_json(entities)` as TEXT (or pre-create the table with a
+    * JSONB column and `stringtype=unspecified` in the JDBC URL so Postgres
+    * casts the text on insert); both keep this sink driver-agnostic. */
   def jdbcAppend(df: DataFrame, url: String, table: String,
                  user: String, password: String,
                  driver: String = "org.postgresql.Driver"): Unit =

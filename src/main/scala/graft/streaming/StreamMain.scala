@@ -60,6 +60,12 @@ object StreamMain {
       .appName(s"graft-$job")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.sizeOfNull", "false")
+      // RocksDB state store: streaming state (lifetime CMS, sessionization,
+      // dedup keys) spills to executor-local disk instead of the heap, so
+      // state size is bounded by disk not memory at 100-TB retention;
+      // StreamingSpec runs the whole suite under this provider
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     run(job, Pipeline.kafkaStream(spark, bootstrap, topic), outDir, ckpt,

@@ -14,6 +14,11 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.legacy.sizeOfNull", "false")
+      // stateful streaming tests run under RocksDB, the 100-TB posture:
+      // sessionization / dedup / cumulative-sketch state spills to local
+      // disk instead of living on the executor heap (VERDICT r2 #7)
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -16,6 +16,14 @@ class StreamingSpec extends SparkSpec {
   private def tweetJson(text: String, ts: String, sentiment: String): String =
     s"""{"text":"$text","created_at":"$ts","sentiment":"$sentiment","entities":["E"]}"""
 
+  test("stateful tests run under the RocksDB state store provider") {
+    // the whole suite's watermark/session/sketch state goes through RocksDB
+    // (disk-backed, the 100-TB retention posture) — not the default
+    // heap-backed HDFS provider; regressing this silently would undo it
+    assert(sql.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .endsWith("RocksDBStateStoreProvider"))
+  }
+
   test("stream parse + enrich: weights and scores match the closed form") {
     implicit val ctx = sql.sqlContext
     val in = MemoryStream[String]
