@@ -1,0 +1,115 @@
+package graft
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Materialize a scaled tier from an existing testdata directory (VERDICT
+  * r2 #1: "convert the plan-shape scale argument into a measured one").
+  * Each table is replicated `factor`× with per-copy key offsets so every
+  * referential join stays consistent, while similarity-bearing payloads are
+  * transformed per copy so the source corpus's duplicate STRUCTURE is
+  * preserved — multiplied linearly, never quadratically:
+  *
+  *  - TPC-H keys (custkey / orderkey / partkey / suppkey) shift by
+  *    copy · (max+1) on BOTH sides of every join edge; region/nation stay
+  *    fixed dimensions, as in TPC-H itself;
+  *  - events shift event_id and user_id; timestamps are left unchanged, so
+  *    each hour bucket carries factor× the events — the realistic shape of
+  *    a busier deployment over the same wall-clock window;
+  *  - documents suffix every token with the copy index ("_c<i>") for
+  *    copies > 0 — an injective per-copy token rename: within-copy
+  *    shingle/Jaccard/edit structure is EXACTLY the source corpus's, while
+  *    cross-copy shingle overlap is zero. Near-dup pair density therefore
+  *    scales linearly, like ingesting `factor` disjoint crawls (replicating
+  *    texts verbatim would instead manufacture a quadratic all-pairs
+  *    duplicate blowup no real corpus has);
+  *  - embeddings multiply by a deterministic per-(copy, dim) ±1 sign
+  *    pattern for copies > 0: norms and within-copy cosines are
+  *    bit-identical (sign² = 1 leaves every elementwise product unchanged),
+  *    cross-copy cosines scramble toward 0 on isotropic data.
+  *
+  * The scaled tier is self-consistent by construction: the DuckDB oracle
+  * and the Spark queries read the same parquet, so CORRECTNESS at the new
+  * tier is a true hash-match sweep, not an extrapolation.
+  *
+  * Usage: runMain graft.ScaleUp <srcDir> <dstDir> <factor>
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, dstDir, fStr) = args
+    val factor = fStr.toInt
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.legacy.sizeOfNull", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val copies = spark.range(factor).toDF("copy")
+    def src(t: String): DataFrame = spark.read.parquet(s"$srcDir/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.repartition(cpus.toInt).write.mode("overwrite")
+        .parquet(s"$dstDir/$t.parquet")
+    def keyMax(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).head().getLong(0)
+    // replicate factor× and shift each named int64 key by copy·(max+1):
+    // copies never collide, and any two tables shifting the same key by the
+    // same offset keep their join edges within-copy
+    def shifted(df: DataFrame, keyOffsets: (String, Long)*): DataFrame =
+      keyOffsets.foldLeft(df.crossJoin(copies)) { case (d, (c, off)) =>
+        d.withColumn(c, col(c) + col("copy") * off)
+      }
+
+    // fixed dims — verbatim
+    write(src("region"), "region")
+    write(src("nation"), "nation")
+
+    val cOff = keyMax(src("customer"), "c_custkey") + 1
+    val oOff = keyMax(src("orders"), "o_orderkey") + 1
+    val pOff = keyMax(src("part"), "p_partkey") + 1
+    val sOff = keyMax(src("supplier"), "s_suppkey") + 1
+    write(shifted(src("customer"), "c_custkey" -> cOff).drop("copy"), "customer")
+    write(shifted(src("supplier"), "s_suppkey" -> sOff).drop("copy"), "supplier")
+    write(shifted(src("part"), "p_partkey" -> pOff).drop("copy"), "part")
+    write(shifted(src("orders"),
+      "o_orderkey" -> oOff, "o_custkey" -> cOff).drop("copy"), "orders")
+    write(shifted(src("lineitem"),
+      "l_orderkey" -> oOff, "l_partkey" -> pOff, "l_suppkey" -> sOff)
+      .drop("copy"), "lineitem")
+
+    // events via Tables.events: the source ts is TIMESTAMP(NANOS), which
+    // becomes a plain µs timestamp here — the scaled tier reads natively
+    val ev = Tables.events(spark, srcDir)
+    val eOff = keyMax(ev, "event_id") + 1
+    val uOff = keyMax(ev, "user_id") + 1
+    write(shifted(ev, "event_id" -> eOff, "user_id" -> uOff)
+      .drop("copy"), "events")
+
+    val docsSrc = src("documents")
+    val dOff = keyMax(docsSrc, "doc_id") + 1
+    write(shifted(docsSrc, "doc_id" -> dOff)
+      .withColumn("text", when($"copy" === 0, $"text").otherwise(
+        regexp_replace($"text", lit("(\\S+)"), concat(lit("$1_c"), $"copy"))))
+      .withColumn("n_chars",
+        when($"text".isNull, $"n_chars").otherwise(length($"text").cast("long")))
+      .drop("copy"), "documents")
+
+    val embSrc = src("embeddings")
+    val vOff = keyMax(embSrc, "vec_id") + 1
+    write(shifted(embSrc, "vec_id" -> vOff)
+      .withColumn("embedding", when($"copy" === 0, $"embedding").otherwise(
+        transform($"embedding",
+          (x, j) => when(pmod(hash($"copy", j), lit(2)) === 0, x).otherwise(-x))))
+      .drop("copy"), "embeddings")
+
+    println(s"[scaleup] wrote $dstDir at factor $factor from $srcDir")
+    spark.stop()
+  }
+}

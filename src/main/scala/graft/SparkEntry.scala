@@ -343,8 +343,8 @@ object SparkEntry {
            FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0)) AS w
                  FROM documents) GROUP BY 1) c USING (keyword)
          ORDER BY k.keyword""",
-    // exact oracle valid because the 31-word vocabulary fits the 32-counter
-    // MG budget (candidate set lossless); see SketchQueries.heavyHitters
+    // exact oracle valid because the corpus vocabulary fits the MG counter
+    // budget (candidate set lossless); see SketchQueries.heavyHitters
     "q_heavy_hitters" ->
       """SELECT w AS word, count(*) AS n
          FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0)) AS w FROM documents)

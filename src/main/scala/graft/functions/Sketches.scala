@@ -211,9 +211,14 @@ object Sketches {
       ExpressionEncoder[Map[String, Long]]()
   }
 
-  /** Default counter budget: 32 counters → any word with freq > n/32
-    * survives. */
-  val MgCounters = 32
+  /** Default counter budget: any word with freq > n/[[MgCounters]] is
+    * guaranteed a surviving counter. 1024 keeps the summary tiny (one
+    * ≤1023-entry map shuffles once) while making the top-10 guarantee hold
+    * far beyond the test corpora: Zipfian text has its rank-10 word at
+    * ~n/30 ≫ n/1024, and even the deliberately flat scaled tiers (sf1's
+    * ~310-word suffixed vocabulary, each word ≈ n/310) stay lossless.
+    * The lossy small-k regime is pinned separately in SketchSpec. */
+  val MgCounters = 1024
 
   /** Untyped (DataFrame) registrations: `cms($"tok")`, `fm($"text")`. */
   val cms = org.apache.spark.sql.functions.udaf(new CmsAggregator(), Encoders.STRING)

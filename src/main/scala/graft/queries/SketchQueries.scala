@@ -109,9 +109,10 @@ object SketchQueries {
     * guaranteed in it) → exact-count ONLY the candidates → top-10. The
     * scale pattern: the first pass shuffles one ≤31-entry map, the second
     * counts a filtered token stream — never a full-vocabulary aggregation.
-    * On this corpus the vocabulary (31 words) fits the counter budget, so
-    * the candidate set is lossless and the exact top-10 oracle applies;
-    * the lossy regime (k smaller than vocabulary) is pinned in SketchSpec
+    * The test corpora's vocabularies (31 words at sf0.01, ~310 at the
+    * suffix-scaled sf1 tier) fit the [[Sketches.MgCounters]] budget, so the
+    * candidate set is lossless and the exact top-10 oracle applies; the
+    * lossy regime (k smaller than vocabulary) is pinned in SketchSpec
     * against the MG guarantees. */
   def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

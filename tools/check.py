@@ -7,7 +7,12 @@ names), row count, and a hash of the value matrix with columns sorted by
 name and rows sorted. Usage:
 
     sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"
-    python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_out
+    python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_out [out.json]
+
+The optional third argument writes a driver-style CORRECTNESS json
+(per-query rows/schema/hash match) — used to publish sweeps at tiers the
+round driver does not run itself (e.g. the ScaleUp-generated sf1).
+Source tables may be plain files or Spark-written parquet directories.
 """
 import sys, os, json, hashlib
 import duckdb
@@ -27,14 +32,17 @@ def canon(df: pd.DataFrame) -> str:
     rows = sorted(tuple(cell(v) for v in row) for row in df.itertuples(index=False, name=None))
     return hashlib.md5(repr(rows).encode()).hexdigest()
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None):
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+            # Spark writes a directory of part files; DuckDB needs the glob
+            srcp = f"{p}/*.parquet" if os.path.isdir(p) else p
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{srcp}'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
+    results = {}
     # any registered query whose Verify dump is missing (query threw) is a
     # FAIL, not a silent skip — rows-only queries included (queries.txt is
     # the full registry manifest; fall back to oracle keys if absent)
@@ -47,6 +55,9 @@ def main(sf_dir, out_dir):
         expected = set(oracle)
     for name in sorted(expected - dumped):
         print(f"  [FAIL] {name}: no Verify output (query failed?)")
+        results[name] = {"rows_match": False, "schema_match": False,
+                         "hash_match": False, "spark_rows": None,
+                         "oracle_rows": None, "err": "no_verify_output"}
         n_fail += 1
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
@@ -58,19 +69,32 @@ def main(sf_dir, out_dir):
             # silently — mirror the driver's rows>0 smoke contract
             if len(got) == 0:
                 print(f"  [FAIL] {name}: rows-only dump has 0 rows")
+                results[name] = {"rows_match": False, "schema_match": None,
+                                 "hash_match": None, "spark_rows": 0,
+                                 "oracle_rows": None, "err": "rows_only_empty"}
                 n_fail += 1
             else:
                 print(f"  [rows-only] {name}: rows={len(got)}")
+                results[name] = {"rows_match": None, "schema_match": None,
+                                 "hash_match": None, "spark_rows": len(got),
+                                 "oracle_rows": None, "err": "no_oracle"}
             continue
         try:
             exp = con.sql(oracle[name]).df()
         except Exception as e:
             print(f"  [FAIL] {name}: oracle error: {e}")
+            results[name] = {"rows_match": None, "schema_match": None,
+                             "hash_match": None, "spark_rows": len(got),
+                             "oracle_rows": None,
+                             "err": f"oracle_error: {e}"}
             n_fail += 1
             continue
         ok_schema = sorted(got.columns) == sorted(exp.columns)
         ok_rows = len(got) == len(exp)
         ok_hash = ok_schema and ok_rows and canon(got) == canon(exp)
+        results[name] = {"rows_match": ok_rows, "schema_match": ok_schema,
+                         "hash_match": ok_hash, "spark_rows": len(got),
+                         "oracle_rows": len(exp), "err": None}
         if ok_hash:
             print(f"  [ok] {name}: rows={len(got)}")
             n_pass += 1
@@ -90,8 +114,13 @@ def main(sf_dir, out_dir):
                 for i in idx:
                     print(f"     row {i} got: {gs.iloc[i].to_dict()}")
                     print(f"     row {i} exp: {es.iloc[i].to_dict()}")
+    if json_out:
+        with open(json_out, "w") as fh:
+            json.dump(results, fh, indent=2, sort_keys=True)
+        print(f"wrote {json_out}")
     print(f"PASS {n_pass} FAIL {n_fail}")
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
