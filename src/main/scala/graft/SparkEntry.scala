@@ -474,13 +474,17 @@ object SparkEntry {
          FROM j QUALIFY rank <= 10 ORDER BY query_id, rank""",
     // DECIMAL accumulation on both sides: order-independent exact sums, so
     // Spark's partial-merge order and DuckDB's parallel fold agree at ANY
-    // SF (doubles diverge in the 6th decimal past ~10^5 rows)
+    // SF (doubles diverge in the 6th decimal past ~10^5 rows). Product
+    // sums (scale 4/6) re-round to CENTS while still decimal: past
+    // 2^53/10^scale the decimal→double conversion itself differs between
+    // engines by an ulp (hit by sum_charge at the 10× tier); a scale-2 sum
+    // casts exactly until ~9e13.
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 6) AS sum_qty,
          round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 6) AS sum_base_price,
-         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE), 6) AS sum_disc_price,
-         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2)) * CAST(1 + l_tax AS DECIMAL(12,2))) AS DOUBLE), 6) AS sum_charge,
+         round(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))), 2) AS DOUBLE), 6) AS sum_disc_price,
+         round(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2)) * CAST(1 + l_tax AS DECIMAL(12,2))), 2) AS DOUBLE), 6) AS sum_charge,
          round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
          round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_price,
          round(CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
@@ -491,8 +495,8 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc_price,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2)) * CAST(1 + l_tax AS DECIMAL(12,2))) AS DOUBLE) AS sum_charge,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_disc_price,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2)) * CAST(1 + l_tax AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_charge,
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          GROUP BY 1, 2 ORDER BY 1, 2""",
@@ -505,7 +509,7 @@ object SparkEntry {
          GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10""",
     "q_revenue_by_nation" ->
       """SELECT r_name, n_name,
-         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE), 6) AS revenue,
+         round(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))), 2) AS DOUBLE), 6) AS revenue,
          count(*) AS n_items
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey

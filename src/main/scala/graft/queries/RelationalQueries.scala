@@ -29,7 +29,11 @@ object RelationalQueries {
     // a double fold's result depends on partial-aggregate merge order, which
     // diverges from DuckDB's parallel fold in the 6th decimal past ~10^5
     // rows); averages divide the exact sum as double — deterministic at any
-    // SF and any parallelism
+    // SF and any parallelism. Product sums (scale 4/6) are re-rounded to
+    // CENTS while still decimal: a scale-6 sum's scaled integer passes 2^53
+    // near 9e9 (hit at the 10× tier), where decimal→double conversion
+    // rounding starts to differ between engines; at scale 2 the cast stays
+    // exactly representable until sums reach ~9e13.
     def dec(c: org.apache.spark.sql.Column) = dec2(c)
     val n = count(lit(1))
     Tables.lineitem(spark, dir)
@@ -38,10 +42,10 @@ object RelationalQueries {
       .agg(
         round(sum(dec(col("l_quantity"))).cast("double"), 6).as("sum_qty"),
         round(sum(dec(col("l_extendedprice"))).cast("double"), 6).as("sum_base_price"),
-        round(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+        round(round(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))), 2)
           .cast("double"), 6).as("sum_disc_price"),
-        round(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))
-          * dec(lit(1) + col("l_tax"))).cast("double"), 6).as("sum_charge"),
+        round(round(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))
+          * dec(lit(1) + col("l_tax"))), 2).cast("double"), 6).as("sum_charge"),
         round(sum(dec(col("l_quantity"))).cast("double") / n, 6).as("avg_qty"),
         round(sum(dec(col("l_extendedprice"))).cast("double") / n, 6).as("avg_price"),
         round(sum(dec(col("l_discount"))).cast("double") / n, 6).as("avg_disc"),
@@ -53,10 +57,13 @@ object RelationalQueries {
     * is cast to DECIMAL before summing, so partial-aggregate merge order
     * (and DuckDB's parallel fold order) cannot perturb a single bit — the
     * float formulation's last-ulp divergence at large row counts (SURVEY
-    * §7.4#2) is structurally impossible here. The exact decimal sum is cast
-    * to double only once, at the end, identically on both sides. Monetary
-    * inputs carry 2 decimals, so DECIMAL(12,2) per-value casts are lossless.
-    */
+    * §7.4#2) is structurally impossible here. The exact decimal sum is
+    * re-rounded to cents while still decimal, then cast to double once at
+    * the end: past 2^53/10^scale (~9e9 for the scale-6 charge sum — hit at
+    * the 10× tier) engines legitimately disagree on the last ulp of a
+    * decimal→double conversion, while a cents-scale sum stays exactly
+    * representable until ~9e13. Monetary inputs carry 2 decimals, so
+    * DECIMAL(12,2) per-value casts are lossless. */
   def pricingSummaryExact(spark: SparkSession, dir: String): DataFrame = {
     val ep = dec2(col("l_extendedprice"))
     val disc1 = dec2(lit(1) - col("l_discount"))
@@ -67,8 +74,8 @@ object RelationalQueries {
       .agg(
         sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
         sum(ep).cast("double").as("sum_base_price"),
-        sum(ep * disc1).cast("double").as("sum_disc_price"),
-        sum(ep * disc1 * tax1).cast("double").as("sum_charge"),
+        round(sum(ep * disc1), 2).cast("double").as("sum_disc_price"),
+        round(sum(ep * disc1 * tax1), 2).cast("double").as("sum_charge"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -100,8 +107,10 @@ object RelationalQueries {
       .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
       .groupBy(col("r_name"), col("n_name"))
       // exact decimal accumulation: immune to merge-order float divergence
-      .agg(round(sum(dec2(col("l_extendedprice"))
-             * dec2(lit(1) - col("l_discount"))).cast("double"), 6)
+      // cents re-round before the double cast — same 2^53/10^scale
+      // representability guard as the pricing summaries
+      .agg(round(round(sum(dec2(col("l_extendedprice"))
+             * dec2(lit(1) - col("l_discount"))), 2).cast("double"), 6)
            .as("revenue"),
            count(lit(1)).as("n_items"))
       .orderBy("r_name", "n_name")
