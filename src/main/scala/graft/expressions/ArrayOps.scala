@@ -55,15 +55,22 @@ case class DotProductDouble(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName, not fixed locals: two instances of this expression can
+      // land in ONE codegen function (e.g. dot(v,c)/l2norm(v) inline), and
+      // fixed names made Janino fail with "Redefinition of local variable",
+      // silently demoting the whole stage to interpreted fallback
+      val n = ctx.freshName("dpN")
+      val sum = ctx.freshName("dpSum")
+      val i = ctx.freshName("dpI")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double sum = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  if (!$a.isNullAt(i) && !$b.isNullAt(i)) {
-         |    sum += $a.getDouble(i) * $b.getDouble(i);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $sum += $a.getDouble($i) * $b.getDouble($i);
          |  }
          |}
-         |${ev.value} = sum;
+         |${ev.value} = $sum;
        """.stripMargin
     })
 

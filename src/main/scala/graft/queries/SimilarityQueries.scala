@@ -366,11 +366,14 @@ object SimilarityQueries {
       .select($"vec_id".as("cid"), $"v".as("cv"),
         Similarity.l2norm($"v").as("cn"))
       .localCheckpoint()
+    // own norm column (one map-only pass) so the assignment expression has
+    // a single dot product per row — norms are never recomputed per pair
+    val base = emb.select($"vec_id", $"v")
+      .withColumn("vn", Similarity.l2norm($"v"))
     val byVec = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
     for (_ <- 0 until iters) {
-      val assigned = emb.crossJoin(broadcast(cents))
-        .withColumn("ccos",
-          Similarity.dot($"v", $"cv") / (Similarity.l2norm($"v") * $"cn"))
+      val assigned = base.crossJoin(broadcast(cents))
+        .withColumn("ccos", Similarity.dot($"v", $"cv") / ($"vn" * $"cn"))
         .withColumn("crn", row_number().over(byVec))
         .filter($"crn" === 1)
         .select($"cid", $"v")
