@@ -56,6 +56,7 @@ object SparkEntry {
     "q_embed_dup"      -> ((s, d) => SimilarityQueries.embedDupPairs(s, d)),
     "q_ann_ivf"        -> ((s, d) => SimilarityQueries.annIvf(s, d)),
     "q_label_centroids" -> ((s, d) => SimilarityQueries.labelCentroids(s, d)),
+    "q_kmeans_centroids" -> ((s, d) => SimilarityQueries.kmeansProfile(s, d)),
     "q_subword_stats"  -> ((s, d) => TextQueries.subwordStats(s, d)),
     // --- training-data pipeline ops (split/scrub/quality/ngram/tfidf) ---
     "q_hash_split"     -> ((s, d) => PipelineQueries.hashSplit(s, d)),
@@ -80,6 +81,7 @@ object SparkEntry {
     "q_semi_urgent"     -> ((s, d) => RelationalQueries.customersWithUrgentOrders(s, d)),
     "q_orders_rollup"   -> ((s, d) => RelationalQueries.ordersRollup(s, d)),
     "q_asof_join"       -> ((s, d) => RelationalQueries.asofJoin(s, d)),
+    "q_range_join"      -> ((s, d) => RelationalQueries.rangeJoin(s, d)),
     "q_distinct_by_type" -> ((s, d) => RelationalQueries.distinctUsersByType(s, d)),
     // --- engine-added analytics (sessions, windows, stats) ---
     "q_session_windows" -> ((s, d) => AnalyticQueries.sessionWindows(s, d)),
@@ -462,6 +464,42 @@ object SparkEntry {
          count(*) AS n_vecs
          FROM embeddings, range(1, 9) t(i)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // the two Lloyd rounds unrolled as CTEs: same lowest-vec_id seeds,
+    // same argmax-cosine assignment (tie -> lowest cid), same 6-dp mean
+    // rounding, empty cells keep their previous centroid. Sequential-fold
+    // dots (list_dot_product == the engine's codegen fold) + the rounding
+    // grid make every intermediate identical across engines.
+    "q_kmeans_centroids" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS vn
+           FROM embeddings),
+         c0 AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < 16),
+         a1 AS (SELECT e.vec_id, e.v, c.cid,
+             list_dot_product(e.v, c.cv) / (e.vn * sqrt(list_dot_product(c.cv, c.cv))) AS ccos
+           FROM emb e CROSS JOIN c0 c),
+         s1 AS (SELECT vec_id, v, cid FROM (
+             SELECT vec_id, v, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+             FROM a1) WHERE rn = 1),
+         m1 AS (SELECT cid, i, round(avg(v[i]), 6) AS m
+           FROM s1, range(1, 65) t(i) GROUP BY 1, 2),
+         c1 AS (SELECT c0.cid, coalesce(n1.cv, c0.cv) AS cv FROM c0
+           LEFT JOIN (SELECT cid, list(m ORDER BY i) AS cv FROM m1 GROUP BY 1) n1
+           USING (cid)),
+         a2 AS (SELECT e.vec_id, e.v, c.cid,
+             list_dot_product(e.v, c.cv) / (e.vn * sqrt(list_dot_product(c.cv, c.cv))) AS ccos
+           FROM emb e CROSS JOIN c1 c),
+         s2 AS (SELECT vec_id, v, cid FROM (
+             SELECT vec_id, v, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+             FROM a2) WHERE rn = 1),
+         m2 AS (SELECT cid, i, round(avg(v[i]), 6) AS m
+           FROM s2, range(1, 65) t(i) GROUP BY 1, 2),
+         c2 AS (SELECT c1.cid, coalesce(n2.cv, c1.cv) AS cv FROM c1
+           LEFT JOIN (SELECT cid, list(m ORDER BY i) AS cv FROM m2 GROUP BY 1) n2
+           USING (cid))
+         SELECT cid, i - 1 AS dim, cv[i] AS mean_val
+         FROM c2, range(1, 65) t(i) ORDER BY cid, dim""",
     "q_knn_cosine" ->
       """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
@@ -553,6 +591,21 @@ object SparkEntry {
     "q_distinct_by_type" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1 ORDER BY 1""",
+    // plain inequality-join formulation — the engine's bin-bucketed equi
+    // join must produce exactly this
+    "q_range_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, ts AS view_ts, value AS view_value
+               FROM events WHERE event_type = 'view'),
+         j AS (SELECT p.event_id, count(*) AS n_prior_views,
+                      sum(v.view_value) AS sv
+               FROM p JOIN v ON p.user_id = v.user_id
+                AND v.view_ts >= p.ts - INTERVAL 1 HOUR AND v.view_ts <= p.ts
+               GROUP BY 1)
+         SELECT p.event_id, p.user_id, p.ts,
+                coalesce(j.n_prior_views, 0) AS n_prior_views,
+                round(coalesce(j.sv, 0.0), 6) AS sum_view_value
+         FROM p LEFT JOIN j USING (event_id) ORDER BY p.event_id""",
     // FM rank r = trailing zero bits of the 128-bit md5 integer (reference
     // flajolent_stream.py:19-28; bin(0) == "0b0" counts as 1), via the low
     // 64-bit hex half — falling back to 64 + tz(high half) when the low

@@ -206,6 +206,45 @@ object RelationalQueries {
       .orderBy($"event_id")
   }
 
+  /** Bounded-RANGE join via bin bucketing — the batch companion of the
+    * streaming interval join (Pipeline.intervalJoin): every purchase
+    * paired with ALL views by the same user in the preceding hour, then
+    * aggregated per purchase.
+    *
+    * The naive formulation is an inequality join (user equi + ts
+    * BETWEEN), which the planner can only run as a per-user nested loop —
+    * quadratic on a hot user's history. Bin bucketing restores a pure
+    * EQUI join: both sides bucket into window-length (1 h) bins; a view
+    * inside [p.ts − 1 h, p.ts] necessarily lies in the purchase's bin or
+    * the one before, so each purchase explodes to exactly 2 candidate
+    * bins and the join key is (user_id, bin). Join fan-out is bounded by
+    * bin occupancy (events per user-hour) — never by total user history —
+    * and the exact range predicate filters inside the same stage. A view
+    * matches at most one of a purchase's two bin rows, so no dedup pass
+    * is needed. DuckDB oracles the plain inequality formulation. */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val v = ev.filter($"event_type" === "view")
+      .select($"user_id".as("v_user"), $"ts".as("view_ts"),
+        $"value".as("view_value"))
+      .withColumn("vbin", floor($"view_ts".cast("double") / 3600).cast("long"))
+    val pb = p
+      .withColumn("pbin", floor($"ts".cast("double") / 3600).cast("long"))
+      .withColumn("bin", explode(array($"pbin", $"pbin" - 1)))
+    val agg = pb.join(v, $"user_id" === $"v_user" && $"bin" === $"vbin" &&
+        $"view_ts" >= $"ts" - expr("INTERVAL 1 HOUR") && $"view_ts" <= $"ts")
+      .groupBy($"event_id".as("eid"))
+      .agg(count(lit(1)).as("nv"), sum($"view_value").as("sv"))
+    p.join(agg, $"event_id" === $"eid", "left")
+      .select($"event_id", $"user_id", $"ts",
+        coalesce($"nv", lit(0L)).as("n_prior_views"),
+        round(coalesce($"sv", lit(0.0)), 6).as("sum_view_value"))
+      .orderBy($"event_id")
+  }
+
   /** Exact distinct users per event type via the two-stage shuffle
     * (groupBy(key, user) → groupBy(key)): the skew-safe formulation — the
     * first stage spreads a hot key's users across partitions and partial

@@ -128,11 +128,13 @@ object SimilarityQueries {
       .join(cnt, "doc_id")
       .filter($"r" <= $"n" - ceil($"n" * t) + 1 && $"df" > DfCap)
       .select($"doc_id", $"s", $"r", $"n")
-    val cands = common.select($"doc_a", $"doc_b")
-      .unionByName(ppjoinCandidates(hotPrefix, t))
-      .distinct()
-      .join(common, Seq("doc_a", "doc_b"), "left")
-      .na.fill(0L, Seq("c_rare"))
+    // the supplemental set is tiny, so dedup against `common` is a cheap
+    // anti-join of the small side — NOT a global distinct over all pairs
+    // (which would re-shuffle the whole rare-join output)
+    val extra = ppjoinCandidates(hotPrefix, t)
+      .join(common, Seq("doc_a", "doc_b"), "left_anti")
+      .withColumn("c_rare", lit(0L))
+    val cands = common.unionByName(extra)
     cands
       .join(cnt.as("x"), $"doc_a" === $"x.doc_id")
       .join(cnt.as("y"), $"doc_b" === $"y.doc_id")
@@ -357,9 +359,12 @@ object SimilarityQueries {
     * dedupComponents iteration shape: driver holds only the loop counter,
     * vectors never leave executors, `localCheckpoint` keeps the k-row
     * centroid plan constant-size across rounds. Cells that lose all
-    * members keep their previous centroid. Means are rounded to 9 dp so
+    * members keep their previous centroid. Means are rounded to 6 dp so
     * centroid bits — and therefore downstream IVF assignment — do not
-    * depend on partition fold order. */
+    * depend on partition fold order (fold-order noise on a cell mean is
+    * ~1e-15, nine orders below the rounding grid), which also makes the
+    * whole iteration SQL-expressible: q_kmeans_centroids carries a DuckDB
+    * oracle with the two Lloyd rounds unrolled as CTEs. */
   private[graft] def kmeansCentroids(emb: DataFrame, k: Int, iters: Int): DataFrame = {
     import emb.sparkSession.implicits._
     var cents = emb.filter($"vec_id" < k)
@@ -379,7 +384,7 @@ object SimilarityQueries {
         .select($"cid", $"v")
       val means = assigned
         .select($"cid", posexplode($"v").as(Seq("dim", "x")))
-        .groupBy($"cid", $"dim").agg(round(avg($"x"), 9).as("m"))
+        .groupBy($"cid", $"dim").agg(round(avg($"x"), 6).as("m"))
         .groupBy($"cid")
         .agg(transform(array_sort(collect_list(struct($"dim", $"m"))),
           s => s.getField("m")).as("cv"))
@@ -396,6 +401,22 @@ object SimilarityQueries {
     * — the first round does most of the inertia drop, and each round costs
     * one n×k assignment join at query time scale. */
   val KmeansIters = 2
+
+  /** The fitted k-means centroids as a (cid, dim, mean_val) profile — the
+    * registered, ORACLE-CHECKED face of [[kmeansCentroids]]: DuckDB reruns
+    * both Lloyd rounds as unrolled CTEs (same seeds, same argmax tiebreak,
+    * same 6-dp mean rounding) and must reproduce every component bit-for-
+    * bit. Sequential-fold dot products and the rounding grid make each
+    * round's output identical across engines, so round 2's assignment sees
+    * identical centroids — induction the oracle verifies end-to-end. */
+  def kmeansProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    kmeansCentroids(emb, 16, KmeansIters)
+      .select($"cid", posexplode($"cv").as(Seq("dim", "mean_val")))
+      .orderBy($"cid", $"dim")
+  }
 
   /** IVF-flat approximate NN: a coarse k-means quantizer
     * ([[kmeansCentroids]], [[KmeansIters]] Lloyd rounds from deterministic

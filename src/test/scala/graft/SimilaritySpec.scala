@@ -138,7 +138,7 @@ class SimilaritySpec extends SparkSpec {
     assert(seeds.count() == 16 && fitted.count() == 16)
     assert(cost(fitted) <= cost(seeds) + 1e-6,
       s"Lloyd rounds made the quantizer worse: ${cost(fitted)} vs ${cost(seeds)}")
-    // bit-identical across invocations (9-dp mean rounding kills fold noise)
+    // bit-identical across invocations (6-dp mean rounding kills fold noise)
     val a = fitted.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     val b = SimilarityQueries.kmeansCentroids(emb, 16, SimilarityQueries.KmeansIters)
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
