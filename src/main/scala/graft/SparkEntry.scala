@@ -65,6 +65,7 @@ object SparkEntry {
     "q_stratified_sample" -> ((s, d) => PipelineQueries.stratifiedSample(s, d)),
     "q_bigram_counts"  -> ((s, d) => PipelineQueries.bigramCounts(s, d)),
     "q_tfidf_top"      -> ((s, d) => PipelineQueries.tfidfTop(s, d)),
+    "q_domain_stats"   -> ((s, d) => PipelineQueries.domainStats(s, d)),
     // --- multimodal binary-column plumbing (stub decode, real pipeline) ---
     "q_media_meta"     -> ((s, d) => MultimodalQueries.mediaMeta(s, d)),
     "q_media_features" -> ((s, d) => MultimodalQueries.mediaFeatures(s, d)),
@@ -277,6 +278,14 @@ object SparkEntry {
           AND sym_ratio < 0.3 AND n_stops >= 2
           AND (CASE WHEN total3 > 0 THEN 1.0 - CAST(distinct3 AS DOUBLE)/total3 ELSE 0.0 END) < 0.3) AS keep
        FROM m ORDER BY doc_id""",
+    // regexp_extract returns '' on no match in BOTH engines → '(none)'
+    "q_domain_stats" ->
+      """SELECT CASE WHEN d = '' THEN '(none)' ELSE d END AS domain,
+         count(*) AS n_docs, CAST(sum(nu) AS BIGINT) AS n_urls
+         FROM (SELECT lower(regexp_extract(text, 'https?://([^/\s]+)', 1)) AS d,
+                 len(regexp_extract_all(text, 'https?://[^\s]+')) AS nu
+               FROM documents)
+         GROUP BY 1 ORDER BY 1""",
     "q_bigram_counts" ->
       """SELECT bigram, count(*) AS n
          FROM (SELECT unnest(list_transform(range(1, greatest(len(t)-1, 0)+1),

@@ -79,6 +79,25 @@ object PipelineQueries {
             UrlRe, "[URL]")).as("scrubbed_len"))
       .orderBy("doc_id")
 
+  /** Per-domain document profile — the corpus-curation "domain mixing"
+    * view (how much of the corpus comes from each host, the input to
+    * domain up/down-sampling decisions): first-URL host per document,
+    * documents and total URL mentions per domain. Documents without a URL
+    * fall into the '(none)' bucket so the operator is total (and the
+    * synthetic corpus, which carries no URLs, still exercises the full
+    * extraction arithmetic end-to-end, like piiScrub). Map + partial/final
+    * aggregate; domain cardinality is bounded by the web, not the corpus. */
+  def domainStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        lower(regexp_extract(col("text"), "https?://([^/\\s]+)", 1)).as("d"),
+        size(regexp_extract_all(col("text"), lit(UrlRe), lit(0))).as("nu"))
+      .withColumn("domain",
+        when(col("d") === "", lit("(none)")).otherwise(col("d")))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nu").cast("long")).as("n_urls"))
+      .orderBy(col("domain"))
+
   /** Gopher-style rule-based quality flags (Rae et al. 2021 §A1.1, adapted
     * thresholds): word count bounds, mean word length bounds, symbol ratio,
     * stopword presence, and 3-gram repetition ratio (1 − distinct/total
