@@ -66,6 +66,7 @@ object SparkEntry {
     "q_bigram_counts"  -> ((s, d) => PipelineQueries.bigramCounts(s, d)),
     "q_tfidf_top"      -> ((s, d) => PipelineQueries.tfidfTop(s, d)),
     "q_domain_stats"   -> ((s, d) => PipelineQueries.domainStats(s, d)),
+    "q_token_shards"   -> ((s, d) => PipelineQueries.tokenShards(s, d)),
     // --- multimodal binary-column plumbing (stub decode, real pipeline) ---
     "q_media_meta"     -> ((s, d) => MultimodalQueries.mediaMeta(s, d)),
     "q_media_features" -> ((s, d) => MultimodalQueries.mediaFeatures(s, d)),
@@ -278,6 +279,23 @@ object SparkEntry {
           AND sym_ratio < 0.3 AND n_stops >= 2
           AND (CASE WHEN total3 > 0 THEN 1.0 - CAST(distinct3 AS DOUBLE)/total3 ELSE 0.0 END) < 0.3) AS keep
        FROM m ORDER BY doc_id""",
+    // global token-stream offsets: the engine's distributed prefix sum
+    // must equal this single plain running-sum window over doc_id order
+    "q_token_shards" ->
+      """WITH t AS (SELECT doc_id,
+           len(list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0)) AS n_tokens
+         FROM documents),
+       c AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(sum(CAST(n_tokens AS BIGINT))
+             OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cume
+         FROM t)
+       SELECT doc_id, n_tokens, cume - n_tokens AS start_offset,
+         (cume - n_tokens) // 2048 AS start_shard,
+         CASE WHEN n_tokens = 0 THEN (cume - n_tokens) // 2048
+              ELSE (cume - 1) // 2048 END AS end_shard,
+         CASE WHEN n_tokens = 0 THEN FALSE
+              ELSE (cume - n_tokens) // 2048 != (cume - 1) // 2048 END AS spans_boundary
+       FROM c ORDER BY doc_id""",
     // regexp_extract returns '' on no match in BOTH engines → '(none)'
     "q_domain_stats" ->
       """SELECT CASE WHEN d = '' THEN '(none)' ELSE d END AS domain,

@@ -98,6 +98,48 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("nu").cast("long")).as("n_urls"))
       .orderBy(col("domain"))
 
+  /** Tokens per pretraining context window for [[tokenShards]]. */
+  val ShardTokens = 2048L
+
+  /** Token-stream sharding — the sequence-packing bookkeeping of a
+    * pretraining pipeline: documents are concatenated in doc_id order into
+    * one token stream that training consumes as fixed-size context
+    * windows; this computes each document's start offset in the stream and
+    * the shard span it occupies (including whether it straddles a window
+    * boundary — the docs a packing-aware loader treats specially).
+    *
+    * The running total is a DISTRIBUTED ordered prefix sum, not a global
+    * window: range-partition by doc_id, cumsum within each partition, then
+    * per-partition base offsets from a #partitions-row frame (that tiny
+    * frame's own running sum is the only single-partition window, by
+    * construction bounded by cluster width, and it broadcasts back). The
+    * result is independent of the partition count — pinned in
+    * PipelineSpec against a single-partition reference. */
+  def tokenShards(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .repartitionByRange(col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val wIn = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+    val cum = toks.withColumn("local_end", sum(col("n_tokens")).over(wIn))
+    val wP = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = cum.groupBy(col("pid")).agg(max(col("local_end")).as("ptotal"))
+      .withColumn("base", coalesce(sum(col("ptotal")).over(wP), lit(0L)))
+      .select(col("pid"), col("base"))
+    cum.join(broadcast(bases), "pid")
+      .withColumn("start_offset", col("base") + col("local_end") - col("n_tokens"))
+      .withColumn("start_shard", expr(s"start_offset div $ShardTokens"))
+      .withColumn("end_shard",
+        when(col("n_tokens") === 0, col("start_shard"))
+          .otherwise(expr(s"(base + local_end - 1) div $ShardTokens")))
+      .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+        col("start_shard"), col("end_shard"),
+        (col("start_shard") =!= col("end_shard")).as("spans_boundary"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Gopher-style rule-based quality flags (Rae et al. 2021 §A1.1, adapted
     * thresholds): word count bounds, mean word length bounds, symbol ratio,
     * stopword presence, and 3-gram repetition ratio (1 − distinct/total
