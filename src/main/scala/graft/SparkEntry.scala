@@ -102,6 +102,14 @@ object SparkEntry {
     "q_dow_profile"     -> ((s, d) => AnalyticQueries.dowProfile(s, d)),
     "q_token_positions" -> ((s, d) => TextQueries.tokenPositions(s, d)),
     "q_winnow_fp"       -> ((s, d) => TextQueries.winnowFingerprints(s, d)),
+    // --- round-3 additions: RAG chunking, decontamination, collocations,
+    // --- dataset card, SemDeDup, skew-salted join ---
+    "q_chunk_windows"  -> ((s, d) => TextQueries.chunkWindows(s, d)),
+    "q_contamination"  -> ((s, d) => PipelineQueries.contamination(s, d)),
+    "q_pmi_bigrams"    -> ((s, d) => PipelineQueries.pmiBigrams(s, d)),
+    "q_corpus_card"    -> ((s, d) => PipelineQueries.corpusCard(s, d)),
+    "q_semantic_dedup" -> ((s, d) => SimilarityQueries.semanticDedup(s, d)),
+    "q_salted_join"    -> ((s, d) => RelationalQueries.saltedJoin(s, d)),
   )
 
   /** Decay expression shared by the EDW oracles (DuckDB `epoch()` returns
@@ -130,6 +138,40 @@ object SparkEntry {
 
   private val JaccardOracle =
     JaccardCte + " SELECT doc_a, doc_b, jaccard FROM jp ORDER BY doc_a, doc_b"
+
+  /** The distributed k-means quantizer's two Lloyd rounds unrolled as CTEs
+    * (seeds = lowest vec_ids; argmax-cosine assignment, tie → lowest cid;
+    * 6-dp mean grid; empty cells keep their previous centroid) — shared by
+    * the q_kmeans_centroids profile and the q_semantic_dedup assignment. */
+  private val KmeansCte =
+    """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS vn
+           FROM embeddings),
+         c0 AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < 16),
+         a1 AS (SELECT e.vec_id, e.v, c.cid,
+             list_dot_product(e.v, c.cv) / (e.vn * sqrt(list_dot_product(c.cv, c.cv))) AS ccos
+           FROM emb e CROSS JOIN c0 c),
+         s1 AS (SELECT vec_id, v, cid FROM (
+             SELECT vec_id, v, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+             FROM a1) WHERE rn = 1),
+         m1 AS (SELECT cid, i, round(avg(v[i]), 6) AS m
+           FROM s1, range(1, 65) t(i) GROUP BY 1, 2),
+         c1 AS (SELECT c0.cid, coalesce(n1.cv, c0.cv) AS cv FROM c0
+           LEFT JOIN (SELECT cid, list(m ORDER BY i) AS cv FROM m1 GROUP BY 1) n1
+           USING (cid)),
+         a2 AS (SELECT e.vec_id, e.v, c.cid,
+             list_dot_product(e.v, c.cv) / (e.vn * sqrt(list_dot_product(c.cv, c.cv))) AS ccos
+           FROM emb e CROSS JOIN c1 c),
+         s2 AS (SELECT vec_id, v, cid FROM (
+             SELECT vec_id, v, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+             FROM a2) WHERE rn = 1),
+         m2 AS (SELECT cid, i, round(avg(v[i]), 6) AS m
+           FROM s2, range(1, 65) t(i) GROUP BY 1, 2),
+         c2 AS (SELECT c1.cid, coalesce(n2.cv, c1.cv) AS cv FROM c1
+           LEFT JOIN (SELECT cid, list(m ORDER BY i) AS cv FROM m2 GROUP BY 1) n2
+           USING (cid))"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -497,36 +539,9 @@ object SparkEntry {
     // dots (list_dot_product == the engine's codegen fold) + the rounding
     // grid make every intermediate identical across engines.
     "q_kmeans_centroids" ->
-      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS vn
-           FROM embeddings),
-         c0 AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < 16),
-         a1 AS (SELECT e.vec_id, e.v, c.cid,
-             list_dot_product(e.v, c.cv) / (e.vn * sqrt(list_dot_product(c.cv, c.cv))) AS ccos
-           FROM emb e CROSS JOIN c0 c),
-         s1 AS (SELECT vec_id, v, cid FROM (
-             SELECT vec_id, v, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
-             FROM a1) WHERE rn = 1),
-         m1 AS (SELECT cid, i, round(avg(v[i]), 6) AS m
-           FROM s1, range(1, 65) t(i) GROUP BY 1, 2),
-         c1 AS (SELECT c0.cid, coalesce(n1.cv, c0.cv) AS cv FROM c0
-           LEFT JOIN (SELECT cid, list(m ORDER BY i) AS cv FROM m1 GROUP BY 1) n1
-           USING (cid)),
-         a2 AS (SELECT e.vec_id, e.v, c.cid,
-             list_dot_product(e.v, c.cv) / (e.vn * sqrt(list_dot_product(c.cv, c.cv))) AS ccos
-           FROM emb e CROSS JOIN c1 c),
-         s2 AS (SELECT vec_id, v, cid FROM (
-             SELECT vec_id, v, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
-             FROM a2) WHERE rn = 1),
-         m2 AS (SELECT cid, i, round(avg(v[i]), 6) AS m
-           FROM s2, range(1, 65) t(i) GROUP BY 1, 2),
-         c2 AS (SELECT c1.cid, coalesce(n2.cv, c1.cv) AS cv FROM c1
-           LEFT JOIN (SELECT cid, list(m ORDER BY i) AS cv FROM m2 GROUP BY 1) n2
-           USING (cid))
-         SELECT cid, i - 1 AS dim, cv[i] AS mean_val
-         FROM c2, range(1, 65) t(i) ORDER BY cid, dim""",
+      (KmeansCte +
+        """ SELECT cid, i - 1 AS dim, cv[i] AS mean_val
+         FROM c2, range(1, 65) t(i) ORDER BY cid, dim"""),
     "q_knn_cosine" ->
       """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
@@ -774,5 +789,98 @@ object SparkEntry {
                  list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0) AS t
                FROM documents WHERE doc_id < 5)
          ORDER BY doc_id, pos""",
+    // sliding 32-token windows every 24 tokens; DuckDB list slices are
+    // 1-based inclusive and clamp, matching Spark's slice(t, start+1, 32)
+    "q_chunk_windows" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0) AS t
+         FROM documents),
+       s AS (SELECT doc_id, t, unnest(range(0, len(t), 24)) AS start_tok
+         FROM t WHERE len(t) > 0)
+       SELECT doc_id, start_tok // 24 AS chunk_id, start_tok,
+         len(t[start_tok+1:start_tok+32]) AS n_chunk_tokens,
+         md5(array_to_string(t[start_tok+1:start_tok+32], ' ')) AS chunk_fp
+       FROM s ORDER BY doc_id, chunk_id""",
+    // benchmark set = every 50th doc; flagged uses the ROUNDED ratio on
+    // both sides so the threshold compare can never straddle an ulp
+    "q_contamination" ->
+      """WITH toks AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0) AS t
+         FROM documents),
+       shing AS (SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, greatest(len(t)-2, 0)+1),
+             i -> array_to_string(t[i:i+2], ' ')))) AS s
+         FROM toks),
+       bench AS (SELECT DISTINCT s FROM shing WHERE doc_id % 50 = 0),
+       cnt AS (SELECT doc_id, count(*) AS n FROM shing WHERE doc_id % 50 != 0 GROUP BY 1),
+       hits AS (SELECT sh.doc_id, count(*) AS n_hit
+         FROM shing sh JOIN bench USING (s) WHERE sh.doc_id % 50 != 0 GROUP BY 1),
+       r AS (SELECT d.doc_id, coalesce(cnt.n, 0) AS n_shingles,
+           coalesce(hits.n_hit, 0) AS n_hit
+         FROM documents d
+         LEFT JOIN cnt ON d.doc_id = cnt.doc_id
+         LEFT JOIN hits ON d.doc_id = hits.doc_id
+         WHERE d.doc_id % 50 != 0)
+       SELECT doc_id, n_shingles, n_hit,
+         round(CASE WHEN n_shingles > 0
+           THEN CAST(n_hit AS DOUBLE) / n_shingles ELSE 0.0 END, 6) AS contamination,
+         (round(CASE WHEN n_shingles > 0
+           THEN CAST(n_hit AS DOUBLE) / n_shingles ELSE 0.0 END, 6) >= 0.2) AS flagged
+       FROM r ORDER BY doc_id""",
+    // identical parenthesization to the engine's pmi expression; rounded
+    // to 6 dp BEFORE ranking; bigram text is unique per row so the
+    // (pmi, bigram) order is total
+    "q_pmi_bigrams" ->
+      """WITH t AS (SELECT list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0) AS t
+         FROM documents),
+       uni AS (SELECT unnest(t) AS w FROM t),
+       uc AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+       n1 AS (SELECT count(*) AS n1 FROM uni),
+       bg AS (SELECT unnest(list_transform(range(1, greatest(len(t)-1, 0)+1),
+           i -> t[i] || ' ' || t[i+1])) AS bigram FROM t),
+       n2 AS (SELECT count(*) AS n2 FROM bg),
+       bc AS (SELECT bigram, count(*) AS n_pair FROM bg GROUP BY 1 HAVING count(*) >= 5)
+       SELECT bigram, n_pair,
+         round(ln((CAST(n_pair AS DOUBLE) / n2) /
+           ((CAST(u1.c AS DOUBLE) / n1) * (CAST(u2.c AS DOUBLE) / n1))), 6) AS pmi
+       FROM bc
+       JOIN uc u1 ON u1.w = string_split(bigram, ' ')[1]
+       JOIN uc u2 ON u2.w = string_split(bigram, ' ')[2]
+       CROSS JOIN n1 CROSS JOIN n2
+       ORDER BY pmi DESC, bigram LIMIT 20""",
+    // quantile_cont == Spark's exact interpolated percentile
+    "q_corpus_card" ->
+      """WITH d AS (SELECT source, lang, length(text) AS n_chars,
+           CAST(len(list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0)) AS BIGINT) AS n_tokens
+         FROM documents)
+       SELECT source, count(*) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         round(avg(n_tokens), 6) AS avg_doc_tokens,
+         round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+         round(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
+         count(DISTINCT lang) AS n_langs
+       FROM d GROUP BY 1 ORDER BY 1""",
+    // final assignment against the fitted c2 centroids, then pairs only
+    // WITHIN a cluster (SemDeDup semantics) at the 0.4 cosine threshold
+    "q_semantic_dedup" ->
+      (KmeansCte +
+        """, a3 AS (SELECT e.vec_id, e.v, e.vn, c.cid,
+             list_dot_product(e.v, c.cv) / (e.vn * sqrt(list_dot_product(c.cv, c.cv))) AS ccos
+           FROM emb e CROSS JOIN c2 c),
+         s3 AS (SELECT vec_id, v, vn, cid FROM (
+             SELECT vec_id, v, vn, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+             FROM a3) WHERE rn = 1)
+         SELECT a.cid AS cluster, a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.v, b.v) / (a.vn * b.vn), 6) AS cosine
+         FROM s3 a JOIN s3 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         WHERE list_dot_product(a.v, b.v) / (a.vn * b.vn) >= 0.4
+         ORDER BY vec_a, vec_b"""),
+    // the salted join must reproduce the plain equi-join exactly
+    "q_salted_join" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n_events,
+         round(sum(value), 6) AS total_value
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 }

@@ -179,6 +179,104 @@ object PipelineQueries {
       .orderBy(col("n").desc, col("bigram"))
       .limit(20)
 
+  /** Benchmark documents for [[contamination]]: every 50th doc_id stands in
+    * for a held-out eval suite (at real scale: the actual benchmark corpus,
+    * always tiny next to the training corpus). */
+  private def isBench(c: org.apache.spark.sql.Column) = c % 50 === 0
+
+  /** Contamination threshold: a training doc sharing ≥ 20% of its distinct
+    * 3-grams with the benchmark set is flagged for exclusion. */
+  val ContaminationThreshold = 0.2
+
+  /** Benchmark-contamination check — the decontamination step every serious
+    * training pipeline runs (Brown et al. 2020 §C, public method): for each
+    * training document, the fraction of its distinct token 3-grams that
+    * also appear in the benchmark n-gram set; docs above
+    * [[ContaminationThreshold]] are flagged for removal.
+    *
+    * Scale shape: the benchmark n-gram set is eval-suite-sized (MBs at
+    * 100 TB corpus scale), so it BROADCASTS — the hit count is a map-side
+    * broadcast-hash semi-join on the exploded corpus n-grams followed by a
+    * partial+final count per doc. The corpus side never shuffles on the
+    * n-gram key; cost is one pass over corpus tokens. */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sets = Tables.documents(spark, dir)
+      .select($"doc_id", graft.functions.Similarity.shingles($"text").as("sh"))
+    val bench = sets.filter(isBench($"doc_id"))
+      .select(explode($"sh").as("s")).distinct()
+    val corpus = sets.filter(!isBench($"doc_id"))
+    val hits = corpus.select($"doc_id", explode($"sh").as("s"))
+      .join(broadcast(bench), "s")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_hit"))
+    corpus.select($"doc_id", size($"sh").as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hit", coalesce($"n_hit", lit(0L)))
+      .withColumn("contamination",
+        round(when($"n_shingles" > 0,
+          $"n_hit".cast("double") / $"n_shingles".cast("double"))
+          .otherwise(lit(0.0)), 6))
+      .withColumn("flagged", $"contamination" >= ContaminationThreshold)
+      .orderBy($"doc_id")
+  }
+
+  /** Minimum pair count for a bigram to be scored in [[pmiBigrams]] (PMI of
+    * rare pairs is noise — the standard collocation-extraction guard). */
+  val PmiMinCount = 5L
+
+  /** Top-20 collocations by pointwise mutual information:
+    * PMI(a,b) = ln( p(ab) / (p(a)·p(b)) ) with p(ab) over bigram positions
+    * and p(·) over unigram positions — the classic measure of "these two
+    * tokens co-occur far more than chance" (Church & Hanks 1990, public).
+    * Rounded to 6 dp BEFORE ranking; ties break on bigram text.
+    *
+    * Scale shape: two exploded partial+final hash aggregates (unigrams,
+    * bigrams); the unigram table is vocabulary-sized so it broadcasts to
+    * the bigram side twice; totals ride along as broadcast 1-row frames;
+    * top-k is TakeOrderedAndProject. No corpus-sized shuffle. */
+  def pmiBigrams(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(explode(Text.tokenize($"text")).as("w"))
+    val uni = toks.groupBy($"w").agg(count(lit(1)).as("c"))
+    val n1 = toks.agg(count(lit(1)).as("n1"))
+    val bigs = docs.select(explode(Text.ngrams($"text", 2)).as("bigram"))
+    val n2 = bigs.agg(count(lit(1)).as("n2"))
+    bigs.groupBy($"bigram").agg(count(lit(1)).as("n_pair"))
+      .filter($"n_pair" >= PmiMinCount)
+      .withColumn("w1", split($"bigram", " ")(0))
+      .withColumn("w2", split($"bigram", " ")(1))
+      .join(broadcast(uni.toDF("w1", "c1")), "w1")
+      .join(broadcast(uni.toDF("w2", "c2")), "w2")
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .withColumn("pmi", round(
+        log(($"n_pair".cast("double") / $"n2") /
+          (($"c1".cast("double") / $"n1") * ($"c2".cast("double") / $"n1"))), 6))
+      .select($"bigram", $"n_pair", $"pmi")
+      .orderBy($"pmi".desc, $"bigram")
+      .limit(20)
+  }
+
+  /** Per-source dataset card — the corpus summary sheet a data curator
+    * publishes next to a training mix: document and token volume, length
+    * distribution (exact interpolated p50/p90 chars), and language spread
+    * per source. One partial+final aggregate; output rows = #sources. */
+  def corpusCard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"source", $"lang", length($"text").as("n_chars"),
+        Text.tokenCount($"text").cast("long").as("n_tokens"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("n_tokens"),
+        round(avg($"n_tokens"), 6).as("avg_doc_tokens"),
+        round(percentile($"n_chars", lit(0.5)), 6).as("p50_chars"),
+        round(percentile($"n_chars", lit(0.9)), 6).as("p90_chars"),
+        countDistinct($"lang").as("n_langs"))
+      .orderBy($"source")
+  }
+
   /** Per-document top-3 terms by TF-IDF (tf · ln(N/df), rounded to 6 dp
     * BEFORE ranking so Spark and DuckDB rank identically; ties → term).
     * df and N are corpus aggregates carried through joins — the whole op is

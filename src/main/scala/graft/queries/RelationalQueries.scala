@@ -262,4 +262,38 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_users"))
       .orderBy($"event_type")
   }
+
+  /** Salt replicas for [[saltedJoin]] — bounds any single join-key
+    * partition at 1/[[SaltBuckets]] of the hottest key's rows. */
+  val SaltBuckets = 8
+
+  /** Skew-salted equi-join: the mitigation for the case AQE's skew-join
+    * split cannot reach — a build side too big to broadcast joined to a
+    * probe side whose key distribution is pathological (one user = 10% of
+    * 100 TB). The probe side gets a deterministic salt
+    * pmod(hash(row-key), S); the build side explodes into S replicas, one
+    * per salt; the join key becomes (key, salt), so the hot key's rows
+    * spread across S partitions instead of one straggler task. Exactness:
+    * every probe row meets exactly the one build replica carrying its
+    * salt, so the result multiset is IDENTICAL to the plain join — which
+    * is exactly what the oracle (plain-join SQL) and the parity pin in
+    * RelationalSpec check. Cost: build side ×S (bounded — it's the
+    * smaller side), probe side unchanged, one shuffle either way.
+    *
+    * Demonstrated here as event enrichment: events (probe, skewed
+    * user_id in the wild) join customer (build) on user_id = c_custkey,
+    * rolled up to nation market-segment totals. */
+  def saltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"value",
+        pmod(hash($"event_id"), lit(SaltBuckets)).as("salt"))
+    val cust = Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_nationkey", $"c_mktsegment",
+        explode(sequence(lit(0), lit(SaltBuckets - 1))).as("salt"))
+    ev.join(cust, $"user_id" === $"c_custkey" && ev("salt") === cust("salt"))
+      .groupBy($"c_nationkey", $"c_mktsegment")
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 6).as("total_value"))
+      .orderBy($"c_nationkey", $"c_mktsegment")
+  }
 }

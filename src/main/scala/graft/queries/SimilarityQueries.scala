@@ -572,4 +572,43 @@ object SimilarityQueries {
       .filter($"rank" <= 3)
       .orderBy($"query_id", $"rank")
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    * method): cluster the embedding space with the fitted k-means
+    * quantizer ([[kmeansCentroids]], same [[KmeansIters]] Lloyd rounds the
+    * ANN/metric-join operators use), then compare vectors only WITHIN
+    * their cluster and report pairs with cosine ≥ [[EmbedDupThreshold]] —
+    * the within-cluster near-duplicates SemDeDup prunes (keep the lowest
+    * vec_id of each pair).
+    *
+    * This is the semantic complement of [[embedDupPairs]]: the metric join
+    * is exact over ALL pairs, while SemDeDup deliberately restricts to
+    * cluster-local comparisons — at 100 TB that is the difference between
+    * a bounded per-cell O(Σ mᵢ²) and anything pair-global. The assignment
+    * is a broadcast of k centroids; the pair join shuffles once on the
+    * cluster id, so no executor ever sees more than one cluster's
+    * partition. Fully deterministic (6-dp centroid grid, argmax tie →
+    * lowest cid), so the DuckDB oracle replays the two Lloyd rounds plus
+    * the final assignment and must hash-match every pair. */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.l2norm($"v"))
+    val cents = kmeansCentroids(emb, 16, KmeansIters)
+    val byVec = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("ccos", Similarity.dot($"v", $"cv") / ($"nrm" * $"cn"))
+      .withColumn("crn", row_number().over(byVec))
+      .filter($"crn" === 1)
+      .select($"vec_id", $"v", $"nrm", $"cid")
+    assigned.as("a")
+      .join(assigned.as("b"),
+        $"a.cid" === $"b.cid" && $"a.vec_id" < $"b.vec_id")
+      .withColumn("cos", Similarity.dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm"))
+      .filter($"cos" >= EmbedDupThreshold)
+      .select($"a.cid".as("cluster"), $"a.vec_id".as("vec_a"),
+        $"b.vec_id".as("vec_b"), round($"cos", 6).as("cosine"))
+      .orderBy($"vec_a", $"vec_b")
+  }
 }

@@ -140,4 +140,37 @@ object TextQueries {
       .groupBy(Text.fingerprint(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
       .orderBy("keeper_doc_id")
+
+  /** Tokens per retrieval chunk for [[chunkWindows]]. */
+  val ChunkSize = 32
+  /** Token stride between consecutive chunk starts (= size − overlap 8). */
+  val ChunkStride = 24
+
+  /** Sliding token-window chunking — the RAG / context-window splitter:
+    * every document becomes overlapping chunks of [[ChunkSize]] tokens
+    * starting every [[ChunkStride]] tokens (8-token overlap keeps sentences
+    * that straddle a boundary retrievable from both sides). Emits one row
+    * per chunk with its ordinal, start offset, length (the final chunk may
+    * be short), and the chunk-text md5 — the key a chunk store / vector
+    * indexer ingests. Tokenless documents produce no chunks.
+    *
+    * Scale shape: `sequence` + `posexplode` + `slice` are all codegen'd
+    * builtins, so the whole operator is a map-only explode — output rows
+    * ≈ tokens/stride, no shuffle at any corpus size (the orderBy is
+    * presentation-only for the oracle diff). */
+  def chunkWindows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", Text.tokenize($"text").as("t"))
+      .withColumn("n", size($"t"))
+      .filter($"n" > 0)
+      .select($"doc_id", $"t",
+        posexplode(sequence(lit(0), $"n" - 1, lit(ChunkStride)))
+          .as(Seq("chunk_id", "start_tok")))
+      .withColumn("ctoks", slice($"t", $"start_tok" + 1, lit(ChunkSize)))
+      .select($"doc_id", $"chunk_id", $"start_tok",
+        size($"ctoks").as("n_chunk_tokens"),
+        md5(concat_ws(" ", $"ctoks")).as("chunk_fp"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
 }
