@@ -15,6 +15,11 @@ run / fork := true
 // the "[info] " prefix made the Bench JSON line unparseable by the round
 // driver (BENCH_r01/r02 carried "parsed": null)
 run / outputStrategy := Some(StdoutOutput)
+// ...and suppress the trailing "[success] Total time: ..." logger line so the
+// Bench JSON is the LAST stdout line (BENCH_r03 still had "parsed": null —
+// the driver parses the final line of captured output)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
