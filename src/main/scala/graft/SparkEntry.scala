@@ -110,6 +110,16 @@ object SparkEntry {
     "q_corpus_card"    -> ((s, d) => PipelineQueries.corpusCard(s, d)),
     "q_semantic_dedup" -> ((s, d) => SimilarityQueries.semanticDedup(s, d)),
     "q_salted_join"    -> ((s, d) => RelationalQueries.saltedJoin(s, d)),
+    // --- round-4 additions: substring-level dedup, repetition profile,
+    // --- unigram-LM scoring, per-stratum quantile gate, skip-grams,
+    // --- deterministic HLL, int8 embedding quant, bucketed join ---
+    "q_dup_ngrams"      -> ((s, d) => CorpusQueries.dupNgrams(s, d)),
+    "q_rep_profile"     -> ((s, d) => CorpusQueries.repProfile(s, d)),
+    "q_unigram_lm"      -> ((s, d) => CorpusQueries.unigramSurprisal(s, d)),
+    "q_quantile_filter" -> ((s, d) => CorpusQueries.quantileFilter(s, d)),
+    "q_skipgrams"       -> ((s, d) => CorpusQueries.skipgramPairs(s, d)),
+    "q_embed_quant"     -> ((s, d) => CorpusQueries.embedQuant(s, d)),
+    "q_bucketed_join"   -> ((s, d) => RelationalQueries.bucketedJoin(s, d)),
   )
 
   /** Decay expression shared by the EDW oracles (DuckDB `epoch()` returns
@@ -876,6 +886,148 @@ object SparkEntry {
          FROM s3 a JOIN s3 b ON a.cid = b.cid AND a.vec_id < b.vec_id
          WHERE list_dot_product(a.v, b.v) / (a.vn * b.vn) >= 0.4
          ORDER BY vec_a, vec_b"""),
+    // 8-token gram whose corpus count > 1 marks each of its positions as
+    // duplicated; per-doc duplicated-position fraction (flag on the ROUNDED
+    // value so the threshold compare can never straddle an ulp)
+    "q_dup_ngrams" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0) AS t
+         FROM documents),
+       gr AS (SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(t)-7, 0)+1),
+             i -> array_to_string(t[i:i+7], ' '))) AS g
+         FROM t),
+       c AS (SELECT g, count(*) AS c FROM gr GROUP BY 1),
+       d AS (SELECT gr.doc_id, count(*) AS n_dup
+         FROM gr JOIN c USING (g) WHERE c.c > 1 GROUP BY 1)
+       SELECT t.doc_id, CAST(greatest(len(t.t)-7, 0) AS BIGINT) AS n_grams,
+         coalesce(d.n_dup, 0) AS n_dup_grams,
+         round(CASE WHEN greatest(len(t.t)-7, 0) > 0
+           THEN CAST(coalesce(d.n_dup, 0) AS DOUBLE) / greatest(len(t.t)-7, 0)
+           ELSE 0.0 END, 6) AS dup_frac,
+         (round(CASE WHEN greatest(len(t.t)-7, 0) > 0
+           THEN CAST(coalesce(d.n_dup, 0) AS DOUBLE) / greatest(len(t.t)-7, 0)
+           ELSE 0.0 END, 6) >= 0.2) AS flagged
+       FROM t LEFT JOIN d USING (doc_id) ORDER BY doc_id""",
+    // within-doc repetition: dup-token / dup-bigram fraction and top-bigram
+    // concentration; keep gate over the ROUNDED fractions
+    "q_rep_profile" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0) AS t
+         FROM documents),
+       s AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(t)) AS BIGINT) AS ndt FROM t),
+       bgr AS (SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(t)-1, 0)+1),
+             i -> t[i] || ' ' || t[i+1])) AS bg
+         FROM t),
+       per AS (SELECT doc_id, bg, count(*) AS c FROM bgr GROUP BY 1, 2),
+       a AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot, count(*) AS dst
+         FROM per GROUP BY 1)
+       SELECT doc_id, n_tokens, dup_token_frac, top_bigram_frac, dup_bigram_frac,
+         (dup_token_frac < 0.6 AND top_bigram_frac < 0.2 AND dup_bigram_frac < 0.4) AS keep
+       FROM (SELECT s.doc_id, s.n_tokens,
+         round(CASE WHEN s.n_tokens > 0
+           THEN 1.0 - CAST(s.ndt AS DOUBLE) / s.n_tokens ELSE 0.0 END, 6) AS dup_token_frac,
+         round(CASE WHEN a.tot > 0
+           THEN CAST(a.mx AS DOUBLE) / a.tot ELSE 0.0 END, 6) AS top_bigram_frac,
+         round(CASE WHEN a.tot > 0
+           THEN 1.0 - CAST(a.dst AS DOUBLE) / a.tot ELSE 0.0 END, 6) AS dup_bigram_frac
+         FROM s LEFT JOIN a USING (doc_id))
+       ORDER BY doc_id""",
+    // in-corpus unigram LM: p(w) = c(w)/N; mean surprisal ln(N/c) and its
+    // exp (perplexity); empty docs surface NULL scores on both sides
+    "q_unigram_lm" ->
+      """WITH toks AS (SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0)) AS w
+         FROM documents),
+       uni AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+       n AS (SELECT count(*) AS n1 FROM toks),
+       sc AS (SELECT doc_id, count(*) AS n_tokens,
+           avg(ln(CAST(n1 AS DOUBLE) / CAST(c AS DOUBLE))) AS nll
+         FROM toks JOIN uni USING (w) CROSS JOIN n GROUP BY 1)
+       SELECT d.doc_id, sc.n_tokens, round(sc.nll, 6) AS mean_nll,
+         round(exp(sc.nll), 6) AS ppl
+       FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+       ORDER BY d.doc_id""",
+    // per-source p25 quality gate; threshold and quality both 6-dp-rounded
+    // so every keep/cut decision is ulp-safe; quality expr == q_quality_scores
+    "q_quantile_filter" ->
+      """WITH q AS (SELECT doc_id, source,
+         round((least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+           + (1.0 - least(CASE WHEN length(regexp_replace(text, '\s', '', 'g')) > 0
+               THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+                 / length(regexp_replace(text, '\s', '', 'g')) ELSE 0.0 END * 4.0, 1.0))
+           + least(CASE WHEN len(list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0)) > 0
+               THEN CAST(len(list_filter(list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0),
+                 t -> lower(t) IN ('the','a','an','and','or','of','to','in','is','are','was','it','for','on','with','as','at','by','be','this','that'))) AS DOUBLE)
+                 / len(list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0)) ELSE 0.0 END * 5.0, 1.0)) / 3.0, 6) AS quality
+         FROM documents),
+       thr AS (SELECT source, round(quantile_cont(quality, 0.25), 6) AS p25,
+           count(*) AS n_total FROM q GROUP BY 1)
+       SELECT q.source, t.p25, t.n_total, count(*) AS n_kept,
+         round(CAST(count(*) AS DOUBLE) / t.n_total, 6) AS kept_frac
+       FROM q JOIN thr t USING (source) WHERE q.quality >= t.p25
+       GROUP BY 1, 2, 3 ORDER BY q.source""",
+    // all ordered within-doc token pairs at distance 1..2 (word2vec
+    // skip-gram window); top-20 by count, pair-text tiebreak
+    "q_skipgrams" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0) AS t
+         FROM documents),
+       p AS (SELECT doc_id, unnest(range(1, len(t)+1)) AS i, t FROM t),
+       w AS (SELECT doc_id, i, t[i] AS w FROM p),
+       pr AS (SELECT a.w AS center, b.w AS context
+         FROM w a JOIN w b
+           ON a.doc_id = b.doc_id AND abs(a.i - b.i) BETWEEN 1 AND 2)
+       SELECT center, context, count(*) AS n FROM pr GROUP BY 1, 2
+       ORDER BY n DESC, center, context LIMIT 20""",
+    // engine HLL (p=12): index = top 12 bits of the md5 low-64 half, rank =
+    // trailing-zero count of the low-52 field + 1 (0 -> 53; the proven
+    // q_distinct_fm bin()/rtrim formulation); register sum as the exact
+    // HUGEINT sum of 2^(53-M); identical estimator expression both engines
+    "q_distinct_hll" ->
+      """WITH h AS (SELECT CAST('0x' || substr(md5(text), 17, 16) AS UBIGINT) AS h
+         FROM documents),
+       ir AS (SELECT CAST(h >> 52 AS INT) AS idx,
+           CASE WHEN h % 4503599627370496 = 0 THEN 53
+                ELSE CAST(length(bin(h % 4503599627370496))
+                       - length(rtrim(bin(h % 4503599627370496), '0')) AS INT) + 1
+           END AS r
+         FROM h),
+       reg AS (SELECT idx, max(r) AS m FROM ir GROUP BY 1),
+       s AS (SELECT sum(1::HUGEINT << (53 - m))
+               + (4096 - count(*)) * (1::HUGEINT << 53) AS s,
+             4096 - count(*) AS zeros FROM reg)
+       SELECT round(CASE WHEN 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
+             * 9007199254740992.0 / CAST(s AS DOUBLE) <= 10240.0 AND zeros > 0
+           THEN 4096.0 * ln(4096.0 / zeros)
+           ELSE 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
+             * 9007199254740992.0 / CAST(s AS DOUBLE) END, 6) AS hll_estimate,
+         CAST(zeros AS BIGINT) AS n_zero_registers,
+         (SELECT count(DISTINCT text) FROM documents) AS exact_distinct
+       FROM s""",
+    // symmetric int8 quant: scale = max|v|/127, q = floor(x/scale + 0.5)
+    // (explicit half-up floor — round() tie rules differ across engines);
+    // rmse in ppm so 6-dp rounding keeps discrimination
+    "q_embed_quant" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       m AS (SELECT vec_id, v,
+           list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+       x AS (SELECT vec_id, scale, unnest(v) AS x FROM m),
+       qq AS (SELECT vec_id, scale, x,
+           CASE WHEN scale = 0 THEN 0.0 ELSE floor(x / scale + 0.5) END AS q
+         FROM x)
+       SELECT vec_id, round(scale, 6) AS scale,
+         count(CASE WHEN abs(q) = 127.0 THEN 1 END) AS n_sat,
+         round(sqrt(avg((x - q*scale)*(x - q*scale))) * 1000000.0, 6) AS rmse_ppm
+       FROM qq GROUP BY vec_id, scale ORDER BY vec_id""",
+    // the bucketed co-located join must reproduce the plain equi-join
+    "q_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+         round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 6) AS total_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1""",
     // the salted join must reproduce the plain equi-join exactly
     "q_salted_join" ->
       """SELECT c_nationkey, c_mktsegment, count(*) AS n_events,

@@ -104,6 +104,81 @@ object Sketches {
     def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 
+  // ----- HyperLogLog (register-array distinct sketch) -----
+
+  /** HLL precision: p=12 → m=4096 registers (±1.6% standard error), the
+    * classic production operating point (Flajolet et al. 2007, public). */
+  val HllP = 12
+  val HllM = 1 << HllP
+
+  /** Register index + rank of one item, from the low 64 bits of its 128-bit
+    * md5 (the same low-half convention the FM oracle pins): index = top
+    * [[HllP]] bits, rank = trailing-zero count of the remaining 52-bit field
+    * plus one (all-zero field → 53). Trailing zeros — FM's bit geometry —
+    * rather than the paper's leading zeros: over iid uniform bits the rank
+    * distribution is identical, and it reuses the `bin()`/`rtrim` SQL
+    * formulation the q_distinct_fm oracle already proves out. */
+  def hllIndexRank(s: String): (Int, Int) = {
+    val h = md5Int(s).longValue() // low 64 bits, unsigned bit pattern
+    val idx = (h >>> (64 - HllP)).toInt
+    val w = h & ((1L << (64 - HllP)) - 1)
+    val rank = if (w == 0L) 64 - HllP + 1
+               else java.lang.Long.numberOfTrailingZeros(w) + 1
+    (idx, rank)
+  }
+
+  /** Raw HLL state for [[HllAggregator.finish]]: the estimate plus the
+    * zero-register count (the linear-counting input — surfacing it makes the
+    * small-range branch auditable in query output). */
+  case class HllResult(estimate: Double, nZeroRegisters: Long)
+
+  /** HyperLogLog distinct-count sketch as a mergeable Aggregator: buffer =
+    * 4096-int register array (16 KB), reduce = register max, merge =
+    * element-wise max (associative + commutative + idempotent — safe under
+    * partial aggregation AND double-counting-proof, the property FM/CMS
+    * lack). Estimator: harmonic mean of register estimates with the
+    * standard small-range linear-counting fallback (E ≤ 2.5m with empty
+    * registers → m·ln(m/V)).
+    *
+    * Fully deterministic — md5 bits, integer register state, and a
+    * fixed-shape float expression — so unlike Spark's built-in
+    * `approx_count_distinct` it carries an exact DuckDB oracle: Σ 2^(−M_j)
+    * is accumulated as the INTEGER Σ 2^(53−M_j) (BigInteger here, HUGEINT
+    * in SQL — doubles would lose associativity past 2^53) and converted to
+    * double exactly once, in the same expression order on both engines. */
+  class HllAggregator extends Aggregator[String, Array[Int], HllResult] {
+    def zero: Array[Int] = new Array[Int](HllM)
+    def reduce(regs: Array[Int], item: String): Array[Int] = {
+      val (idx, rank) = hllIndexRank(item)
+      if (rank > regs(idx)) regs(idx) = rank
+      regs
+    }
+    def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < a.length) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+    def finish(regs: Array[Int]): HllResult = {
+      var zeros = 0L
+      var sum = BigInteger.ZERO
+      var i = 0
+      while (i < regs.length) {
+        if (regs(i) == 0) zeros += 1
+        sum = sum.add(BigInteger.ONE.shiftLeft(53 - regs(i)))
+        i += 1
+      }
+      // identical literal/operator order to the DuckDB oracle expression —
+      // left-associative, one integer→double conversion
+      val raw = 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0 *
+        9007199254740992.0 / sum.doubleValue()
+      val est = if (raw <= 10240.0 && zeros > 0) 4096.0 * math.log(4096.0 / zeros)
+                else raw
+      HllResult(est, zeros)
+    }
+    def bufferEncoder: Encoder[Array[Int]] = ExpressionEncoder[Array[Int]]()
+    def outputEncoder: Encoder[HllResult] = Encoders.product[HllResult]
+  }
+
   /** `cms_estimate(sketch, keyword)` as a column fn (tiny post-agg surface —
     * a UDF here is off the hot path; the heavy work is the aggregation). */
   val cmsEstimateUdf =
@@ -223,6 +298,7 @@ object Sketches {
   /** Untyped (DataFrame) registrations: `cms($"tok")`, `fm($"text")`. */
   val cms = org.apache.spark.sql.functions.udaf(new CmsAggregator(), Encoders.STRING)
   val fm = org.apache.spark.sql.functions.udaf(new FmAggregator(), Encoders.STRING)
+  val hll = org.apache.spark.sql.functions.udaf(new HllAggregator(), Encoders.STRING)
   val bloom = org.apache.spark.sql.functions.udaf(new BloomAggregator(), Encoders.STRING)
   val mg = org.apache.spark.sql.functions.udaf(new MisraGriesAggregator(), Encoders.STRING)
 }

@@ -1,0 +1,234 @@
+package graft.queries
+
+import graft.functions.Text
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators (round 4): substring-level duplicate
+  * detection, within-document repetition profiling, LM-based quality
+  * scoring, distribution-aware quality filtering, skip-gram extraction,
+  * and embedding quantization — the second ring of the training-data
+  * pipeline beyond PipelineQueries' splitting/scrubbing/rule-filter core.
+  *
+  * Scale posture is uniform: per-row scalar expressions plus partial+final
+  * hash aggregates; the only corpus-sized shuffles are the ones the
+  * semantics force (the global n-gram count of [[dupNgrams]] — the same
+  * lower bound a suffix-array formulation pays as a sort), and every
+  * reduction joins back through a vocabulary-sized broadcast side.
+  */
+object CorpusQueries {
+
+  /** Token width of the duplicated-substring probe in [[dupNgrams]]:
+    * 8-token grams — long enough that natural re-use is rare, short enough
+    * that near-verbatim boilerplate is caught (Lee et al. 2022 use 50 BPE
+    * tokens at web scale; the testdata documents are ~40 words). */
+  val DupGramK = 8
+
+  /** Flagging threshold: a doc with ≥ 20% duplicated gram positions is
+    * mostly boilerplate/copy and a substring-dedup pass would rewrite it. */
+  val DupFracThreshold = 0.2
+
+  /** Exact substring-level duplicate detection (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" — public
+    * method): a [[DupGramK]]-token gram occurring at more than one position
+    * in the corpus marks every one of its positions as duplicated text; the
+    * per-document duplicated-position fraction is the "how much of this doc
+    * exists elsewhere" signal that document-level dedup (minhash etc.)
+    * cannot see.
+    *
+    * Scale shape: posexploded grams → one global gram-count aggregate (the
+    * corpus-sized shuffle this operator is DEFINED by — a suffix array pays
+    * the same as a sort), then only grams with count > 1 join back.
+    * Duplicated grams are a small fraction of gram vocabulary on natural
+    * corpora, so the join-back side collapses and AQE broadcast-picks it;
+    * nothing driver-side. */
+  def dupNgrams(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val grams = docs.select($"doc_id",
+      explode(Text.ngrams($"text", DupGramK)).as("g"))
+    val dupGrams = grams.groupBy($"g").agg(count(lit(1)).as("c"))
+      .filter($"c" > 1).select($"g")
+    val dupPerDoc = grams.join(dupGrams, "g")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_dup"))
+    docs.select($"doc_id",
+        greatest(Text.tokenCount($"text") - (DupGramK - 1), lit(0))
+          .cast("long").as("n_grams"))
+      .join(dupPerDoc, Seq("doc_id"), "left")
+      .withColumn("n_dup_grams", coalesce($"n_dup", lit(0L)))
+      .withColumn("dup_frac",
+        round(when($"n_grams" > 0,
+          $"n_dup_grams".cast("double") / $"n_grams".cast("double"))
+          .otherwise(lit(0.0)), 6))
+      .withColumn("flagged", $"dup_frac" >= DupFracThreshold)
+      .select($"doc_id", $"n_grams", $"n_dup_grams", $"dup_frac", $"flagged")
+      .orderBy($"doc_id")
+  }
+
+  /** Within-document repetition profile — the Gopher repetition rules this
+    * engine didn't already cover in gopherQuality (Rae et al. 2021 §A1.1):
+    * duplicate-token fraction, duplicate-bigram fraction, and top-bigram
+    * concentration (count of the single most frequent bigram over all
+    * bigram positions). `keep` applies the paper's spirit thresholds on the
+    * ROUNDED values so the gate can never straddle an ulp.
+    *
+    * Scale shape: token stats are per-row scalars; bigram stats are a
+    * two-level hash aggregate (doc×bigram then doc) — keys never leave
+    * their doc_id shard after the first shuffle. */
+  def repProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val toks = Text.tokenize($"text")
+    val scalars = docs.select($"doc_id",
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct_tokens"))
+    val per = docs.select($"doc_id", explode(Text.ngrams($"text", 2)).as("bg"))
+      .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+    val bgAgg = per.groupBy($"doc_id").agg(
+      max($"c").as("mx"), sum($"c").as("tot"), count(lit(1)).as("dst"))
+    scalars.join(bgAgg, Seq("doc_id"), "left")
+      .withColumn("dup_token_frac",
+        round(when($"n_tokens" > 0,
+          lit(1.0) - $"n_distinct_tokens".cast("double") / $"n_tokens".cast("double"))
+          .otherwise(lit(0.0)), 6))
+      .withColumn("top_bigram_frac",
+        round(when($"tot".isNotNull && $"tot" > 0,
+          $"mx".cast("double") / $"tot".cast("double")).otherwise(lit(0.0)), 6))
+      .withColumn("dup_bigram_frac",
+        round(when($"tot".isNotNull && $"tot" > 0,
+          lit(1.0) - $"dst".cast("double") / $"tot".cast("double"))
+          .otherwise(lit(0.0)), 6))
+      .withColumn("keep",
+        $"dup_token_frac" < 0.6 && $"top_bigram_frac" < 0.2 &&
+          $"dup_bigram_frac" < 0.4)
+      .select($"doc_id", $"n_tokens", $"dup_token_frac", $"top_bigram_frac",
+        $"dup_bigram_frac", $"keep")
+      .orderBy($"doc_id")
+  }
+
+  /** Unigram-LM surprisal scoring — the cheapest useful "perplexity filter"
+    * (CCNet, Wenzek et al. 2020, scores with a KenLM; the unigram variant
+    * keeps the exact same pipeline shape with an in-corpus model): fit
+    * p(w) = c(w)/N on the corpus itself, score each document by its mean
+    * token surprisal ln(N/c(w)) and the equivalent perplexity. Low = boring
+    * boilerplate, high = atypical/noisy — both tails are filter candidates.
+    *
+    * Scale shape: one unigram count aggregate (vocabulary-sized result →
+    * broadcast back over the token stream), one per-doc mean. The "model"
+    * never exists off-executor; documents with no tokens surface NULL
+    * scores rather than vanishing. */
+  def unigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select($"doc_id", explode(Text.tokenize($"text")).as("w"))
+    val uni = toks.groupBy($"w").agg(count(lit(1)).as("c"))
+    val n1 = toks.agg(count(lit(1)).as("n1"))
+    val scored = toks.join(broadcast(uni), "w").crossJoin(broadcast(n1))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(log($"n1".cast("double") / $"c".cast("double"))).as("nll"))
+    docs.select($"doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        round($"nll", 6).as("mean_nll"),
+        round(exp($"nll"), 6).as("ppl"))
+      .orderBy($"doc_id")
+  }
+
+  /** Per-stratum quantile gate — distribution-aware quality filtering: a
+    * fixed threshold over a heterogeneous corpus clips good strata and
+    * passes bad ones, so production filters cut per-source (keep each
+    * source's top 75% by quality). Reports the per-source exact p25
+    * threshold and the kept volume.
+    *
+    * Scale shape: quality is a per-row scalar; the threshold frame is one
+    * row per source → broadcast back; the gate compares 6-dp-rounded
+    * quality to the 6-dp-rounded threshold so Spark and DuckDB make the
+    * identical keep/cut decision on every row. Exact percentile over a
+    * stratum is a single-key sort at 100 TB — swap in approx_percentile
+    * when strata stop fitting a shard; the gate logic is unchanged. */
+  def quantileFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", Text.qualityScore($"text").as("quality"))
+    val thr = q.groupBy($"source").agg(
+      round(percentile($"quality", lit(0.25)), 6).as("p25"),
+      count(lit(1)).as("n_total"))
+    q.join(broadcast(thr), "source")
+      .filter($"quality" >= $"p25")
+      .groupBy($"source", $"p25", $"n_total")
+      .agg(count(lit(1)).as("n_kept"))
+      .withColumn("kept_frac",
+        round($"n_kept".cast("double") / $"n_total".cast("double"), 6))
+      .select($"source", $"p25", $"n_total", $"n_kept", $"kept_frac")
+      .orderBy($"source")
+  }
+
+  /** Skip-gram context window for [[skipgramPairs]] (word2vec's default-ish
+    * small window; Mikolov et al. 2013, public). */
+  val SkipgramWindow = 2
+
+  /** Skip-gram (center, context) pair extraction — the co-occurrence stream
+    * word2vec-style embedding trainers consume: every ordered pair of
+    * tokens at distance 1..[[SkipgramWindow]] within a document. Top-20 by
+    * count (ties → pair text) as the registered profile; the unaggregated
+    * stream is the actual training feed.
+    *
+    * Scale shape: pairs are generated PER ROW by zipping the token array
+    * against itself shifted d places — array slice + zip + explode, no
+    * positions self-join (a join on doc_id is per-doc quadratic in the
+    * worst case and shuffles the token stream twice). The only shuffle is
+    * the final pair-count aggregate, bounded by pair vocabulary. */
+  def skipgramPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    def shifted(d: Int): DataFrame =
+      docs.select(Text.tokenize($"text").as("t"))
+        .filter(size($"t") > d)
+        .select(slice($"t", lit(1), size($"t") - d).as("a"),
+          slice($"t", lit(d + 1), size($"t") - d).as("b"))
+        .select(explode(arrays_zip($"a", $"b")).as("z"))
+        .select($"z.a".as("x"), $"z.b".as("y"))
+    val f = (1 to SkipgramWindow).map(shifted).reduce(_ union _)
+    f.select($"x".as("center"), $"y".as("context"))
+      .union(f.select($"y".as("center"), $"x".as("context")))
+      .groupBy($"center", $"context").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"center", $"context")
+      .limit(20)
+  }
+
+  /** Symmetric int8 range for [[embedQuant]]. */
+  val QuantLevels = 127.0
+
+  /** Per-vector symmetric int8 quantization profile — the storage/serving
+    * compression step of an embedding pipeline (4× smaller than float32):
+    * scale = max|v|/127, q_i = ⌊v_i/scale + 0.5⌋, and the reconstruction
+    * error that quantization costs. Saturation count rides along (q = ±127
+    * marks the max-magnitude dimension(s)).
+    *
+    * Explicit ⌊x+0.5⌋ rather than round(): Spark rounds doubles half-even
+    * via BigDecimal while engines differ on .5 ties, so the floor form is
+    * the only formulation that is bit-identical everywhere. RMSE is scaled
+    * to ppm (raw MSE of unit-norm-ish vectors rounds to 0 at 6 dp).
+    *
+    * Scale shape: posexplode → per-vector window max → per-vector
+    * aggregate; every row of a vector stays in its arrival partition, no
+    * corpus-sized shuffle beyond the one vec_id hash partition. */
+  def embedQuant(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"vec_id")
+    Tables.embeddings(spark, dir)
+      .select($"vec_id", posexplode($"embedding".cast("array<double>")).as(Seq("pos", "x")))
+      .withColumn("scale", max(abs($"x")).over(w) / QuantLevels)
+      .withColumn("q",
+        when($"scale" === 0.0, lit(0.0)).otherwise(floor($"x" / $"scale" + 0.5)))
+      .withColumn("err", $"x" - $"q" * $"scale")
+      .groupBy($"vec_id")
+      .agg(round(first($"scale"), 6).as("scale"),
+        count(when(abs($"q") === QuantLevels, 1)).as("n_sat"),
+        round(sqrt(avg($"err" * $"err")) * 1e6, 6).as("rmse_ppm"))
+      .orderBy($"vec_id")
+  }
+}

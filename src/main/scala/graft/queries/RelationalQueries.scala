@@ -296,4 +296,58 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_events"), round(sum($"value"), 6).as("total_value"))
       .orderBy($"c_nationkey", $"c_mktsegment")
   }
+
+  /** Bucket count for [[bucketedJoin]] — at 100 TB this is sized to the
+    * cluster (e.g. 4× executor count); 8 keeps the local files small. */
+  val JoinBuckets = 8
+
+  /** Co-located bucketed join — THE shuffle-elimination strategy for
+    * repeated fact-fact joins at 100 TB: both tables are written
+    * `bucketBy(N, key) sortBy(key)`, so every future join on that key reads
+    * bucket i against bucket i directly — no Exchange, no sort, just a
+    * streaming merge per bucket pair. One write-time shuffle is amortized
+    * over every subsequent join/aggregate on the key (the classic
+    * warehouse layout decision). RelationalSpec pins the plan: zero
+    * Exchange/Sort operators under the join.
+    *
+    * The bucketed copies are materialized once per (dataset, session) into
+    * a content-addressed external-table path and reused; rerunning the
+    * query in the same session hits only the catalog. */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val joined = bucketedOrdersCustomer(spark, dir)
+    joined.groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(dec2($"o_totalprice")).cast("double"), 6).as("total_price"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** The bare bucket-co-located join of [[bucketedJoin]], pre-aggregation —
+    * exposed so the plan test can assert the join stage is Exchange-free. */
+  def bucketedOrdersCustomer(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed/$tag"
+    def materialize(name: String, df: DataFrame, key: String): String = {
+      val table = s"graft_bkt_${name}_$tag"
+      if (!spark.catalog.tableExists(table))
+        // pre-partition on the bucket key so each bucket is ONE file —
+        // that is what lets the scan report per-bucket sort order and the
+        // join skip both Exchange and Sort
+        df.repartition(JoinBuckets, col(key))
+          .write.mode("overwrite")
+          .bucketBy(JoinBuckets, key).sortBy(key)
+          .option("path", s"$base/$name")
+          .saveAsTable(table)
+      table
+    }
+    val ot = materialize("orders", Tables.orders(spark, dir), "o_custkey")
+    val ct = materialize("customer", Tables.customer(spark, dir), "c_custkey")
+    // merge hint: models the 100-TB case where BOTH sides are fact-sized —
+    // without it local-mode picks a broadcast join and the planner disables
+    // the bucketed scan as pointless (it is, when one side broadcasts)
+    spark.table(ot).hint("merge")
+      .join(spark.table(ct), $"o_custkey" === $"c_custkey")
+  }
 }

@@ -47,13 +47,21 @@ object SketchQueries {
         countDistinct($"text").as("exact_distinct"))
   }
 
-  /** HyperLogLog++ distinct estimate — the engine's production-grade
-    * replacement for FM (far tighter error at the same memory). Rows-only. */
+  /** HyperLogLog distinct estimate — the engine's production-grade
+    * replacement for FM (±1.6% at p=12 vs FM's one-register 2^r coarseness,
+    * same mergeable-buffer shape). The engine's own deterministic HLL
+    * (Sketches.HllAggregator, md5-derived bits) rather than Spark's
+    * `approx_count_distinct`, so the full register pipeline — index/rank
+    * extraction, register max-merge, harmonic-mean estimator with the
+    * linear-counting branch — carries an exact DuckDB oracle; the built-in's
+    * xxhash64-based HLL++ is sketch-equivalent but not SQL-reproducible.
+    * Exact count rides along as the error yardstick. */
   def distinctHll(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
-      .agg(approx_count_distinct($"text").as("hll_estimate"),
-        countDistinct($"text").as("exact_distinct"))
+      .agg(Sketches.hll($"text").as("h"), countDistinct($"text").as("exact_distinct"))
+      .select(round($"h.estimate", 6).as("hll_estimate"),
+        $"h.nZeroRegisters".as("n_zero_registers"), $"exact_distinct")
   }
 
   /** Bloom-filter membership join: build a Bloom sketch over purchaser ids

@@ -1,0 +1,141 @@
+package graft
+
+import graft.functions.Sketches
+import graft.queries.{CorpusQueries, RelationalQueries}
+
+/** Round-4 operators: HLL sketch laws + accuracy, substring-dedup
+  * invariants, skip-gram semantics vs a driver-side reference, quantization
+  * error bounds, the quantile gate, and the bucketed join's Exchange-free
+  * plan. Value-level parity is the DuckDB oracle (tools/check.py). */
+class CorpusSpec extends SparkSpec {
+
+  test("HLL: merge is element-wise max (commutative, associative, idempotent)") {
+    val h = new Sketches.HllAggregator
+    val rnd = new scala.util.Random(11)
+    def sketch(seed: Int): Array[Int] =
+      (1 to 200).map(i => s"s$seed-${rnd.nextInt(100)}-$i")
+        .foldLeft(h.zero)(h.reduce)
+    val (a, b, c) = (sketch(1), sketch(2), sketch(3))
+    def cp(x: Array[Int]) = x.clone()
+    assert(h.merge(cp(a), cp(b)).toSeq == h.merge(cp(b), cp(a)).toSeq)
+    assert(h.merge(h.merge(cp(a), cp(b)), cp(c)).toSeq ==
+      h.merge(cp(a), h.merge(cp(b), cp(c))).toSeq)
+    assert(h.merge(cp(a), cp(a)).toSeq == a.toSeq) // dedup-proof
+  }
+
+  test("HLL: estimate within 5% at 10k distinct, linear-count branch small-n") {
+    val h = new Sketches.HllAggregator
+    val big = (1 to 10000).map(i => s"item-$i").foldLeft(h.zero)(h.reduce)
+    val est = h.finish(big).estimate
+    assert(math.abs(est - 10000) / 10000.0 < 0.05, s"est=$est") // p=12: 3σ ≈ 4.9%
+    val small = (1 to 100).map(i => s"item-$i").foldLeft(h.zero)(h.reduce)
+    val r = h.finish(small)
+    assert(r.nZeroRegisters > 0)
+    assert(math.abs(r.estimate - 100) / 100.0 < 0.05, s"small est=${r.estimate}")
+  }
+
+  test("HLL rank: trailing-zero geometry over the low 52-bit field") {
+    // every rank in [1, 53]; index in [0, 4095]
+    (1 to 1000).foreach { i =>
+      val (idx, rank) = Sketches.hllIndexRank(s"x$i")
+      assert(idx >= 0 && idx < 4096)
+      assert(rank >= 1 && rank <= 53)
+    }
+  }
+
+  test("dupNgrams: matches a driver-side 8-gram reference count") {
+    val rows = CorpusQueries.dupNgrams(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // reference: global 8-gram occurrence counts, then per-doc dup positions
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        Option(r.getString(1)).getOrElse("").split("\\s+").filter(_.nonEmpty))
+    val k = CorpusQueries.DupGramK
+    def grams(t: Array[String]) = t.sliding(k).filter(_.length == k).map(_.mkString(" ")).toSeq
+    val global = scala.collection.mutable.Map.empty[String, Int]
+    texts.foreach { case (_, t) => grams(t).foreach(g => global(g) = global.getOrElse(g, 0) + 1) }
+    texts.foreach { case (id, t) =>
+      val gs = grams(t)
+      val (nGrams, nDup, frac) = rows(id)
+      assert(nGrams == gs.size, s"doc $id n_grams")
+      assert(nDup == gs.count(global(_) > 1).toLong, s"doc $id n_dup_grams")
+      assert(frac >= 0.0 && frac <= 1.0)
+    }
+    // the corpus carries near-dup structure: some doc is fully duplicated text
+    assert(rows.values.exists { case (ng, nd, _) => ng > 0 && nd == ng },
+      "expected at least one fully-duplicated doc span")
+  }
+
+  test("skipgrams: top-20 matches a driver-side window-2 reference") {
+    val got = CorpusQueries.skipgramPairs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val ref = scala.collection.mutable.Map.empty[(String, String), Long]
+    graft.sources.Tables.documents(spark, sf).select("text").collect().foreach { r =>
+      val t = Option(r.getString(0)).getOrElse("").split("\\s+").filter(_.nonEmpty)
+      for (i <- t.indices; j <- t.indices
+           if i != j && math.abs(i - j) <= CorpusQueries.SkipgramWindow) {
+        val k = (t(i), t(j)); ref(k) = ref.getOrElse(k, 0L) + 1
+      }
+    }
+    val top = ref.toSeq.map { case ((a, b), n) => (a, b, n) }
+      .sortBy { case (a, b, n) => (-n, a, b) }.take(20)
+    assert(got.toSeq == top)
+  }
+
+  test("embedQuant: max dim saturates, error bounded by scale/2") {
+    val rows = CorpusQueries.embedQuant(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (scale, nSat, rmsePpm) = (r.getDouble(1), r.getLong(2), r.getDouble(3))
+      assert(scale > 0.0)
+      assert(nSat >= 1, "the max-|x| dimension must quantize to ±127")
+      // per-element |err| <= scale/2 (half-up rounding), so rmse <= scale/2
+      assert(rmsePpm <= scale / 2.0 * 1e6 + 1.0, s"rmse_ppm=$rmsePpm scale=$scale")
+    }
+  }
+
+  test("quantileFilter: gate keeps ~top-75% per source, never more than all") {
+    val rows = CorpusQueries.quantileFilter(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nTotal, nKept, frac) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(nKept <= nTotal)
+      assert(frac >= 0.7, s"p25 gate should keep >= ~75%, kept $frac")
+    }
+  }
+
+  test("repProfile: all-distinct docs score 0 on every repetition axis") {
+    val rows = CorpusQueries.repProfile(spark, sf).collect()
+    val distinctTok = rows.filter(_.getDouble(2) == 0.0) // dup_token_frac == 0
+    assert(rows.forall { r =>
+      Seq(2, 3, 4).forall(i => r.getDouble(i) >= 0.0 && r.getDouble(i) <= 1.0)
+    })
+    // no repeated token => no repeated bigram either
+    distinctTok.foreach { r =>
+      assert(r.getDouble(4) == 0.0, s"doc ${r.getLong(0)}: distinct tokens but dup bigrams")
+    }
+  }
+
+  test("unigramSurprisal: ppl = exp(mean_nll) and ppl bounded by corpus size") {
+    val df = CorpusQueries.unigramSurprisal(spark, sf)
+    val rows = df.collect()
+    val n1 = rows.map(_.getLong(1)).sum // total tokens
+    rows.foreach { r =>
+      val (nll, ppl) = (r.getDouble(2), r.getDouble(3))
+      assert(nll >= 0.0 && ppl >= 1.0 && ppl <= n1.toDouble)
+      assert(math.abs(ppl - math.exp(nll)) / ppl < 1e-3) // 6-dp rounding slack
+    }
+  }
+
+  test("bucketedJoin: join stage has no Exchange and matches the plain join") {
+    val joined = RelationalQueries.bucketedOrdersCustomer(spark, sf)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bucketed join plan shuffles:\n$plan")
+    val plain = graft.sources.Tables.orders(spark, sf).join(
+      graft.sources.Tables.customer(spark, sf),
+      org.apache.spark.sql.functions.col("o_custkey") ===
+        org.apache.spark.sql.functions.col("c_custkey"))
+    assert(joined.count() == plain.count())
+  }
+}
