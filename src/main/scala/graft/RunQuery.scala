@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: run ONE registered query against a tier, print timing over
+  * N passes and (optionally) the formatted physical plan.
+  *
+  *   sbt "runMain graft.RunQuery q_quantile_filter /root/testdata/sf0.1 3 plan"
+  */
+object RunQuery {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: RunQuery <q_name> <sfDir> [passes] [plan]")
+    val (name, dir) = (args(0), args(1))
+    val passes = if (args.length > 2) args(2).toInt else 3
+    val showPlan = args.contains("plan")
+    val fn = SparkEntry.queries.getOrElse(name,
+      sys.error(s"unknown query $name; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.legacy.sizeOfNull", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (showPlan) fn(spark, dir).explain("formatted")
+    (1 to passes).foreach { p =>
+      val t0 = System.nanoTime()
+      val n = fn(spark, dir).count()
+      println(f"[runquery] $name pass $p: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+    }
+    spark.stop()
+  }
+}
