@@ -5,10 +5,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * Every operator from SURVEY.md §2 that is SQL-expressible has BOTH a
-  * `queries` entry and an `oracleSql` twin (identical column aliases — the
-  * driver sorts columns by name before hashing). Approximate/sketch ops are
-  * `queries`-only (rows-only check) with exact twins carrying the oracle.
+  * Every registered query has an `oracleSql` twin (identical column
+  * aliases — the driver sorts columns by name before hashing); since round
+  * 5 there are ZERO rows-only entries. Approximate ops are oracled either
+  * by exact replay (q_ann_lsh / q_ann_ivf: deterministic planes/centroids
+  * inline into the SQL) or by in-engine error-bound booleans the oracle
+  * expects to hold (q_percentiles_approx).
   */
 object SparkEntry {
 
@@ -182,6 +184,19 @@ object SparkEntry {
          c2 AS (SELECT c1.cid, coalesce(n2.cv, c1.cv) AS cv FROM c1
            LEFT JOIN (SELECT cid, list(m ORDER BY i) AS cv FROM m2 GROUP BY 1) n2
            USING (cid))"""
+
+  /** The sign-LSH bucket id as SQL (VERDICT r4 #5): the 4 hyperplanes are
+    * deterministic compile-time constants (Similarity.Planes, seeded RNG),
+    * so they inline as DOUBLE[] literals — Scala's shortest-round-trip
+    * Double.toString parses back to the bit-identical double in DuckDB,
+    * and list_dot_product folds in the same sequential order as the
+    * engine's codegen dot product, so every sign (and hence every bucket)
+    * matches exactly. */
+  private val LshBucketSql: String =
+    graft.functions.Similarity.Planes.zipWithIndex.map { case (plane, j) =>
+      val lit = plane.map(_.toString).mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(v, $lit) >= 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -562,6 +577,41 @@ object SparkEntry {
          SELECT query_id, neighbor_id, cosine,
                 row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
          FROM j QUALIFY rank <= 10 ORDER BY query_id, rank""",
+    // full oracle for the sign-LSH ANN (VERDICT r4 #5): the hyperplanes
+    // inline as DOUBLE[] literals (see LshBucketSql), so DuckDB rebuilds
+    // the identical buckets and replays the bucket-local top-3 exactly
+    "q_ann_lsh" ->
+      (s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+            FROM embeddings),
+         b AS (SELECT vec_id, v, nrm, $LshBucketSql AS bucket FROM n),
+         j AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+               FROM b q JOIN b c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
+               WHERE q.vec_id < 10)
+         SELECT query_id, neighbor_id, cosine,
+                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         FROM j QUALIFY rank <= 3 ORDER BY query_id, rank"""),
+    // full oracle for IVF-flat (VERDICT r4 #5): the fitted quantizer's two
+    // Lloyd rounds replay as the shared KmeansCte (already bit-pinned by
+    // q_kmeans_centroids), then the same argmax assignment, inverted-list
+    // join (nprobe=1), and per-query top-3
+    "q_ann_ivf" ->
+      (KmeansCte +
+        """, a3 AS (SELECT e.vec_id, e.v, e.vn, c.cid,
+             list_dot_product(e.v, c.cv) / (e.vn * sqrt(list_dot_product(c.cv, c.cv))) AS ccos
+           FROM emb e CROSS JOIN c2 c),
+         s3 AS (SELECT vec_id, v, vn, cid FROM (
+             SELECT vec_id, v, vn, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+             FROM a3) WHERE rn = 1),
+         j AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round(list_dot_product(q.v, c.v) / (q.vn * c.vn), 6) AS cosine
+               FROM s3 q JOIN s3 c ON c.cid = q.cid AND c.vec_id != q.vec_id
+               WHERE q.vec_id < 10)
+         SELECT query_id, neighbor_id, cosine,
+                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         FROM j QUALIFY rank <= 3 ORDER BY query_id, rank"""),
     // DECIMAL accumulation on both sides: order-independent exact sums, so
     // Spark's partial-merge order and DuckDB's parallel fold agree at ANY
     // SF (doubles diverge in the 6th decimal past ~10^5 rows). Product
@@ -730,6 +780,18 @@ object SparkEntry {
          round(quantile_cont(value, 0.5), 6) AS p50,
          round(quantile_cont(value, 0.9), 6) AS p90,
          round(quantile_cont(value, 0.99), 6) AS p99
+         FROM events GROUP BY 1 ORDER BY 1""",
+    // error-bound oracle (VERDICT r4 #5): the engine asserts in-engine that
+    // each GK-sketch value lies inside the exact [p−ε, p+ε] envelope
+    // (ε = 1e-3 = 10× the accuracy-10000 rank guarantee); the oracle
+    // verifies the exact percentiles and expects every bound to HOLD — a
+    // sketch excursion flips a boolean and fails the hash
+    "q_percentiles_approx" ->
+      """SELECT event_type,
+         round(quantile_cont(value, 0.5), 6) AS p50,
+         round(quantile_cont(value, 0.9), 6) AS p90,
+         round(quantile_cont(value, 0.99), 6) AS p99,
+         TRUE AS ok50, TRUE AS ok90, TRUE AS ok99
          FROM events GROUP BY 1 ORDER BY 1""",
     "q_pivot_daily" ->
       """SELECT date_trunc('day', ts) AS day,

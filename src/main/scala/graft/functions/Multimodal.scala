@@ -10,12 +10,16 @@ import org.apache.spark.sql.functions._
   * Datasets (`mapPartitions` — the JVM analog of a vectorized batch UDF:
   * one iterator per partition, no per-row driver round-trips).
   *
-  * ==== STUB NOTICE ====
-  * This container has no image/audio codec libraries, so `decode*` are
-  * deterministic FAKES computed from payload byte lengths (marked STUB
-  * below). The Spark-side contract — schema, encoders, partitioning, batch
-  * iteration shape — is real and is what the tests pin. Swapping in a real
-  * codec changes only the arithmetic inside the stubs.
+  * ==== STUB NOTICE (narrowed in round 5) ====
+  * The decode path now parses REAL image headers — PNG IHDR and BMP
+  * BITMAPINFOHEADER ([[parseImageHeader]], pure-JVM byte parsing, no codec
+  * library) — and only falls back to the deterministic byte-length FAKE
+  * ([[decodeStub]]) for payloads that are not a recognized image format.
+  * Feature extraction / resize / frame sampling remain STUBS (pixel work
+  * needs a full codec). The Spark-side contract — schema, encoders,
+  * partitioning, batch iteration shape — is real throughout and is what
+  * the tests pin; MultimodalSpec drives real PNG/BMP byte fixtures through
+  * the same mapPartitions path the registered queries use.
   */
 object Multimodal {
 
@@ -33,8 +37,9 @@ object Multimodal {
   private val FeaturePrimes = Array(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L)
 
   /** STUB decode: metadata derived arithmetically from the byte length —
-    * stands in for an image header parse. Deterministic and
-    * SQL-expressible so the full pipeline is oracle-checkable. */
+    * the fallback for payloads that are not a recognized image format.
+    * Deterministic and SQL-expressible so the full pipeline is
+    * oracle-checkable. */
   def decodeStub(r: MediaRecord): DecodedMedia = {
     val n = r.payload.length.toLong
     DecodedMedia(r.doc_id, r.media_type, n,
@@ -42,6 +47,63 @@ object Multimodal {
       height = (64 + (n * 13) % 513).toInt,
       channels = (1 + n % 3).toInt)
   }
+
+  private def be32(p: Array[Byte], i: Int): Int =
+    ((p(i) & 0xff) << 24) | ((p(i + 1) & 0xff) << 16) |
+      ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
+  private def le32(p: Array[Byte], i: Int): Int =
+    (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8) |
+      ((p(i + 2) & 0xff) << 16) | ((p(i + 3) & 0xff) << 24)
+  private def le16(p: Array[Byte], i: Int): Int =
+    (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+
+  /** REAL image-header parse (no codec library needed — both formats put
+    * dimensions at fixed offsets in a documented public header):
+    *
+    *  - PNG: 8-byte signature `89 50 4E 47 0D 0A 1A 0A`, then the IHDR
+    *    chunk (always first, per the PNG spec): width/height as big-endian
+    *    int32 at offsets 16/20, color type at 25 → channel count
+    *    (grey 1, rgb 3, palette 1, grey+α 2, rgba 4).
+    *  - BMP: `BM` magic, then BITMAPINFOHEADER: header size (LE int32, one
+    *    of the documented sizes) at 14, width at 18, height at 22 (may be
+    *    negative for top-down rows), planes (must be 1) at 26, bits/pixel
+    *    at 28 → channels = bpp/8. The headerSize+planes checks make an
+    *    accidental match on ASCII text impossible (ASCII bytes ≥ 0x20 can
+    *    encode neither 40 nor 1 in those little-endian fields).
+    *
+    * Returns None for anything unrecognized or malformed → caller falls
+    * back to [[decodeStub]]. */
+  def parseImageHeader(p: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (p.length >= 26 &&
+        (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G' &&
+        p(4) == 0x0d && p(5) == 0x0a && p(6) == 0x1a && p(7) == 0x0a &&
+        p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R') {
+      val w = be32(p, 16); val h = be32(p, 20)
+      val channels = (p(25) & 0xff) match {
+        case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+        case _ => -1
+      }
+      if (w > 0 && h > 0 && channels > 0) Some((w, h, channels)) else None
+    } else if (p.length >= 30 && p(0) == 'B' && p(1) == 'M' &&
+        Set(12, 40, 52, 56, 64, 108, 124).contains(le32(p, 14)) &&
+        le16(p, 26) == 1) {
+      val w = le32(p, 18); val h = math.abs(le32(p, 22))
+      val channels = math.max(le16(p, 28) / 8, 1)
+      if (w > 0 && h > 0) Some((w, h, channels)) else None
+    } else None
+  }
+
+  /** Decode one record: real header parse first, stub fallback (VERDICT r4
+    * #6). The testdata payloads are UTF-8 text — never a valid PNG/BMP
+    * (PNG's first byte is non-ASCII; the BMP branch requires binary-only
+    * field values) — so the registered q_media_* oracles keep their stub
+    * arithmetic, while real image bytes decode for real. */
+  def decode(r: MediaRecord): DecodedMedia =
+    parseImageHeader(r.payload) match {
+      case Some((w, h, c)) =>
+        DecodedMedia(r.doc_id, r.media_type, r.payload.length.toLong, w, h, c)
+      case None => decodeStub(r)
+    }
 
   /** STUB feature extraction: 8-dim deterministic pseudo-embedding. */
   def featureStub(r: MediaRecord): MediaFeature = {
@@ -85,10 +147,11 @@ object Multimodal {
   }
 
   /** Partition-batched decode: one iterator per partition (vectorized-UDF
-    * shape). Payloads never leave executors. */
+    * shape). Payloads never leave executors. Real header parse with stub
+    * fallback — see [[decode]]. */
   def decodeAll(media: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(decodeStub))
+    media.mapPartitions(_.map(decode))
   }
 
   /** Partition-batched feature extraction. */

@@ -290,7 +290,12 @@ object PipelineQueries {
       .agg(count(lit(1)).as("tf"))
     val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(broadcast(dfc), "term").crossJoin(broadcast(n))
+    // no broadcast hint on the df table (VERDICT r4 #2): it is
+    // vocabulary-sized — tiny here, billions of rows on web-scale text. A
+    // forced broadcast overrides AQE and OOMs at 100 TB; unhinted, AQE
+    // broadcasts when the measured size allows and shuffle-joins when it
+    // doesn't. The 1-row count frame stays hinted (always broadcastable).
+    val scored = tf.join(dfc, "term").crossJoin(broadcast(n))
       .withColumn("score",
         round(col("tf").cast("double") *
           log(col("n_docs").cast("double") / col("df").cast("double")), 6))

@@ -375,13 +375,18 @@ object SimilarityQueries {
     // a single dot product per row — norms are never recomputed per pair
     val base = emb.select($"vec_id", $"v")
       .withColumn("vn", Similarity.l2norm($"v"))
-    val byVec = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
+    // argmax as a partial+final max_by aggregate (VERDICT r4 #4): the n×k
+    // assignment reduces map-side to one row per vec_id instead of
+    // shuffling all n×k scored rows into a per-vec window sort. Ordering
+    // key struct(ccos, -cid) is total (cids distinct), so the result is
+    // deterministic and identical to the old row_number()=1 plan:
+    // max ccos, tie → lowest cid.
     for (_ <- 0 until iters) {
       val assigned = base.crossJoin(broadcast(cents))
         .withColumn("ccos", Similarity.dot($"v", $"cv") / ($"vn" * $"cn"))
-        .withColumn("crn", row_number().over(byVec))
-        .filter($"crn" === 1)
-        .select($"cid", $"v")
+        .groupBy($"vec_id")
+        .agg(max_by(struct($"cid", $"v"), struct($"ccos", -$"cid")).as("best"))
+        .select($"best.cid".as("cid"), $"best.v".as("v"))
       val means = assigned
         .select($"cid", posexplode($"v").as(Seq("dim", "x")))
         .groupBy($"cid", $"dim").agg(round(avg($"x"), 6).as("m"))
@@ -431,14 +436,13 @@ object SimilarityQueries {
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       .withColumn("nrm", Similarity.l2norm($"v"))
     val centroids = kmeansCentroids(emb, 16, KmeansIters)
-    // assign every vector to its nearest centroid (argmax cosine, tie → cid)
-    val byVec = Window.partitionBy($"vec_id")
-      .orderBy($"ccos".desc, $"cid")
+    // assign every vector to its nearest centroid (argmax cosine, tie →
+    // lowest cid) — max_by partial+final aggregate, not a window sort
     val assigned = emb.crossJoin(broadcast(centroids))
       .withColumn("ccos", Similarity.dot($"v", $"cv") / ($"nrm" * $"cn"))
-      .withColumn("crn", row_number().over(byVec))
-      .filter($"crn" === 1)
-      .select($"vec_id", $"v", $"nrm", $"cid")
+      .groupBy($"vec_id")
+      .agg(max_by(struct($"cid", $"v", $"nrm"), struct($"ccos", -$"cid")).as("best"))
+      .select($"vec_id", $"best.v".as("v"), $"best.nrm".as("nrm"), $"best.cid".as("cid"))
     val queries = assigned.filter($"vec_id" < 10)
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"), $"cid".as("qcid"))
     val scored = assigned.join(broadcast(queries),
@@ -488,13 +492,16 @@ object SimilarityQueries {
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       .withColumn("nrm", Similarity.l2norm($"v"))
     val cents = kmeansCentroids(emb, DupCells, KmeansIters)
-    val byVec = Window.partitionBy($"vec_id").orderBy($"cdist", $"cid")
+    // nearest-cell assignment (min distance, tie → lowest cid) as a
+    // min_by partial+final aggregate, not a window sort
     val assigned = emb.crossJoin(broadcast(cents))
       .withColumn("cdist",
         unitDist(Similarity.dot($"v", $"cv") / ($"nrm" * $"cn")))
-      .withColumn("rn", row_number().over(byVec))
-      .filter($"rn" === 1)
-      .select($"vec_id", $"v", $"nrm", $"cid", $"cdist")
+      .groupBy($"vec_id")
+      .agg(min_by(struct($"cid", $"v", $"nrm", $"cdist"),
+        struct($"cdist", $"cid")).as("best"))
+      .select($"vec_id", $"best.v".as("v"), $"best.nrm".as("nrm"),
+        $"best.cid".as("cid"), $"best.cdist".as("cdist"))
     val radii = assigned.groupBy($"cid").agg(max($"cdist").as("rad"))
     val centDist = cents.as("p").crossJoin(cents.as("q"))
       .select($"p.cid".as("ci"), $"q.cid".as("cj"),
@@ -596,12 +603,13 @@ object SimilarityQueries {
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       .withColumn("nrm", Similarity.l2norm($"v"))
     val cents = kmeansCentroids(emb, 16, KmeansIters)
-    val byVec = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
+    // cluster assignment (argmax cosine, tie → lowest cid) — max_by
+    // partial+final aggregate, not a window sort
     val assigned = emb.crossJoin(broadcast(cents))
       .withColumn("ccos", Similarity.dot($"v", $"cv") / ($"nrm" * $"cn"))
-      .withColumn("crn", row_number().over(byVec))
-      .filter($"crn" === 1)
-      .select($"vec_id", $"v", $"nrm", $"cid")
+      .groupBy($"vec_id")
+      .agg(max_by(struct($"cid", $"v", $"nrm"), struct($"ccos", -$"cid")).as("best"))
+      .select($"vec_id", $"best.v".as("v"), $"best.nrm".as("nrm"), $"best.cid".as("cid"))
     assigned.as("a")
       .join(assigned.as("b"),
         $"a.cid" === $"b.cid" && $"a.vec_id" < $"b.vec_id")

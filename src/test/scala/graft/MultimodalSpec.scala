@@ -37,6 +37,65 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.resizeStub(Array[Byte](1), -4).isEmpty)
   }
 
+  private def pngBytes(w: Int, h: Int, colorType: Byte): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(33)
+    out.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    out.putInt(13).put("IHDR".getBytes("US-ASCII"))
+    out.putInt(w).putInt(h)
+    out.put(8.toByte).put(colorType)            // bit depth, color type
+    out.put(0.toByte).put(0.toByte).put(0.toByte) // compression/filter/interlace
+    out.array()
+  }
+
+  private def bmpBytes(w: Int, h: Int, bpp: Short): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(54).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte)
+    out.putInt(54).putInt(0).putInt(54)         // file size, reserved, data offset
+    out.putInt(40)                              // BITMAPINFOHEADER size
+    out.putInt(w).putInt(h)
+    out.putShort(1).putShort(bpp)               // planes (must be 1), bits/pixel
+    out.array()
+  }
+
+  test("real decode: PNG IHDR dimensions and channels parse from actual bytes") {
+    assert(Multimodal.parseImageHeader(pngBytes(640, 480, 2)) == Some((640, 480, 3)))
+    assert(Multimodal.parseImageHeader(pngBytes(1, 1, 6)) == Some((1, 1, 4)))
+    assert(Multimodal.parseImageHeader(pngBytes(32, 16, 0)) == Some((32, 16, 1)))
+    // malformed: bad color type, zero width → stub fallback territory
+    assert(Multimodal.parseImageHeader(pngBytes(640, 480, 7)).isEmpty)
+    assert(Multimodal.parseImageHeader(pngBytes(0, 480, 2)).isEmpty)
+    val d = Multimodal.decode(MediaRecord(9L, "img/t", pngBytes(640, 480, 2)))
+    assert(d == DecodedMedia(9L, "img/t", 33L, 640, 480, 3))
+  }
+
+  test("real decode: BMP BITMAPINFOHEADER parses, top-down height normalized") {
+    assert(Multimodal.parseImageHeader(bmpBytes(800, 600, 24)) == Some((800, 600, 3)))
+    assert(Multimodal.parseImageHeader(bmpBytes(100, -50, 32)) == Some((100, 50, 4)))
+    assert(Multimodal.parseImageHeader(bmpBytes(10, 10, 8)) == Some((10, 10, 1)))
+  }
+
+  test("real decode: ASCII text payloads NEVER parse as images (stub fallback)") {
+    // worst case: text that starts with the BMP magic — the headerSize and
+    // planes fields land on printable ASCII, which cannot encode 40 or 1
+    val tricky = "BM this text opens with the bitmap magic bytes and runs on"
+    val r = MediaRecord(3L, "img/t", tricky.getBytes("UTF-8"))
+    assert(Multimodal.parseImageHeader(r.payload).isEmpty)
+    assert(Multimodal.decode(r) == Multimodal.decodeStub(r))
+  }
+
+  test("real decode flows through the partition-batched Dataset path") {
+    val media = sql.createDataset(Seq(
+      MediaRecord(1L, "img/png", pngBytes(640, 480, 2)),
+      MediaRecord(2L, "img/bmp", bmpBytes(800, 600, 24)),
+      MediaRecord(3L, "img/txt", "plain text payload".getBytes("UTF-8"))))
+    val out = Multimodal.decodeAll(media).collect().sortBy(_.doc_id)
+    assert(out(0).width == 640 && out(0).height == 480 && out(0).channels == 3)
+    assert(out(1).width == 800 && out(1).height == 600 && out(1).channels == 3)
+    // text row: stub arithmetic on byte length (18 bytes)
+    assert(out(2) == Multimodal.decodeStub(
+      MediaRecord(3L, "img/txt", "plain text payload".getBytes("UTF-8"))))
+  }
+
   test("dataset plumbing: binary payloads decode per-partition, rows preserved") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val media = Multimodal.mediaFromDocuments(docs).repartition(4)

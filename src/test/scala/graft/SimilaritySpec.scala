@@ -145,6 +145,18 @@ class SimilaritySpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("centroid assignment is an aggregate, not a window (plan audit)") {
+    // VERDICT r4 #4: the n×k nearest-centroid argmax must plan as a
+    // partial+final max_by/min_by HashAggregate, not a per-vec window sort.
+    // The only Window left in the ANN plans is the per-query top-k rank.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    def nWindows(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect { case w: LWindow => w }.size
+    assert(nWindows(SimilarityQueries.embedDupPairs(spark, sf)) == 0)
+    assert(nWindows(SimilarityQueries.semanticDedup(spark, sf)) == 0)
+    assert(nWindows(SimilarityQueries.annIvf(spark, sf)) == 1)
+  }
+
   test("metric-join embed dup pairs == brute-force all-pairs (sf0.001)") {
     val brute = SimilarityQueries.embedDupBrute(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
