@@ -35,8 +35,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 8g GC-thrashes the bench (~70 queries × SPARK_GRAFT_BENCH_PASSES=3
+  // 8g GC-thrashes the bench (~90 queries × SPARK_GRAFT_BENCH_PASSES=3
   // passes at local[32]); the container has 128 GiB — size the single-JVM
-  // driver+executors like the cluster executors it stands in for
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // driver+executors like the cluster executors it stands in for. Raised
+  // 24g → 40g in round 5: non-first bench passes still swung 90-150 s on
+  // a 50 s workload with 24g (old-gen churn from 91 cached plans + CMS
+  // buffers); more headroom lets G1 absorb the churn between passes.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "40g")}",
 )

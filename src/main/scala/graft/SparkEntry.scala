@@ -122,6 +122,9 @@ object SparkEntry {
     "q_skipgrams"       -> ((s, d) => CorpusQueries.skipgramPairs(s, d)),
     "q_embed_quant"     -> ((s, d) => CorpusQueries.embedQuant(s, d)),
     "q_bucketed_join"   -> ((s, d) => RelationalQueries.bucketedJoin(s, d)),
+    // --- round-5 additions: CCNet perplexity tertiles, DSIR importance ---
+    "q_ccnet_buckets"   -> ((s, d) => CorpusQueries.ccnetBuckets(s, d)),
+    "q_dsir_weights"    -> ((s, d) => CorpusQueries.dsirWeights(s, d)),
   )
 
   /** Decay expression shared by the EDW oracles (DuckDB `epoch()` returns
@@ -1090,6 +1093,49 @@ object SparkEntry {
          round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 6) AS total_price
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY 1 ORDER BY 1""",
+    // CCNet head/middle/tail: in-corpus unigram ppl per doc (6-dp-rounded
+    // BEFORE the cut), per-LANG tertile thresholds (6-dp-rounded), bucket
+    // membership on the rounded grid so both engines cut identically
+    "q_ccnet_buckets" ->
+      """WITH toks AS (SELECT doc_id, lang,
+           unnest(list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0)) AS w
+         FROM documents),
+       uni AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+       n AS (SELECT count(*) AS n1 FROM toks),
+       sc AS (SELECT doc_id, lang, count(*) AS n_tokens,
+           round(exp(avg(ln(CAST(n1 AS DOUBLE) / CAST(c AS DOUBLE)))), 6) AS ppl
+         FROM toks JOIN uni USING (w) CROSS JOIN n GROUP BY 1, 2),
+       cuts AS (SELECT lang, round(quantile_cont(ppl, 1.0/3.0), 6) AS p33,
+           round(quantile_cont(ppl, 2.0/3.0), 6) AS p67
+         FROM sc GROUP BY 1)
+       SELECT sc.lang,
+         CASE WHEN ppl <= p33 THEN 'head'
+              WHEN ppl <= p67 THEN 'middle' ELSE 'tail' END AS bucket,
+         count(*) AS n_docs, round(avg(ppl), 6) AS avg_ppl,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+       FROM sc JOIN cuts USING (lang) GROUP BY 1, 2 ORDER BY 1, 2""",
+    // DSIR log importance ratio over md5-bucketed word-unigram features
+    // (1024 buckets, add-1 smoothing), target = the 'en' slice; identical
+    // 32-bit md5-prefix bucketing on both sides
+    "q_dsir_weights" ->
+      """WITH toks AS (SELECT doc_id, lang,
+           unnest(list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0)) AS w
+         FROM documents),
+       f AS (SELECT doc_id, lang,
+           CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 1024 AS f FROM toks),
+       raw AS (SELECT f, count(*) AS cr FROM f GROUP BY 1),
+       tgt AS (SELECT f, count(*) AS ct FROM f WHERE lang = 'en' GROUP BY 1),
+       nt AS (SELECT count(*) AS nt FROM f WHERE lang = 'en'),
+       nr AS (SELECT count(*) AS nr FROM f),
+       lr AS (SELECT raw.f,
+           ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) / (nt + 1024))
+             - ln(CAST(cr + 1 AS DOUBLE) / (nr + 1024)) AS logratio
+         FROM raw LEFT JOIN tgt USING (f) CROSS JOIN nt CROSS JOIN nr),
+       sc AS (SELECT doc_id, count(*) AS n_tokens, sum(logratio) AS s
+         FROM f JOIN lr USING (f) GROUP BY 1)
+       SELECT d.doc_id, sc.n_tokens, round(sc.s, 6) AS dsir_logw,
+         round(sc.s / sc.n_tokens, 6) AS dsir_per_token
+       FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""",
     // the salted join must reproduce the plain equi-join exactly
     "q_salted_join" ->
       """SELECT c_nationkey, c_mktsegment, count(*) AS n_events,

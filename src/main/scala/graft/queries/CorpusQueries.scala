@@ -215,6 +215,105 @@ object CorpusQueries {
       .limit(20)
   }
 
+  /** CCNet-style head/middle/tail perplexity bucketing (Wenzek et al.
+    * 2020, public method): score every document with the in-corpus
+    * unigram LM ([[unigramSurprisal]] semantics), then split EACH LANGUAGE
+    * into perplexity tertiles — "head" (most fluent third), "middle",
+    * "tail". CCNet trains on head+middle and drops or down-weights tail;
+    * the registered profile reports per-(lang, bucket) volume so the mix
+    * decision is visible. Per-language cuts matter: a single global
+    * threshold would mostly encode language identity, not quality.
+    *
+    * Determinism: ppl is rounded to 6 dp BEFORE the tertile cut and the
+    * cuts are rounded to 6 dp before comparison, so Spark and DuckDB make
+    * identical head/middle/tail decisions. Docs with zero tokens cannot be
+    * scored and are excluded (CCNet semantics).
+    *
+    * Scale shape: the unigram join is unhinted (AQE decides); the tertile
+    * cuts are a per-lang percentile AGGREGATE joined back (#langs rows —
+    * broadcast), the same no-stratum-buffering shape as
+    * [[quantileFilter]]. */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select($"doc_id", $"lang",
+      explode(Text.tokenize($"text")).as("w"))
+    val uni = toks.groupBy($"w").agg(count(lit(1)).as("c"))
+    val n1 = toks.agg(count(lit(1)).as("n1"))
+    val scored = toks.join(uni, "w").crossJoin(broadcast(n1))
+      .groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(exp(avg(log($"n1".cast("double") / $"c".cast("double")))), 6)
+          .as("ppl"))
+    val cuts = scored.groupBy($"lang")
+      .agg(round(percentile($"ppl", lit(1.0 / 3.0)), 6).as("p33"),
+        round(percentile($"ppl", lit(2.0 / 3.0)), 6).as("p67"))
+    scored.join(cuts, "lang")
+      .withColumn("bucket",
+        when($"ppl" <= $"p33", lit("head"))
+          .when($"ppl" <= $"p67", lit("middle"))
+          .otherwise(lit("tail")))
+      .groupBy($"lang", $"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg($"ppl"), 6).as("avg_ppl"),
+        sum($"n_tokens").as("n_tokens"))
+      .orderBy($"lang", $"bucket")
+  }
+
+  /** Hashed-feature space size for [[dsirWeights]] — DSIR's classic 10k is
+    * for char n-grams; 1024 suits word unigrams on this corpus. The POINT
+    * of hashing is that the feature table is ≤ this many rows at ANY
+    * corpus size, so its broadcast is provably bounded (contrast the
+    * vocabulary joins, which must stay unhinted). */
+  val DsirBuckets = 1024
+  /** DSIR target distribution: documents labeled this language. */
+  val DsirTargetLang = "en"
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling" — public method): model
+    * target and raw corpora as bags of HASHED features (md5-bucketed word
+    * unigrams, [[DsirBuckets]] buckets, add-1 smoothing), and weight every
+    * document by its log importance ratio
+    * `Σ_f count_f(d) · ln(p_target(f)/p_raw(f))` — the score DSIR
+    * resamples by to tilt a raw crawl toward a target distribution (here:
+    * the [[DsirTargetLang]] slice). Per-token mean rides along so length
+    * doesn't dominate selection.
+    *
+    * Scale shape: two fixed-width (≤ [[DsirBuckets]] rows) feature-count
+    * aggregates, their log-ratio broadcast back over the token stream
+    * (bounded by construction), one per-doc sum. Unscorable empty docs
+    * surface NULLs. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select($"doc_id", $"lang",
+        explode(Text.tokenize($"text")).as("w"))
+      .withColumn("f",
+        pmod(conv(substring(md5($"w"), 1, 8), 16, 10).cast("long"),
+          lit(DsirBuckets)))
+    val tgt = toks.filter($"lang" === DsirTargetLang)
+      .groupBy($"f").agg(count(lit(1)).as("ct"))
+    val raw = toks.groupBy($"f").agg(count(lit(1)).as("cr"))
+    val nt = toks.filter($"lang" === DsirTargetLang).agg(count(lit(1)).as("nt"))
+    val nr = toks.agg(count(lit(1)).as("nr"))
+    val feat = raw.join(tgt, Seq("f"), "left")
+      .withColumn("ct", coalesce($"ct", lit(0L)))
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .select($"f",
+        (log(($"ct" + 1).cast("double") / ($"nt" + DsirBuckets).cast("double")) -
+          log(($"cr" + 1).cast("double") / ($"nr" + DsirBuckets).cast("double")))
+          .as("logratio"))
+    val scored = toks.join(broadcast(feat), "f")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum($"logratio").as("s"))
+    docs.select($"doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        round($"s", 6).as("dsir_logw"),
+        round($"s" / $"n_tokens", 6).as("dsir_per_token"))
+      .orderBy($"doc_id")
+  }
+
   /** Symmetric int8 range for [[embedQuant]]. */
   val QuantLevels = 127.0
 

@@ -128,6 +128,40 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("ccnetBuckets: tertiles ordered head<=middle<=tail, volumes partition the scored docs") {
+    val rows = CorpusQueries.ccnetBuckets(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val byLang = rows.groupBy(_._1)
+    byLang.foreach { case (lang, bs) =>
+      val m = bs.map(b => b._2 -> b._4).toMap
+      // fluency ordering: head (lowest ppl third) <= middle <= tail
+      for (h <- m.get("head"); mid <- m.get("middle")) assert(h <= mid, s"$lang")
+      for (mid <- m.get("middle"); t <- m.get("tail")) assert(mid <= t, s"$lang")
+      assert(bs.map(_._2).distinct.forall(Set("head", "middle", "tail")))
+    }
+    // every scorable (n_tokens > 0) doc lands in exactly one bucket
+    val scorable = graft.sources.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.trim(
+          org.apache.spark.sql.functions.col("text"))) > 0).count()
+    assert(rows.map(_._3).sum == scorable)
+  }
+
+  test("dsirWeights: target-language docs score higher than off-target") {
+    val w = CorpusQueries.dsirWeights(spark, sf)
+    val docs = graft.sources.Tables.documents(spark, sf).select("doc_id", "lang")
+    val joined = w.join(docs, "doc_id").collect()
+      .filter(!_.isNullAt(3)) // scored docs only
+      .map(r => r.getString(4) -> r.getDouble(3)) // (lang, dsir_per_token)
+    val en = joined.filter(_._1 == CorpusQueries.DsirTargetLang).map(_._2)
+    val zh = joined.filter(_._1 == "zh").map(_._2)
+    assert(en.nonEmpty && zh.nonEmpty)
+    def mean(xs: Array[Double]) = xs.sum / xs.length
+    assert(mean(en) > mean(zh),
+      s"importance weights should tilt toward the target slice: en=${mean(en)} zh=${mean(zh)}")
+  }
+
   test("bucketedJoin: join stage has no Exchange and matches the plain join") {
     val joined = RelationalQueries.bucketedOrdersCustomer(spark, sf)
     val plan = joined.queryExecution.executedPlan.toString
