@@ -122,15 +122,42 @@ object SparkEntry {
     "q_skipgrams"       -> ((s, d) => CorpusQueries.skipgramPairs(s, d)),
     "q_embed_quant"     -> ((s, d) => CorpusQueries.embedQuant(s, d)),
     "q_bucketed_join"   -> ((s, d) => RelationalQueries.bucketedJoin(s, d)),
-    // --- round-5 additions: CCNet perplexity tertiles, DSIR importance ---
+    // --- round-5 additions: CCNet perplexity tertiles, DSIR importance,
+    // --- BM25 + RRF retrieval, mixture weights, embedding z-score/Gram ---
     "q_ccnet_buckets"   -> ((s, d) => CorpusQueries.ccnetBuckets(s, d)),
     "q_dsir_weights"    -> ((s, d) => CorpusQueries.dsirWeights(s, d)),
+    "q_bm25_top"        -> ((s, d) => RetrievalQueries.bm25Top(s, d)),
+    "q_rrf_fusion"      -> ((s, d) => RetrievalQueries.rrfFusion(s, d)),
+    "q_mix_weights"     -> ((s, d) => PipelineQueries.mixWeights(s, d)),
+    "q_embed_norm"      -> ((s, d) => CorpusQueries.embedNorm(s, d)),
+    "q_embed_gram"      -> ((s, d) => CorpusQueries.embedGram(s, d)),
   )
 
   /** Decay expression shared by the EDW oracles (DuckDB `epoch()` returns
     * fractional seconds — bit-identical to Spark's timestamp→double cast). */
   private val W = "exp(-0.1 * (epoch(as_of) - epoch(ts)) / 86400.0)"
   private val S = "(CASE WHEN event_type = 'purchase' THEN 1.0 WHEN event_type = 'error' THEN -1.0 ELSE 0.0 END)"
+
+  /** Okapi BM25 scores for [[graft.queries.RetrievalQueries.QueryTerms]]
+    * (CTE body `bm`: doc_id, 6-dp bm25) — shared by the q_bm25_top and
+    * q_rrf_fusion oracles. Literal subexpressions are deliberately left
+    * unfolded ((1.2 + 1.0), (1.0 - 0.75)) so both engines perform the same
+    * IEEE ops the Scala side's lit(K1 + 1.0)/lit(1.0 - B) perform. */
+  private val Bm25Cte =
+    """WITH dl AS (SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0)) AS DOUBLE) AS dl
+         FROM documents),
+       st AS (SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n_docs FROM dl),
+       tf AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf FROM (
+           SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0)) AS w
+           FROM documents)
+         WHERE w IN ('spark', 'join', 'window') GROUP BY 1, 2),
+       dfc AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+       bm AS (SELECT doc_id, round(sum(
+             ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0)
+               / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))), 6) AS bm25
+         FROM tf JOIN dfc USING (w) JOIN dl USING (doc_id) CROSS JOIN st
+         GROUP BY 1)"""
 
   /** Exact 3-shingle Jaccard pairs at threshold 0.8 (CTE body `jp`) —
     * shared by the inverted-index, prefix-filtered, MinHash-LSH, and
@@ -785,10 +812,11 @@ object SparkEntry {
          round(quantile_cont(value, 0.99), 6) AS p99
          FROM events GROUP BY 1 ORDER BY 1""",
     // error-bound oracle (VERDICT r4 #5): the engine asserts in-engine that
-    // each GK-sketch value lies inside the exact [p−ε, p+ε] envelope
-    // (ε = 1e-3 = 10× the accuracy-10000 rank guarantee); the oracle
-    // verifies the exact percentiles and expects every bound to HOLD — a
-    // sketch excursion flips a boolean and fails the hash
+    // each GK-sketch value's rank interval must intersect q·n ± slack
+    // (slack = max(n·1e-3, 2): 10× the accuracy-10000 rank guarantee,
+    // floored for few-hundred-row tiers); the oracle verifies the exact
+    // percentiles and expects every bound to HOLD — a sketch excursion
+    // flips a boolean and fails the hash
     "q_percentiles_approx" ->
       """SELECT event_type,
          round(quantile_cont(value, 0.5), 6) AS p50,
@@ -1142,5 +1170,80 @@ object SparkEntry {
          round(sum(value), 6) AS total_value
          FROM events e JOIN customer c ON e.user_id = c.c_custkey
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // Okapi BM25 for the fixed 3-term query; every arithmetic step mirrors
+    // RetrievalQueries.bm25Scored operand-for-operand (literal subexpressions
+    // like (1.2 + 1.0) are kept unfolded so both engines round identically);
+    // scores 6-dp-rounded BEFORE ranking, ties break on doc_id
+    "q_bm25_top" ->
+      s"""$Bm25Cte
+       SELECT rank, doc_id, bm25 FROM (
+         SELECT doc_id, bm25,
+           row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank FROM bm)
+       WHERE rank <= 20 ORDER BY rank""",
+    // reciprocal-rank fusion of the BM25 leg and the cosine-to-vec_id-0
+    // dense leg (top-50 each); 1/(60+r) terms are the same two-term IEEE
+    // expression in both engines, so round(.,6) sees identical bits
+    "q_rrf_fusion" ->
+      s"""$Bm25Cte,
+       sp AS (SELECT doc_id, r_bm25 FROM (
+           SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_bm25
+           FROM bm) WHERE r_bm25 <= 50),
+       n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+         FROM embeddings),
+       qv AS (SELECT v AS q, nrm AS qn FROM n WHERE vec_id = 0),
+       dn AS (SELECT doc_id, r_cos FROM (
+           SELECT vec_id AS doc_id,
+             row_number() OVER (ORDER BY round(list_dot_product(v, q) / (nrm * qn), 6) DESC, vec_id) AS r_cos
+           FROM n CROSS JOIN qv WHERE vec_id != 0) WHERE r_cos <= 50),
+       fu AS (SELECT coalesce(sp.doc_id, dn.doc_id) AS doc_id, sp.r_bm25, dn.r_cos,
+           round(CASE WHEN sp.r_bm25 IS NOT NULL THEN 1.0 / (60.0 + sp.r_bm25) ELSE 0.0 END
+               + CASE WHEN dn.r_cos IS NOT NULL THEN 1.0 / (60.0 + dn.r_cos) ELSE 0.0 END, 6) AS rrf
+         FROM sp FULL OUTER JOIN dn ON sp.doc_id = dn.doc_id)
+       SELECT rank, doc_id, r_bm25, r_cos, rrf FROM (
+         SELECT doc_id, r_bm25, r_cos, rrf,
+           row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank FROM fu)
+       WHERE rank <= 20 ORDER BY rank""",
+    // temperature-2 (α=0.5) mixture weights; sqrt is IEEE-correctly-rounded
+    // so praw is bit-identical across engines; counts cast back to BIGINT
+    // (DuckDB sum(BIGINT) is HUGEINT, which pandas would float-ify)
+    "q_mix_weights" ->
+      """WITH s AS (SELECT source, count(*) AS n_docs,
+           CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0))) AS BIGINT) AS n_tokens
+         FROM documents GROUP BY 1),
+       t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM s),
+       r AS (SELECT source, n_docs, n_tokens, tot,
+           CAST(n_tokens AS DOUBLE) / tot AS p,
+           sqrt(CAST(n_tokens AS DOUBLE) / tot) AS praw
+         FROM s CROSS JOIN t),
+       z AS (SELECT sum(praw) AS z FROM r)
+       SELECT source, n_docs, n_tokens, round(p, 6) AS nat_share,
+         round(praw / z, 6) AS mix_weight,
+         round((praw / z) * tot / n_tokens, 6) AS eff_epochs
+       FROM r CROSS JOIN z ORDER BY source""",
+    // per-dimension z-scoring: moments 6-dp-rounded FIRST (the kmeans
+    // convention) so both engines standardize with bit-identical (m, s);
+    // generate_subscripts is 1-based, posexplode 0-based, hence -1
+    "q_embed_norm" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       x AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS x FROM e),
+       st AS (SELECT dim, round(avg(x), 6) AS m, round(stddev_pop(x), 6) AS s
+         FROM x GROUP BY 1)
+       SELECT vec_id, dim,
+         round(CASE WHEN s = 0.0 THEN 0.0 ELSE (x - m) / s END, 6) AS z
+       FROM x JOIN st USING (dim) WHERE vec_id < 100 ORDER BY vec_id, dim""",
+    // fixed-point Gram: both engines quantize with the same floor(x·1e5+0.5)
+    // and sum exact integer products — g_fx is bit-identical by construction
+    "q_embed_gram" ->
+      """WITH e AS (SELECT vec_id,
+           list_transform(CAST(embedding AS DOUBLE[]),
+             x -> CAST(floor(x * 100000.0 + 0.5) AS BIGINT)) AS q
+         FROM embeddings),
+       x AS (SELECT vec_id, generate_subscripts(q, 1) - 1 AS i, unnest(q) AS xi FROM e),
+       gm AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.xi * b.xi) AS BIGINT) AS g_fx
+         FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i
+         GROUP BY 1, 2)
+       SELECT i, j, g_fx, round(g_fx / (100000.0 * 100000.0), 6) AS g
+       FROM gm ORDER BY i, j""",
   )
 }

@@ -351,4 +351,84 @@ object CorpusQueries {
         round(sqrt(avg($"err" * $"err")) * 1e6, 6).as("rmse_ppm"))
       .orderBy($"vec_id")
   }
+
+  /** Probe width of [[embedNorm]]'s verification projection: the
+    * standardized vectors of vec_id < 100 are emitted row-per-dimension so
+    * the result stays a fixed 100·d rows at every scale factor (the
+    * corpus-sized part of the operator — the per-dimension moment
+    * aggregate — is still computed over ALL vectors at every tier). */
+  val NormProbeVecs = 100
+
+  /** Per-dimension standardization (z-scoring) of the embedding column —
+    * the whitening prelude of every embedding-quality / outlier-detection
+    * pipeline (and of PCA, whose input is exactly the centered matrix).
+    *
+    * Scale shape: posexplode → groupBy(dim) partial+final aggregate — the
+    * partial agg collapses each input partition to d=|dims| rows map-side,
+    * so the shuffle carries (numPartitions × d) rows no matter the corpus
+    * size; the d-row moment table then broadcasts back as two ordered
+    * arrays and standardization is a map-only array transform.
+    *
+    * Cross-engine determinism: mean and stddev_pop are rounded to 6 dp
+    * FIRST (the kmeansCentroids convention — fold-order noise on a moment
+    * is ~1e-15, nine orders below the grid), so both engines standardize
+    * with bit-identical (m, s) and `round(z, 6)` sees bit-identical input;
+    * the per-value boundary hazard of rounding 64·n independent floats is
+    * confined to the 2·d moment values instead. */
+  def embedNorm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val stats = e.select(posexplode($"v").as(Seq("dim", "x")))
+      .groupBy($"dim")
+      .agg(round(avg($"x"), 6).as("m"), round(stddev_pop($"x"), 6).as("s"))
+    e.filter($"vec_id" < NormProbeVecs)
+      .select($"vec_id", posexplode($"v").as(Seq("dim", "x")))
+      .join(broadcast(stats), "dim")
+      .select($"vec_id", $"dim",
+        round(when($"s" === 0.0, lit(0.0)).otherwise(($"x" - $"m") / $"s"), 6)
+          .as("z"))
+      .orderBy($"vec_id", $"dim")
+  }
+
+  /** Dimensionality the Gram operator is registered against (the testdata
+    * embedding width; [[graft.functions.Linalg.gramFx]] is d-generic). */
+  val GramDims = 64
+
+  /** Corpus Gram matrix X'X (upper triangle) over the embedding column —
+    * the one-pass sufficient statistic for PCA / whitening / ridge
+    * regression over embeddings: d·(d+1)/2 numbers summarize the whole
+    * corpus, after which eigendecomposition is a driver-side O(d³) on a
+    * 64×64 matrix.
+    *
+    * Computed by [[graft.functions.Linalg.gramFx]], a mergeable Aggregator
+    * with a fixed 2080-long buffer — map-side each partition folds to ONE
+    * buffer, so the shuffle is (numPartitions × buffer), never the n×d²
+    * exploded stream. Accumulation is fixed-point (components quantized to
+    * round(x·10⁵) longs) so the sum is exact integer arithmetic:
+    * bit-identical under any fold order, any partitioning, and in the
+    * DuckDB oracle — a float Gram cannot promise any of that. `g` rescales
+    * to the float view (dividing by 10¹⁰) for human eyes; `g_fx` is the
+    * exact artifact. */
+  def embedGram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = GramDims
+    val q = Tables.embeddings(spark, dir)
+      .select(transform($"embedding".cast("array<double>"),
+        x => floor(x * graft.functions.Linalg.GramFxScale + 0.5).cast("long")).as("qv"))
+    val gram = q.agg(graft.functions.Linalg.gramFx($"qv", d).as("g"))
+      .select(posexplode($"g").as(Seq("k", "g_fx")))
+    // linear upper-triangle index k -> (i, j): a d²-row mapping frame
+    // built once and broadcast (closed-form decode needs a float sqrt —
+    // exactness at the boundaries is not worth saving a 2080-row join)
+    val pairs = spark.range(d).toDF("i")
+      .crossJoin(spark.range(d).toDF("j")).filter($"j" >= $"i")
+      .withColumn("k",
+        ($"i" * (2 * d + 1) - $"i" * $"i") / 2 + ($"j" - $"i"))
+    gram.join(broadcast(pairs), "k")
+      .select($"i", $"j", $"g_fx",
+        round($"g_fx" / (graft.functions.Linalg.GramFxScale *
+          graft.functions.Linalg.GramFxScale), 6).as("g"))
+      .orderBy($"i", $"j")
+  }
 }

@@ -306,4 +306,39 @@ object PipelineQueries {
       .select(col("doc_id"), col("rank"), col("term"), col("score"))
       .orderBy("doc_id", "rank")
   }
+
+  /** Temperature-sampled data-mixture weights per source (the multilingual
+    * pretraining recipe — Lample & Conneau 2019 use p^α sampling, α here
+    * 0.5 i.e. temperature 2): w_s ∝ (tokens_s / total)^0.5, normalized. Up-
+    * weights tail sources, down-weights dominant ones; `eff_epochs` is how
+    * many passes over source s one epoch of the mixture implies (>1 = the
+    * source repeats, the signal that α is too aggressive for the tail).
+    *
+    * α = 0.5 on purpose: sqrt is correctly rounded in IEEE-754, so the
+    * mixture replays bit-identically in any engine — an arbitrary pow(x,α)
+    * is only faithfully rounded and may differ in the last ulp across
+    * libms. The remaining cross-engine noise (Σ over one row per source)
+    * sits ~1e-16 relative, ten orders under the 6-dp grid.
+    *
+    * Scale shape: one partial+final aggregate to a |sources|-row frame;
+    * everything after is arithmetic on that frame — nothing corpus-sized
+    * moves. */
+  def mixWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bySrc = Tables.documents(spark, dir)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(Text.tokenize($"text")).cast("long")).as("n_tokens"))
+    val tot = bySrc.agg(sum($"n_tokens").as("tot"))
+    val raw = bySrc.crossJoin(broadcast(tot))
+      .withColumn("p", $"n_tokens".cast("double") / $"tot")
+      .withColumn("praw", sqrt($"p"))
+    val z = raw.agg(sum($"praw").as("z"))
+    raw.crossJoin(broadcast(z))
+      .select($"source", $"n_docs", $"n_tokens",
+        round($"p", 6).as("nat_share"),
+        round($"praw" / $"z", 6).as("mix_weight"),
+        round(($"praw" / $"z") * $"tot" / $"n_tokens", 6).as("eff_epochs"))
+      .orderBy($"source")
+  }
 }
