@@ -131,6 +131,12 @@ object SparkEntry {
     "q_mix_weights"     -> ((s, d) => PipelineQueries.mixWeights(s, d)),
     "q_embed_norm"      -> ((s, d) => CorpusQueries.embedNorm(s, d)),
     "q_embed_gram"      -> ((s, d) => CorpusQueries.embedGram(s, d)),
+    // --- incremental-ingest dedup, corpus diversity/overlap profiles,
+    // --- model-based (LR) quality filter ---
+    "q_dedup_incr"      -> ((s, d) => SimilarityQueries.incrementalDedup(s, d)),
+    "q_ngram_diversity" -> ((s, d) => CorpusQueries.ngramDiversity(s, d)),
+    "q_source_overlap"  -> ((s, d) => CorpusQueries.sourceOverlap(s, d)),
+    "q_quality_lr"      -> ((s, d) => PipelineQueries.qualityLr(s, d)),
   )
 
   /** Decay expression shared by the EDW oracles (DuckDB `epoch()` returns
@@ -1245,5 +1251,89 @@ object SparkEntry {
          GROUP BY 1, 2)
        SELECT i, j, g_fx, round(g_fx / (100000.0 * 100000.0), 6) AS g
        FROM gm ORDER BY i, j""",
+    // incremental ingest dedup: exact cross-parity Jaccard (even doc_ids =
+    // index, odd = batch), then per-batch-doc argmax (ties -> lowest index
+    // id) — the same shing/cnt canon as JaccardCte with the pair condition
+    // swapped from doc_a < doc_b to parity
+    "q_dedup_incr" ->
+      """WITH toks AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0) AS t
+         FROM documents),
+       shing AS (SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, greatest(len(t)-2, 0)+1),
+             i -> array_to_string(t[i:i+2], ' ')))) AS s
+         FROM toks),
+       cnt AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY 1),
+       common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         FROM shing a JOIN shing b ON a.s = b.s
+           AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+         GROUP BY 1, 2),
+       jp AS (SELECT doc_a, doc_b, round(c*1.0/(x.n + y.n - c), 6) AS jaccard
+         FROM common JOIN cnt x ON doc_a = x.doc_id JOIN cnt y ON doc_b = y.doc_id
+         WHERE c*1.0/(x.n + y.n - c) >= 0.8),
+       best AS (SELECT doc_b AS batch_id, doc_a AS matched_id, jaccard,
+           row_number() OVER (PARTITION BY doc_b
+             ORDER BY jaccard DESC, doc_a) AS rn
+         FROM jp)
+       SELECT batch_id, matched_id, jaccard FROM best WHERE rn = 1
+       ORDER BY batch_id""",
+    // per-source lexical diversity: two-level distinct aggregates over
+    // tokens and within-document bigrams
+    "q_ngram_diversity" ->
+      """WITH toks AS (SELECT source,
+           list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0) AS t
+         FROM documents),
+       tok AS (SELECT source, unnest(t) AS w FROM toks),
+       bi AS (SELECT source,
+           unnest(list_transform(range(1, greatest(len(t)-1, 0)+1),
+             i -> t[i] || ' ' || t[i+1])) AS g
+         FROM toks),
+       wprof AS (SELECT source, count(*) AS n_tokens,
+           count(DISTINCT w) AS n_types FROM tok GROUP BY 1),
+       bprof AS (SELECT source, count(*) AS n_bigrams,
+           count(DISTINCT g) AS distinct_bigrams FROM bi GROUP BY 1)
+       SELECT source, n_tokens, n_types,
+         round(n_types*1.0/n_tokens, 6) AS ttr,
+         n_bigrams, distinct_bigrams,
+         round(distinct_bigrams*1.0/n_bigrams, 6) AS bigram_diversity
+       FROM wprof JOIN bprof USING (source) ORDER BY source""",
+    // cross-source vocabulary overlap: exact token-set Jaccard per
+    // unordered source pair
+    "q_source_overlap" ->
+      """WITH tok AS (SELECT DISTINCT source, w FROM (
+           SELECT source,
+             unnest(list_filter(regexp_split_to_array(text, '\s+'),
+               q -> length(q) > 0)) AS w
+           FROM documents)),
+       sizes AS (SELECT source, count(*) AS n FROM tok GROUP BY 1),
+       com AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS common
+         FROM tok a JOIN tok b ON a.w = b.w AND a.source < b.source
+         GROUP BY 1, 2)
+       SELECT src_a, src_b, x.n AS tokens_a, y.n AS tokens_b, common,
+         round(common*1.0/(x.n + y.n - common), 6) AS jaccard
+       FROM com JOIN sizes x ON src_a = x.source
+         JOIN sizes y ON src_b = y.source
+       ORDER BY src_a, src_b""",
+    // LR quality filter: identical feature arithmetic (exact integer token
+    // sums -> double division), z rounded to the 6-dp grid BEFORE exp so
+    // both engines exponentiate the same value
+    "q_quality_lr" ->
+      """WITH toks AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0) AS t
+         FROM documents),
+       feat AS (SELECT doc_id, len(t)*1.0 AS n,
+           list_sum(list_transform(t, q -> length(q)))*1.0/len(t) AS mean_len,
+           len(list_distinct(t))*1.0/len(t) AS ttr,
+           len(list_filter(t, q -> list_contains(['the','a','an','and','or',
+             'of','to','in','is','are','was','it','for','on','with','as',
+             'at','by','be','this','that'], lower(q))))*1.0/len(t) AS stop_r
+         FROM toks WHERE len(t) > 0),
+       zt AS (SELECT doc_id,
+           round(-2.0 + 0.45*ln(1.0+n) + 6.0*stop_r - 0.25*mean_len
+             + 2.5*ttr, 6) AS z
+         FROM feat)
+       SELECT doc_id, round(1.0/(1.0+exp(-z)), 6) AS score,
+         (round(1.0/(1.0+exp(-z)), 6) >= 0.5) AS keep
+       FROM zt ORDER BY doc_id""",
   )
 }

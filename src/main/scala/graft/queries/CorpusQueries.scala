@@ -431,4 +431,73 @@ object CorpusQueries {
           graft.functions.Linalg.GramFxScale), 6).as("g"))
       .orderBy($"i", $"j")
   }
+
+  /** Per-source lexical diversity profile: type-token ratio and distinct-
+    * bigram ratio — the standard cheap detectors for templated, boilerplate
+    * or model-generated sub-corpora (low distinct-ngram ratios ≈ high
+    * Self-BLEU). Emits per source: token count, distinct tokens, TTR,
+    * bigram count, distinct bigrams, bigram diversity (all ratios 6 dp).
+    *
+    * Scale shape: one token explode → two two-level aggregates
+    * (groupBy(source, gram) partial+final, then groupBy(source)) — distinct
+    * counting never collects a set into one buffer, so a source with a
+    * billion distinct tokens costs a shuffle, not an OOM. Output is
+    * #sources rows. */
+  def ngramDiversity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"source", $"doc_id",
+        posexplode(Text.tokenize($"text")).as(Seq("pos", "w")))
+    // bigrams stay within a document: join token (pos) to (pos+1) via a
+    // self-equijoin on (doc_id, pos) — shuffle-partitioned on doc_id, no
+    // window sort over the corpus token stream
+    val bi = toks.as("x")
+      .join(toks.as("y"),
+        $"x.doc_id" === $"y.doc_id" && $"x.pos" + 1 === $"y.pos")
+      .select($"x.source".as("source"),
+        concat_ws(" ", $"x.w", $"y.w").as("g"))
+    def profile(df: DataFrame, gram: String) = df
+      .groupBy($"source", col(gram))
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"source")
+      .agg(sum($"c").as(s"n_$gram"), count(lit(1)).as(s"distinct_$gram"))
+    profile(toks.select($"source", $"w"), "w")
+      .join(profile(bi, "g"), "source")
+      .select($"source", $"n_w".as("n_tokens"),
+        $"distinct_w".as("n_types"),
+        round($"distinct_w".cast("double") / $"n_w", 6).as("ttr"),
+        $"n_g".as("n_bigrams"), $"distinct_g".as("distinct_bigrams"),
+        round($"distinct_g".cast("double") / $"n_g", 6).as("bigram_diversity"))
+      .orderBy($"source")
+  }
+
+  /** Cross-source vocabulary overlap matrix: exact token-set Jaccard for
+    * every source pair — the corpus-level contamination / redundancy
+    * profile (which crawls duplicate which, which source is lexically
+    * disjoint). Emits one row per unordered pair (src_a < src_b).
+    *
+    * Scale shape: distinct (source, token) via a partial+final aggregate,
+    * then a self-join keyed on token. Sources are a FIXED enumeration
+    * (#sources = S, a constant independent of corpus bytes), so per-token
+    * fan-out is ≤ S² and the join output is bounded by S² · |vocab| — the
+    * corpus-sized text never pairs with itself. Per-source set sizes ride
+    * the same distinct frame. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val st = Tables.documents(spark, dir)
+      .select($"source", explode(Text.tokenize($"text")).as("w"))
+      .distinct()
+    val sizes = st.groupBy($"source").agg(count(lit(1)).as("n"))
+    val common = st.as("a")
+      .join(st.as("b"), $"a.w" === $"b.w" && $"a.source" < $"b.source")
+      .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select($"source".as("src_a"), $"n".as("tokens_a")), "src_a")
+      .join(sizes.select($"source".as("src_b"), $"n".as("tokens_b")), "src_b")
+      .select($"src_a", $"src_b", $"tokens_a", $"tokens_b", $"common",
+        round($"common".cast("double") /
+          ($"tokens_a" + $"tokens_b" - $"common"), 6).as("jaccard"))
+      .orderBy($"src_a", $"src_b")
+  }
 }

@@ -341,4 +341,46 @@ object PipelineQueries {
         round(($"praw" / $"z") * $"tot" / $"n_tokens", 6).as("eff_epochs"))
       .orderBy($"source")
   }
+
+  /** Fixed weights of the [[qualityLr]] classifier — stands in for a
+    * trained model checkpoint (a real pipeline loads these from a model
+    * artifact; the SHAPE of the scoring job is identical). Chosen so the
+    * synthetic corpus splits into both classes. */
+  val LrBias = -2.0
+  val LrWLogLen = 0.45
+  val LrWStop = 6.0
+  val LrWMeanLen = -0.25
+  val LrWTtr = 2.5
+
+  /** Model-based quality filter: a logistic-regression classifier over
+    * cheap text features — the fasttext-classifier step of a curation
+    * pipeline (e.g. GPT-3's WebText-vs-CommonCrawl filter, Brown et al.
+    * 2020 §A; public method), with the trained weights replaced by the
+    * fixed [[LrBias]]… constants so every engine scores identically.
+    * Features: ln(1+tokens), stopword ratio, mean token length,
+    * type-token ratio. Emits (doc_id, score, keep).
+    *
+    * Scale shape: embarrassingly parallel — one map-only pass, every
+    * feature a codegen'd expression over the token array; no shuffle at
+    * all (the output ORDER BY is the verify harness's canonicalization,
+    * not part of the operator). Determinism: the linear term is rounded
+    * to 6 dp BEFORE the sigmoid so both engines exponentiate the same
+    * grid point; the score rounds to 6 dp after. */
+  def qualityLr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Text.tokenize($"text")
+    val n = size(toks).cast("double")
+    val meanLen = Text.meanTokenLen($"text")
+    val ttr = size(array_distinct(toks)).cast("double") / n
+    val stopR = Text.stopwordRatio($"text")
+    val z = round(
+      lit(LrBias) + lit(LrWLogLen) * log1p(n) + lit(LrWStop) * stopR +
+        lit(LrWMeanLen) * meanLen + lit(LrWTtr) * ttr, 6)
+    Tables.documents(spark, dir)
+      .filter(size(toks) > 0)
+      .select($"doc_id",
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("score"))
+      .withColumn("keep", $"score" >= 0.5)
+      .orderBy($"doc_id")
+  }
 }

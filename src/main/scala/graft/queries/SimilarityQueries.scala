@@ -290,6 +290,50 @@ object SimilarityQueries {
       .orderBy($"doc_id")
   }
 
+  /** Incremental ingestion dedup — the CONTINUOUS-crawl shape of
+    * [[minhashDedup]]: an incoming batch is near-dup-checked against the
+    * already-ingested index WITHOUT re-pairing the index against itself.
+    * Here even doc_ids stand in for the ingested corpus and odd doc_ids for
+    * the incoming batch (a deterministic split any tier reproduces). Emits
+    * one row per REJECTED batch document: its best-matching index document
+    * (highest exact Jaccard, ties → lowest index doc_id) and the J value —
+    * the record a curation pipeline writes to its rejection log.
+    *
+    * Scale posture: signatures are the same one-pass map-only kernel as
+    * [[minhashDedup]]; the band join keys on (band, band_hash) but is now
+    * index×batch instead of all×all, so a steady-state crawl pays
+    * O(batch · bands) probe rows per ingest cycle, never O(corpus²) — and
+    * the index side's signatures would be a precomputed table in
+    * production (recomputed here only because registered queries are
+    * self-contained). Exactness: banding misses a J ≥ 0.8 pair with
+    * p ≈ 5e-8 (same argument as [[minhashDedup]]), so the exact
+    * cross-parity DuckDB oracle applies; verification Jaccard is exact. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sets = shingleSets(spark, dir)
+    val sigs = sets.filter(size($"sh") > 0)
+      .select($"doc_id", Similarity.minhashSig($"sh").as("sig"))
+    val bands = sigs
+      .select($"doc_id", explode(Similarity.lshBands($"sig")).as("bb"))
+      .select($"doc_id", $"bb.band".as("band"), $"bb.band_hash".as("bh"))
+    val index = bands.filter($"doc_id" % 2 === 0)
+    val batch = bands.filter($"doc_id" % 2 === 1)
+    val cand = index.as("a")
+      .join(batch.as("b"), $"a.band" === $"b.band" && $"a.bh" === $"b.bh")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    // exact-J verification, then per-batch-doc argmax: partial+final
+    // max_by aggregate (no window sort over the match list)
+    verifyPairs(cand, sets)
+      .groupBy($"doc_b".as("batch_id"))
+      .agg(max_by(
+        struct($"doc_a", $"jaccard"),
+        struct($"jaccard", -$"doc_a")).as("best"))
+      .select($"batch_id", $"best.doc_a".as("matched_id"),
+        $"best.jaccard".as("jaccard"))
+      .orderBy($"batch_id")
+  }
+
   /** SimHash near-dup pairs: 64-bit fingerprints, candidates from 4×16-bit
     * band equality (guaranteed to catch hamming ≤ 3, catches most ≤ 6),
     * verified by exact hamming distance.
