@@ -438,24 +438,25 @@ object CorpusQueries {
     * Self-BLEU). Emits per source: token count, distinct tokens, TTR,
     * bigram count, distinct bigrams, bigram diversity (all ratios 6 dp).
     *
-    * Scale shape: one token explode → two two-level aggregates
-    * (groupBy(source, gram) partial+final, then groupBy(source)) — distinct
-    * counting never collects a set into one buffer, so a source with a
-    * billion distinct tokens costs a shuffle, not an OOM. Output is
-    * #sources rows. */
+    * Scale shape: gram construction is MAP-ONLY — tokens and bigrams are
+    * both array-side transforms exploded in the scan stage (a bigram never
+    * crosses a document, so there is nothing to join or sort) — followed by
+    * two two-level aggregates (groupBy(source, gram) partial+final, then
+    * groupBy(source)); distinct counting never collects a set into one
+    * buffer, so a source with a billion distinct tokens costs a shuffle,
+    * not an OOM. Output is #sources rows. */
   def ngramDiversity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = Tables.documents(spark, dir)
-      .select($"source", $"doc_id",
-        posexplode(Text.tokenize($"text")).as(Seq("pos", "w")))
-    // bigrams stay within a document: join token (pos) to (pos+1) via a
-    // self-equijoin on (doc_id, pos) — shuffle-partitioned on doc_id, no
-    // window sort over the corpus token stream
-    val bi = toks.as("x")
-      .join(toks.as("y"),
-        $"x.doc_id" === $"y.doc_id" && $"x.pos" + 1 === $"y.pos")
-      .select($"x.source".as("source"),
-        concat_ws(" ", $"x.w", $"y.w").as("g"))
+    val docs = Tables.documents(spark, dir)
+      .select($"source", Text.tokenize($"text").as("t"))
+    val toks = docs.select($"source", explode($"t").as("w"))
+    // sequence() descends when start > stop, so short docs must be
+    // filtered out BEFORE building the index range
+    val bi = docs.filter(size($"t") >= 2)
+      .select($"source", explode(transform(
+        sequence(lit(1), size($"t") - 1),
+        i => concat_ws(" ", element_at($"t", i), element_at($"t", i + 1))))
+        .as("g"))
     def profile(df: DataFrame, gram: String) = df
       .groupBy($"source", col(gram))
       .agg(count(lit(1)).as("c"))
