@@ -104,6 +104,28 @@ class CurationSpec extends SparkSpec {
     assert(got.getBoolean(2) == (expect >= 0.5))
   }
 
+  test("plan shapes: no cartesian blowup, argmax is an aggregate not a window") {
+    val incr = SimilarityQueries.incrementalDedup(spark, sf)
+      .queryExecution.executedPlan.toString
+    val overlap = CorpusQueries.sourceOverlap(spark, sf)
+      .queryExecution.executedPlan.toString
+    val diversity = CorpusQueries.ngramDiversity(spark, sf)
+      .queryExecution.executedPlan.toString
+    for ((n, p) <- Seq("incr" -> incr, "overlap" -> overlap,
+      "diversity" -> diversity)) {
+      assert(!p.contains("CartesianProduct"), s"$n plans a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$n plans an NL join:\n$p")
+    }
+    // the per-batch-doc best match must be a partial+final max_by
+    // aggregate, never a window sort over the match list
+    assert(!incr.contains("Window"), s"argmax regressed to a window:\n$incr")
+    assert(incr.contains("max_by") || incr.contains("HashAggregate"))
+    // bigram construction is array-side: no join at all below the final
+    // #sources-row profile join
+    assert(!diversity.contains("SortMergeJoin"),
+      s"diversity shuffles a corpus-sized join:\n$diversity")
+  }
+
   test("qualityLr: map-only plan — no shuffle in the scoring stage") {
     // the operator itself (before the verify-order sort) must not exchange
     val plan = PipelineQueries.qualityLr(spark, sf)
