@@ -555,15 +555,36 @@ object SimilarityQueries {
       .join(radii.as("rj"), $"cj" === $"rj.cid")
       .filter($"cc" <= $"ri.rad" + $"rj.rad" + lit(r))
       .select($"ci", $"cj")
-    assigned.as("a")
+    // SALT the verification join: keyed on cell id alone its parallelism
+    // is capped at DupCells tasks (and AQE, seeing small shuffle BYTES,
+    // coalesces further — at the 100× tier the 2e10-dot-product stage ran
+    // on 3 cores). Each probe row takes ONE deterministic salt from its
+    // vec_id; the build side replicates ×EmbedDupSalt so every (a, b)
+    // pair still meets exactly once — compute is unchanged, key space
+    // grows to cells × salt, and shuffle volume grows only on the
+    // replicated side. Salt is a constant (not data-sized): the goal is
+    // key count ≥ cluster cores, not finer pruning.
+    val salted = assigned.as("a")
       .join(broadcast(cellPairs), $"a.cid" === $"ci")
-      .join(assigned.as("b"), $"cj" === $"b.cid" && $"a.vec_id" < $"b.vec_id")
+      .withColumn("salt", pmod(hash($"a.vec_id"), lit(EmbedDupSalt)))
+    val build = assigned.as("b")
+      .withColumn("salt", explode(sequence(lit(0), lit(EmbedDupSalt - 1))))
+    salted
+      .join(build,
+        $"cj" === $"b.cid" && salted("salt") === build("salt") &&
+          $"a.vec_id" < $"b.vec_id")
       .withColumn("cos", Similarity.dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm"))
       .filter($"cos" >= t)
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
         round($"cos", 6).as("cosine"))
       .orderBy($"vec_a", $"vec_b")
   }
+
+  /** Salt factor of [[embedDupPairs]]'s verification join: key space =
+    * [[DupCells]] × this. 16×16 = 256 keys keeps every core of a sizable
+    * executor fleet busy even when the triangle-inequality prune keeps
+    * all cell pairs (the isotropic worst case). */
+  val EmbedDupSalt = 16
 
   /** The exact all-pairs broadcast nested-loop — test-only recall oracle for
     * [[embedDupPairs]] and [[annLsh]]; NOT registered (a full-table
