@@ -675,9 +675,16 @@ object SimilarityQueries {
       .groupBy($"vec_id")
       .agg(max_by(struct($"cid", $"v", $"nrm"), struct($"ccos", -$"cid")).as("best"))
       .select($"vec_id", $"best.v".as("v"), $"best.nrm".as("nrm"), $"best.cid".as("cid"))
-    assigned.as("a")
-      .join(assigned.as("b"),
-        $"a.cid" === $"b.cid" && $"a.vec_id" < $"b.vec_id")
+    // same salt as embedDupPairs: keyed on cluster id alone the pairing
+    // stage tops out at 16 tasks; (cid, salt) keys keep a full fleet busy
+    val probe = assigned.as("a")
+      .withColumn("salt", pmod(hash($"a.vec_id"), lit(EmbedDupSalt)))
+    val build = assigned.as("b")
+      .withColumn("salt", explode(sequence(lit(0), lit(EmbedDupSalt - 1))))
+    probe
+      .join(build,
+        $"a.cid" === $"b.cid" && probe("salt") === build("salt") &&
+          $"a.vec_id" < $"b.vec_id")
       .withColumn("cos", Similarity.dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm"))
       .filter($"cos" >= EmbedDupThreshold)
       .select($"a.cid".as("cluster"), $"a.vec_id".as("vec_a"),
