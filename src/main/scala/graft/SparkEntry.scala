@@ -258,11 +258,11 @@ object SparkEntry {
           FROM events, (SELECT max(ts) AS as_of FROM events)
           GROUP BY 1 ORDER BY 1""",
     "q_sentiment_counts" ->
-      """SELECT event_type, count(*) AS n, round(sum(value), 6) AS total_value
+      """SELECT event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1 ORDER BY 1""",
     "q_json_etl" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-         count(*) AS n, round(sum(value), 6) AS total_value
+         count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1 ORDER BY 1""",
     "q_daily_type_counts" ->
       """SELECT date_trunc('day', ts) AS day, event_type,
@@ -333,7 +333,7 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority,
          grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS gid,
          count(*) AS n_orders,
-         round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 6) AS total_price
+         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
          FROM orders
          GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                  (o_orderstatus), ())
@@ -468,13 +468,30 @@ object SparkEntry {
          FROM documents GROUP BY 1 ORDER BY keeper_doc_id""",
     // CMS estimates are exact on this stream unless a tracked keyword collides
     // in ALL 10 sketch rows (p ≈ (31/1000)^10) — oracle = exact counts.
+    // full CMS replay (not the true counts): DuckDB rebuilds the 10×1000
+    // counter table with the engine's exact hash — BigInteger(1, md5(w||i))
+    // mod 1000, folded 32 hex bits at a time — and answers the point query
+    // as min over depth rows. Truth == estimate only while the vocabulary
+    // is collision-free (sf ≤ 1); the replay stays exact at EVERY tier.
     "q_keyword_cms" ->
-      """SELECT k.keyword, coalesce(c.n, 0) AS est_count
-         FROM (SELECT unnest(['dup','hash','join','scan','stream']) AS keyword) k
-         LEFT JOIN (SELECT w AS keyword, count(*) AS n
-           FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0)) AS w
-                 FROM documents) GROUP BY 1) c USING (keyword)
-         ORDER BY k.keyword""",
+      """WITH tok AS (SELECT w, count(*) AS c FROM (
+           SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0)) AS w
+           FROM documents) GROUP BY 1),
+       keys AS (SELECT unnest(['dup','hash','join','scan','stream']) AS w),
+       univ AS (SELECT w, c FROM tok UNION ALL SELECT w, 0 FROM keys),
+       hh AS (SELECT w, c, i,
+           ((((((CAST('0x' || substr(md5(w || CAST(i AS VARCHAR)), 1, 8) AS UBIGINT) % 1000)
+             * 4294967296 + CAST('0x' || substr(md5(w || CAST(i AS VARCHAR)), 9, 8) AS UBIGINT)) % 1000)
+             * 4294967296 + CAST('0x' || substr(md5(w || CAST(i AS VARCHAR)), 17, 8) AS UBIGINT)) % 1000)
+             * 4294967296 + CAST('0x' || substr(md5(w || CAST(i AS VARCHAR)), 25, 8) AS UBIGINT)) % 1000 AS h
+         FROM univ, range(0, 10) r(i)),
+       cell AS (SELECT i, h, sum(c) AS cnt FROM hh GROUP BY 1, 2),
+       est AS (SELECT k.w AS keyword, min(cell.cnt) AS m
+         FROM keys k JOIN hh ON hh.w = k.w
+         JOIN cell ON cell.i = hh.i AND cell.h = hh.h
+         GROUP BY 1)
+       SELECT keyword, CAST(m AS BIGINT) AS est_count FROM est
+       ORDER BY keyword""",
     // exact oracle valid because the corpus vocabulary fits the MG counter
     // budget (candidate set lossless); see SketchQueries.heavyHitters
     "q_heavy_hitters" ->
@@ -535,7 +552,7 @@ object SparkEntry {
          ORDER BY day""",
     "q_value_histogram" ->
       """SELECT CAST(floor(value / 50) AS BIGINT) AS bucket,
-         count(*) AS n, round(sum(value), 6) AS total_value
+         count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1 ORDER BY 1""",
     // zero false positives at these cardinalities (m=2^20, ~10^2 members,
     // deterministic md5 positions) → probe count == exact semi-join count
@@ -657,10 +674,10 @@ object SparkEntry {
     // casts exactly until ~9e13.
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-         round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 6) AS sum_qty,
-         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 6) AS sum_base_price,
-         round(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))), 2) AS DOUBLE), 6) AS sum_disc_price,
-         round(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2)) * CAST(1 + l_tax AS DECIMAL(12,2))), 2) AS DOUBLE), 6) AS sum_charge,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_disc_price,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2)) * CAST(1 + l_tax AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_charge,
          round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
          round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_price,
          round(CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
@@ -685,7 +702,7 @@ object SparkEntry {
          GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10""",
     "q_revenue_by_nation" ->
       """SELECT r_name, n_name,
-         round(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))), 2) AS DOUBLE), 6) AS revenue,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue,
          count(*) AS n_items
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
@@ -711,7 +728,7 @@ object SparkEntry {
     "q_orders_rollup" ->
       """SELECT o_orderstatus, o_orderpriority,
          count(*) AS n_orders,
-         round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 6) AS total_price
+         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
          FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
          ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
     // DuckDB's native ASOF JOIN oracles the union+LOCF composition; view
@@ -796,10 +813,10 @@ object SparkEntry {
              ROWS UNBOUNDED PRECEDING) AS sid
          FROM x)
        SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
-              round(sum(value), 6) AS total_value
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
        FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""",
     "q_sliding_trend" ->
-      """SELECT bucket, count(*) AS n, round(sum(value), 6) AS total_value
+      """SELECT bucket, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM (SELECT unnest([date_trunc('hour', ts),
                               date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS bucket,
                       value FROM events)
@@ -847,7 +864,7 @@ object SparkEntry {
     "q_orders_cube" ->
       """SELECT o_orderstatus, o_orderpriority,
          count(*) AS n_orders,
-         round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 6) AS total_price
+         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
          FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
          ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
     "q_value_stats" ->
@@ -890,7 +907,7 @@ object SparkEntry {
          ORDER BY 1, 2""",
     "q_dow_profile" ->
       """SELECT dayofweek(ts) AS dow, event_type, count(*) AS n,
-         round(sum(value), 6) AS total_value
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_token_positions" ->
       """SELECT doc_id, unnest(range(len(t))) AS pos, unnest(t) AS token
@@ -1124,7 +1141,7 @@ object SparkEntry {
     // the bucketed co-located join must reproduce the plain equi-join
     "q_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
-         round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 6) AS total_price
+         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY 1 ORDER BY 1""",
     // CCNet head/middle/tail: in-corpus unigram ppl per doc (6-dp-rounded
@@ -1167,13 +1184,13 @@ object SparkEntry {
          FROM raw LEFT JOIN tgt USING (f) CROSS JOIN nt CROSS JOIN nr),
        sc AS (SELECT doc_id, count(*) AS n_tokens, sum(logratio) AS s
          FROM f JOIN lr USING (f) GROUP BY 1)
-       SELECT d.doc_id, sc.n_tokens, round(sc.s, 6) AS dsir_logw,
-         round(sc.s / sc.n_tokens, 6) AS dsir_per_token
+       SELECT d.doc_id, sc.n_tokens, round(sc.s, 6) + 0.0 AS dsir_logw,
+         round(sc.s / sc.n_tokens, 6) + 0.0 AS dsir_per_token
        FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""",
     // the salted join must reproduce the plain equi-join exactly
     "q_salted_join" ->
       """SELECT c_nationkey, c_mktsegment, count(*) AS n_events,
-         round(sum(value), 6) AS total_value
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events e JOIN customer c ON e.user_id = c.c_custkey
          GROUP BY 1, 2 ORDER BY 1, 2""",
     // Okapi BM25 for the fixed 3-term query; every arithmetic step mirrors

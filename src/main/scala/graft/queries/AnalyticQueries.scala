@@ -24,7 +24,7 @@ object AnalyticQueries {
     import spark.implicits._
     Tables.events(spark, dir)
       .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
-      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 6).as("total_value"))
+      .agg(count(lit(1)).as("n_events"), round(sum($"value".cast("decimal(18,2)")).cast("double"), 6).as("total_value"))
       .select($"user_id", $"sw.start".as("session_start"), $"n_events", $"total_value")
       .orderBy($"user_id", $"session_start")
   }
@@ -35,7 +35,7 @@ object AnalyticQueries {
     import spark.implicits._
     Tables.events(spark, dir)
       .groupBy(window($"ts", "2 hours", "1 hour").as("w"))
-      .agg(count(lit(1)).as("n"), round(sum($"value"), 6).as("total_value"))
+      .agg(count(lit(1)).as("n"), round(sum($"value".cast("decimal(18,2)")).cast("double"), 6).as("total_value"))
       .select($"w.start".as("bucket"), $"n", $"total_value")
       .orderBy($"bucket")
   }
@@ -154,7 +154,7 @@ object AnalyticQueries {
     import spark.implicits._
     Tables.events(spark, dir)
       .groupBy((dayofweek($"ts") - 1).as("dow"), $"event_type")
-      .agg(count(lit(1)).as("n"), round(sum($"value"), 6).as("total_value"))
+      .agg(count(lit(1)).as("n"), round(sum($"value".cast("decimal(18,2)")).cast("double"), 6).as("total_value"))
       .orderBy($"dow", $"event_type")
   }
 
@@ -239,7 +239,7 @@ object AnalyticQueries {
     Tables.events(spark, dir)
       .withColumn("bucket", floor(col("value") / 50).cast("long"))
       .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total_value"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value").cast("decimal(18,2)")).cast("double"), 6).as("total_value"))
       .orderBy("bucket")
 
   /** Moment statistics of value per event type (sample stddev/variance,

@@ -293,7 +293,7 @@ object RelationalQueries {
         explode(sequence(lit(0), lit(SaltBuckets - 1))).as("salt"))
     ev.join(cust, $"user_id" === $"c_custkey" && ev("salt") === cust("salt"))
       .groupBy($"c_nationkey", $"c_mktsegment")
-      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 6).as("total_value"))
+      .agg(count(lit(1)).as("n_events"), round(sum($"value".cast("decimal(18,2)")).cast("double"), 6).as("total_value"))
       .orderBy($"c_nationkey", $"c_mktsegment")
   }
 

@@ -74,7 +74,7 @@ object TrendQueries {
   def sentimentCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total_value"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value").cast("decimal(18,2)")).cast("double"), 6).as("total_value"))
       .orderBy("event_type")
 
   /** ETL parse parity (SURVEY.md P1-P5): the reference casts Kafka binary →
@@ -85,7 +85,7 @@ object TrendQueries {
       .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
               col("value"))
       .groupBy(col("k"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total_value"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value").cast("decimal(18,2)")).cast("double"), 6).as("total_value"))
       .orderBy("k")
 
   /** Tumbling-window (1 day) per-type counts — true window aggregation the
