@@ -494,10 +494,16 @@ object SparkEntry {
        ORDER BY keyword""",
     // exact oracle valid because the corpus vocabulary fits the MG counter
     // budget (candidate set lossless); see SketchQueries.heavyHitters
+    // heavy hitter = count above the MG support floor N/(k+1), k = 1024 —
+    // exactly the set the sketch provably retains, so membership is
+    // deterministic at every tier (a uniform vocabulary yields zero rows)
     "q_heavy_hitters" ->
-      """SELECT w AS word, count(*) AS n
-         FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0)) AS w FROM documents)
-         GROUP BY 1 ORDER BY n DESC, word LIMIT 10""",
+      """WITH tok AS (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0)) AS w FROM documents),
+       nt AS (SELECT count(*) AS tot FROM tok)
+       SELECT w AS word, count(*) AS n
+       FROM tok CROSS JOIN nt
+       GROUP BY w, tot HAVING count(*) * 1025 > tot
+       ORDER BY n DESC, word LIMIT 10""",
     "q_cms_grouped" ->
       """SELECT e.event_type, d.decile, coalesce(c.n, 0) AS est_count
          FROM (SELECT DISTINCT event_type FROM events) e

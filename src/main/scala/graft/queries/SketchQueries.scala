@@ -126,11 +126,23 @@ object SketchQueries {
     import spark.implicits._
     val toks = Tables.documents(spark, dir)
       .select(explode(Text.tokenize($"text")).as("word"))
-    val candidates = toks.agg(Sketches.mg($"word").as("summary"))
-      .select(explode($"summary"))
-      .select($"key".as("word"))
+    // one pass builds the sketch AND the total N the support floor needs
+    val candidates = toks
+      .agg(Sketches.mg($"word").as("summary"), count(lit(1)).as("tot"))
+      .select($"tot", explode($"summary"))
+      .select($"key".as("word"), $"tot")
+    // keep only words ABOVE the Misra–Gries support floor N/(k+1): every
+    // such word provably survives the sketch (the MG guarantee) no matter
+    // how partials merged, so membership is deterministic and the exact
+    // DuckDB oracle applies at every tier. Below the floor candidate
+    // survival is merge-order-dependent — the 100× ScaleUp tier's
+    // suffix-uniform vocabulary (freq ≈ N/5000 < N/1025 for every word)
+    // surfaced exactly that; a uniform corpus correctly has NO certifiable
+    // heavy hitter. Integer arithmetic (n·(k+1) > N) — no float boundary.
     toks.join(broadcast(candidates), "word")
-      .groupBy($"word").agg(count(lit(1)).as("n"))
+      .groupBy($"word").agg(count(lit(1)).as("n"), max($"tot").as("tot"))
+      .filter($"n" * (Sketches.MgCounters + 1) > $"tot")
+      .select($"word", $"n")
       .orderBy($"n".desc, $"word")
       .limit(10)
   }
