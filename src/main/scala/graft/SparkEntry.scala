@@ -137,6 +137,8 @@ object SparkEntry {
     "q_ngram_diversity" -> ((s, d) => CorpusQueries.ngramDiversity(s, d)),
     "q_source_overlap"  -> ((s, d) => CorpusQueries.sourceOverlap(s, d)),
     "q_quality_lr"      -> ((s, d) => PipelineQueries.qualityLr(s, d)),
+    "q_source_entropy"  -> ((s, d) => CorpusQueries.sourceEntropy(s, d)),
+    "q_zipf_profile"    -> ((s, d) => CorpusQueries.zipfProfile(s, d)),
   )
 
   /** Decay expression shared by the EDW oracles (DuckDB `epoch()` returns
@@ -1358,5 +1360,42 @@ object SparkEntry {
        SELECT doc_id, round(1.0/(1.0+exp(-z)), 6) AS score,
          (round(1.0/(1.0+exp(-z)), 6) >= 0.5) AS keep
        FROM zt ORDER BY doc_id""",
+    // Shannon entropy per source: the c·ln(c) reduction quantizes each
+    // term to 6 dp and sums in DECIMAL (fold-order exact); the closing
+    // H = ln(n) - S/n combines two engine-identical scalars
+    "q_source_entropy" ->
+      """WITH tok AS (SELECT source,
+           unnest(list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0)) AS w
+         FROM documents),
+       cnt AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+       agg AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+           count(*) AS vocab,
+           sum(CAST(round(c * ln(c), 6) AS DECIMAL(28,6))) AS clogc
+         FROM cnt GROUP BY 1)
+       SELECT source, n_tokens, vocab,
+         round(ln(n_tokens) - CAST(clogc AS DOUBLE) / n_tokens, 6) AS entropy,
+         round((ln(n_tokens) - CAST(clogc AS DOUBLE) / n_tokens)
+           / ln(vocab), 6) AS norm_entropy
+       FROM agg ORDER BY source""",
+    // Zipf regression over the per-source top-100 (count desc, word asc
+    // tiebreak -> identical point set in both engines)
+    "q_zipf_profile" ->
+      """WITH tok AS (SELECT source,
+           unnest(list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0)) AS w
+         FROM documents),
+       cnt AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+       top AS (SELECT source, ln(CAST(rank AS DOUBLE)) AS x,
+           ln(CAST(c AS DOUBLE)) AS y FROM (
+         SELECT source, c, w,
+           row_number() OVER (PARTITION BY source ORDER BY c DESC, w) AS rank
+         FROM cnt) WHERE rank <= 100),
+       agg AS (SELECT source, count(*) AS k, sum(x) AS sx, sum(y) AS sy,
+           sum(x*y) AS sxy, sum(x*x) AS sxx
+         FROM top GROUP BY 1)
+       SELECT source, k,
+         round((k*sxy - sx*sy) / (k*sxx - sx*sx), 6) AS zipf_slope,
+         round((sy - ((k*sxy - sx*sy) / (k*sxx - sx*sx)) * sx) / k, 6)
+           AS zipf_intercept
+       FROM agg ORDER BY source""",
   )
 }

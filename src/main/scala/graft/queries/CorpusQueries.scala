@@ -472,6 +472,74 @@ object CorpusQueries {
       .orderBy($"source")
   }
 
+  /** Per-source Shannon entropy of the unigram distribution — the
+    * information-density profile (low entropy ≈ templated/repetitive
+    * sub-corpus; the numeric complement of [[ngramDiversity]]'s ratios).
+    * H = ln(n) − Σ c·ln(c)/n over per-word counts c; also emits vocab and
+    * H/ln(vocab) (normalized to [0,1], 1 = uniform).
+    *
+    * Determinism: the corpus-sized reduction Σ c·ln(c) quantizes each term
+    * to the 6-dp grid and sums in DECIMAL — exact integer arithmetic under
+    * any fold order (the sf10 lesson: a raw double sum flips its 6th
+    * decimal once the total crosses ~1e8). The final H combines two
+    * fold-order-independent scalars in double, identically per engine.
+    * Scale shape: groupBy(source, w) partial+final, then one #sources-row
+    * aggregate. */
+  def sourceEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"source", explode(Text.tokenize($"text")).as("w"))
+      .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+      .groupBy($"source")
+      .agg(sum($"c").as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(round($"c" * log($"c"), 6).cast("decimal(28,6)")).as("clogc"))
+      .select($"source", $"n_tokens", $"vocab",
+        round(log($"n_tokens") -
+          $"clogc".cast("double") / $"n_tokens", 6).as("entropy"),
+        round((log($"n_tokens") - $"clogc".cast("double") / $"n_tokens") /
+          log($"vocab".cast("double")), 6).as("norm_entropy"))
+      .orderBy($"source")
+  }
+
+  /** Top-K cutoff of [[zipfProfile]]'s rank-frequency regression. */
+  val ZipfTopK = 100
+
+  /** Zipf profile per source: least-squares slope/intercept of
+    * ln(count) over ln(rank) for the top-[[ZipfTopK]] words — the standard
+    * power-law health check (natural text ≈ −1; a flat slope flags
+    * synthetic/templated corpora, which is exactly what the suffix-uniform
+    * ScaleUp tiers look like). Ranks tie-break (count desc, word asc) so
+    * both engines regress the identical point set; the Σ's run over ≤ K
+    * values per source, far below double fold-noise at 6 dp.
+    *
+    * Scale shape: per-(source, word) partial+final count aggregate, then a
+    * rank ≤ K window that Spark plans as WindowGroupLimit — a per-partition
+    * top-K heap ahead of the sort, so the full vocabulary is never globally
+    * sorted; the regression itself runs over ≤ K rows per source. */
+  def zipfProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.documents(spark, dir)
+      .select($"source", explode(Text.tokenize($"text")).as("w"))
+      .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"c".desc, $"w")
+    val top = counts
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= ZipfTopK)
+      .select($"source", log($"rank".cast("double")).as("x"),
+        log($"c".cast("double")).as("y"))
+    top.groupBy($"source")
+      .agg(count(lit(1)).as("k"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+      .select($"source", $"k",
+        round(($"k" * $"sxy" - $"sx" * $"sy") /
+          ($"k" * $"sxx" - $"sx" * $"sx"), 6).as("zipf_slope"),
+        round(($"sy" - (($"k" * $"sxy" - $"sx" * $"sy") /
+          ($"k" * $"sxx" - $"sx" * $"sx")) * $"sx") / $"k", 6)
+          .as("zipf_intercept"))
+      .orderBy($"source")
+  }
+
   /** Cross-source vocabulary overlap matrix: exact token-set Jaccard for
     * every source pair — the corpus-level contamination / redundancy
     * profile (which crawls duplicate which, which source is lexically

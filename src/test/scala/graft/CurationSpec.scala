@@ -126,6 +126,46 @@ class CurationSpec extends SparkSpec {
       s"diversity shuffles a corpus-sized join:\n$diversity")
   }
 
+  test("sourceEntropy: bounds and a driver-side replay per source") {
+    val rows = CorpusQueries.sourceEntropy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // driver-side exact replay over the raw tokens
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"source", $"text").collect()
+      .groupBy(_.getString(0))
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val counts = docs(src).toSeq
+        .flatMap(_.getString(1).trim.split("\\s+").filter(_.nonEmpty))
+        .groupBy(identity).map(_._2.size.toLong).toSeq
+      val n = counts.sum
+      assert(r.getLong(1) == n)
+      assert(r.getLong(2) == counts.size)
+      val clogc = counts
+        .map(c => BigDecimal(math.rint(c * math.log(c.toDouble) * 1e6) / 1e6)
+          .setScale(6))
+        .sum
+      val h = math.rint((math.log(n.toDouble) - clogc.toDouble / n) * 1e6) / 1e6
+      assert(r.getDouble(3) == h, s"$src: entropy ${r.getDouble(3)} != $h")
+      assert(r.getDouble(4) > 0 && r.getDouble(4) <= 1.0,
+        s"$src: norm_entropy out of (0,1]")
+    }
+  }
+
+  test("zipfProfile: slope negative on Zipf-ish text, regression over <= K points") {
+    val rows = CorpusQueries.zipfProfile(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= CorpusQueries.ZipfTopK)
+      // rank-frequency counts are non-increasing, so the LS slope over
+      // (ln rank, ln count) can never be positive
+      assert(r.getDouble(2) <= 0.0,
+        s"${r.getString(0)}: slope ${r.getDouble(2)} > 0")
+      // intercept approximates ln(top count) — must be finite and sane
+      assert(!r.getDouble(3).isNaN && r.getDouble(3) > 0)
+    }
+  }
+
   test("qualityLr: map-only plan — no shuffle in the scoring stage") {
     // the operator itself (before the verify-order sort) must not exchange
     val plan = PipelineQueries.qualityLr(spark, sf)
