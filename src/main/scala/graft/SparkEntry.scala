@@ -1393,8 +1393,8 @@ object SparkEntry {
            sum(x*y) AS sxy, sum(x*x) AS sxx
          FROM top GROUP BY 1)
        SELECT source, k,
-         round((k*sxy - sx*sy) / (k*sxx - sx*sx), 6) AS zipf_slope,
-         round((sy - ((k*sxy - sx*sy) / (k*sxx - sx*sx)) * sx) / k, 6)
+         round((k*sxy - sx*sy) / (k*sxx - sx*sx), 6) + 0.0 AS zipf_slope,
+         round((sy - ((k*sxy - sx*sy) / (k*sxx - sx*sx)) * sx) / k, 6) + 0.0
            AS zipf_intercept
        FROM agg ORDER BY source""",
   )
