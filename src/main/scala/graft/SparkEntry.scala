@@ -500,11 +500,11 @@ object SparkEntry {
     // exactly the set the sketch provably retains, so membership is
     // deterministic at every tier (a uniform vocabulary yields zero rows)
     "q_heavy_hitters" ->
-      """WITH tok AS (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0)) AS w FROM documents),
+      raw"""WITH tok AS (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0)) AS w FROM documents),
        nt AS (SELECT count(*) AS tot FROM tok)
        SELECT w AS word, count(*) AS n
        FROM tok CROSS JOIN nt
-       GROUP BY w, tot HAVING count(*) * 1025 > tot
+       GROUP BY w, tot HAVING count(*) * ${graft.functions.Sketches.MgCounters + 1} > tot
        ORDER BY n DESC, word LIMIT 10""",
     "q_cms_grouped" ->
       """SELECT e.event_type, d.decile, coalesce(c.n, 0) AS est_count
@@ -1343,19 +1343,20 @@ object SparkEntry {
     // sums -> double division), z rounded to the 6-dp grid BEFORE exp so
     // both engines exponentiate the same value
     "q_quality_lr" ->
-      """WITH toks AS (SELECT doc_id,
+      raw"""WITH toks AS (SELECT doc_id,
            list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0) AS t
          FROM documents),
        feat AS (SELECT doc_id, len(t)*1.0 AS n,
            list_sum(list_transform(t, q -> length(q)))*1.0/len(t) AS mean_len,
            len(list_distinct(t))*1.0/len(t) AS ttr,
-           len(list_filter(t, q -> list_contains(['the','a','an','and','or',
-             'of','to','in','is','are','was','it','for','on','with','as',
-             'at','by','be','this','that'], lower(q))))*1.0/len(t) AS stop_r
+           len(list_filter(t, q -> list_contains(
+             [${graft.functions.Text.Stopwords.map(w => s"'$w'").mkString(",")}],
+             lower(q))))*1.0/len(t) AS stop_r
          FROM toks WHERE len(t) > 0),
        zt AS (SELECT doc_id,
-           round(-2.0 + 0.45*ln(1.0+n) + 6.0*stop_r - 0.25*mean_len
-             + 2.5*ttr, 6) AS z
+           round((${PipelineQueries.LrBias}) + (${PipelineQueries.LrWLogLen})*ln(1.0+n)
+             + (${PipelineQueries.LrWStop})*stop_r + (${PipelineQueries.LrWMeanLen})*mean_len
+             + (${PipelineQueries.LrWTtr})*ttr, 6) AS z
          FROM feat)
        SELECT doc_id, round(1.0/(1.0+exp(-z)), 6) AS score,
          (round(1.0/(1.0+exp(-z)), 6) >= 0.5) AS keep
@@ -1374,13 +1375,14 @@ object SparkEntry {
          FROM cnt GROUP BY 1)
        SELECT source, n_tokens, vocab,
          round(ln(n_tokens) - CAST(clogc AS DOUBLE) / n_tokens, 6) AS entropy,
-         round((ln(n_tokens) - CAST(clogc AS DOUBLE) / n_tokens)
-           / ln(vocab), 6) AS norm_entropy
+         CASE WHEN vocab >= 2 THEN
+           round((ln(n_tokens) - CAST(clogc AS DOUBLE) / n_tokens)
+             / ln(vocab), 6) END AS norm_entropy
        FROM agg ORDER BY source""",
     // Zipf regression over the per-source top-100 (count desc, word asc
     // tiebreak -> identical point set in both engines)
     "q_zipf_profile" ->
-      """WITH tok AS (SELECT source,
+      raw"""WITH tok AS (SELECT source,
            unnest(list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0)) AS w
          FROM documents),
        cnt AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
@@ -1388,14 +1390,16 @@ object SparkEntry {
            ln(CAST(c AS DOUBLE)) AS y FROM (
          SELECT source, c, w,
            row_number() OVER (PARTITION BY source ORDER BY c DESC, w) AS rank
-         FROM cnt) WHERE rank <= 100),
+         FROM cnt) WHERE rank <= ${CorpusQueries.ZipfTopK}),
        agg AS (SELECT source, count(*) AS k, sum(x) AS sx, sum(y) AS sy,
            sum(x*y) AS sxy, sum(x*x) AS sxx
          FROM top GROUP BY 1)
        SELECT source, k,
-         round((k*sxy - sx*sy) / (k*sxx - sx*sx), 6) + 0.0 AS zipf_slope,
-         round((sy - ((k*sxy - sx*sy) / (k*sxx - sx*sx)) * sx) / k, 6) + 0.0
-           AS zipf_intercept
+         CASE WHEN k >= 2 THEN
+           round((k*sxy - sx*sy) / (k*sxx - sx*sx), 6) + 0.0 END AS zipf_slope,
+         CASE WHEN k >= 2 THEN
+           round((sy - ((k*sxy - sx*sy) / (k*sxx - sx*sx)) * sx) / k, 6) + 0.0
+           END AS zipf_intercept
        FROM agg ORDER BY source""",
   )
 }

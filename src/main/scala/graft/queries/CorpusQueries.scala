@@ -496,8 +496,12 @@ object CorpusQueries {
       .select($"source", $"n_tokens", $"vocab",
         round(log($"n_tokens") -
           $"clogc".cast("double") / $"n_tokens", 6).as("entropy"),
-        round((log($"n_tokens") - $"clogc".cast("double") / $"n_tokens") /
-          log($"vocab".cast("double")), 6).as("norm_entropy"))
+        // vocab = 1 makes the normalizer ln(1) = 0; Spark's non-ANSI
+        // divide would yield NULL while DuckDB yields NaN — emit NULL
+        // explicitly in BOTH engines so the degenerate case agrees.
+        when($"vocab" >= 2,
+          round((log($"n_tokens") - $"clogc".cast("double") / $"n_tokens") /
+            log($"vocab".cast("double")), 6)).as("norm_entropy"))
       .orderBy($"source")
   }
 
@@ -532,10 +536,14 @@ object CorpusQueries {
       .agg(count(lit(1)).as("k"), sum($"x").as("sx"), sum($"y").as("sy"),
         sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
       .select($"source", $"k",
-        round(($"k" * $"sxy" - $"sx" * $"sy") /
-          ($"k" * $"sxx" - $"sx" * $"sx"), 6).as("zipf_slope"),
-        round(($"sy" - (($"k" * $"sxy" - $"sx" * $"sy") /
-          ($"k" * $"sxx" - $"sx" * $"sx")) * $"sx") / $"k", 6)
+        // k = 1 zeroes the denominator k·sxx − sx² (one point, no slope);
+        // guard identically in both engines → NULL, not NULL-vs-NaN.
+        when($"k" >= 2,
+          round(($"k" * $"sxy" - $"sx" * $"sy") /
+            ($"k" * $"sxx" - $"sx" * $"sx"), 6)).as("zipf_slope"),
+        when($"k" >= 2,
+          round(($"sy" - (($"k" * $"sxy" - $"sx" * $"sy") /
+            ($"k" * $"sxx" - $"sx" * $"sx")) * $"sx") / $"k", 6))
           .as("zipf_intercept"))
       .orderBy($"source")
   }

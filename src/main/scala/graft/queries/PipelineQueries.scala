@@ -373,8 +373,12 @@ object PipelineQueries {
     val meanLen = Text.meanTokenLen($"text")
     val ttr = size(array_distinct(toks)).cast("double") / n
     val stopR = Text.stopwordRatio($"text")
+    // log(1.0 + n), not log1p(n): the oracle computes ln(1.0 + n), and
+    // 1+n is exact for integer-valued n, so both engines call plain ln
+    // on the identical argument — log1p could differ by 1 ulp and move a
+    // boundary-straddling doc across the 6-dp grid.
     val z = round(
-      lit(LrBias) + lit(LrWLogLen) * log1p(n) + lit(LrWStop) * stopR +
+      lit(LrBias) + lit(LrWLogLen) * log(lit(1.0) + n) + lit(LrWStop) * stopR +
         lit(LrWMeanLen) * meanLen + lit(LrWTtr) * ttr, 6)
     Tables.documents(spark, dir)
       .filter(size(toks) > 0)
