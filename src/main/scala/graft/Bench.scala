@@ -61,22 +61,33 @@ object Bench {
       val ts = passes.map(_.toMap.apply(name)).filter(_ >= 0)
       name -> (if (ts.isEmpty) -1.0 else ts.min)
     }
+    // 3-dp per-query seconds: sub-millisecond digits are pure noise and
+    // bloat the line past log-capture windows (VERDICT r5 #4)
+    def r3(v: Double): Double = if (v < 0) v else math.rint(v * 1000) / 1000
     def fmt(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val passTotals = passes.map(total).mkString("[", ",", "]")
+      rs.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val passTotals = passes.map(p => r3(total(p))).mkString("[", ",", "]")
     // metric named for what it measures (ADVICE r2 #2): per-query min across
     // passes — the steady-state plan cost; the cold single pass rides along
-    // so rounds stay comparable on both axes
-    val json = s"""{"metric":"steady_total","value":${total(best)},"unit":"sec",""" +
-      s""""method":"min-of-$nPasses-passes","queries":${fmt(best)},""" +
-      s""""cold_total":${total(cold)},"queries_cold":${fmt(cold)},""" +
-      s""""pass_totals":$passTotals,"sf":"$sfDir"}"""
+    // so rounds stay comparable on both axes. EVERY scalar headline field
+    // precedes the two per-query maps, so a tail-truncated log capture
+    // still carries the totals (VERDICT r5 #4 — the r5 artifact's `parsed`
+    // was null because the maps overflowed the driver's tail window).
+    val json = s"""{"metric":"steady_total","value":${r3(total(best))},"unit":"sec",""" +
+      s""""method":"min-of-$nPasses-passes","cold_total":${r3(total(cold))},""" +
+      s""""pass_totals":$passTotals,"sf":"$sfDir",""" +
+      s""""queries":${fmt(best)},"queries_cold":${fmt(cold)}}"""
     println(json)
-    // also a file copy (VERDICT r2 #2): sbt log prefixes defeated the
-    // driver's stdout parser in r1/r2; the file is always machine-readable
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
+    // file copies (VERDICT r2 #2): sbt log prefixes defeated the driver's
+    // stdout parser in r1/r2; the files are always machine-readable. The
+    // in-repo BENCH.json survives even if every log capture truncates.
+    val outs = Seq(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json"),
+      "BENCH.json")
+    outs.foreach { out =>
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] file write failed ($out): $e") }
+    }
     spark.stop()
   }
 }

@@ -56,6 +56,7 @@ object SparkEntry {
     "q_knn_cosine"     -> ((s, d) => SimilarityQueries.knnCosine(s, d)),
     "q_ann_lsh"        -> ((s, d) => SimilarityQueries.annLsh(s, d)),
     "q_embed_dup"      -> ((s, d) => SimilarityQueries.embedDupPairs(s, d)),
+    "q_embed_dup_capped" -> ((s, d) => SimilarityQueries.embedDupCapped(s, d)),
     "q_ann_ivf"        -> ((s, d) => SimilarityQueries.annIvf(s, d)),
     "q_label_centroids" -> ((s, d) => SimilarityQueries.labelCentroids(s, d)),
     "q_kmeans_centroids" -> ((s, d) => SimilarityQueries.kmeansProfile(s, d)),
@@ -523,6 +524,44 @@ object SparkEntry {
          FROM n a JOIN n b ON a.vec_id < b.vec_id
          WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
          ORDER BY vec_a, vec_b""",
+    // Budgeted metric join: the oracle replays the quantizer (KmeansCte),
+    // the min-chord-distance assignment (EXACTLY the engine's min_by
+    // (cdist, cid) ordering — sqrt can collapse adjacent cosines, so the
+    // replay ranks by the same cdist, not by ccos), the md5 probe sample,
+    // and the probe×member verification. The triangle prune needs no
+    // replay: it admits no false negatives, so pruned cell pairs hold no
+    // qualifying pair by construction.
+    "q_embed_dup_capped" ->
+      (KmeansCte + raw""",
+         a4 AS (SELECT e.vec_id, e.v, e.vn, c.cid,
+             sqrt(greatest(0.0, 2.0 - 2.0 *
+               (list_dot_product(e.v, c.cv) / (e.vn * sqrt(list_dot_product(c.cv, c.cv)))))) AS cdist
+           FROM emb e CROSS JOIN c2 c),
+         s4 AS (SELECT vec_id, v, vn, cid FROM (
+             SELECT vec_id, v, vn, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cdist, cid) AS rn
+             FROM a4) WHERE rn = 1),
+         sz AS (SELECT cid, count(*) AS csz FROM s4 GROUP BY 1),
+         pr AS (SELECT vec_id, v, vn, cid FROM (
+             SELECT vec_id, v, vn, cid,
+               row_number() OVER (PARTITION BY cid
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+             FROM s4) WHERE rn <= ${SimilarityQueries.EmbedDupProbes}),
+         pairs AS (SELECT DISTINCT
+             least(a.vec_id, b.vec_id) AS vec_a,
+             greatest(a.vec_id, b.vec_id) AS vec_b,
+             round(list_dot_product(a.v, b.v) / (a.vn * b.vn), 6) AS cosine,
+             least(a.cid, b.cid) AS ca, greatest(a.cid, b.cid) AS cb
+           FROM pr a JOIN s4 b ON a.vec_id != b.vec_id
+           WHERE list_dot_product(a.v, b.v) / (a.vn * b.vn)
+             >= ${SimilarityQueries.EmbedDupThreshold})
+         SELECT vec_a, vec_b, cosine,
+           (CASE WHEN sa.csz > ${SimilarityQueries.EmbedDupProbes} THEN 1 ELSE 0 END
+            + CASE WHEN sb.csz > ${SimilarityQueries.EmbedDupProbes} THEN 1 ELSE 0 END)
+             AS cells_truncated,
+           ${SimilarityQueries.EmbedDupProbes} AS probe_budget
+         FROM pairs JOIN sz sa ON ca = sa.cid JOIN sz sb ON cb = sb.cid
+         ORDER BY vec_a, vec_b"""),
     "q_subword_stats" ->
       """SELECT doc_id,
          len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_subwords,

@@ -505,6 +505,32 @@ object SimilarityQueries {
   /** Number of coarse cells for the metric-join prune in [[embedDupPairs]]. */
   val DupCells = 16
 
+  /** Unit-sphere chord distance from a cosine: ‖â−b̂‖ = √(2−2·cos). */
+  private def unitDist(dot: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * dot))
+
+  /** Shared front half of the exact metric join family: fit the
+    * [[DupCells]]-cell quantizer and assign every vector to its nearest
+    * cell (min chord distance ⟺ max cosine, tie → lowest cid) as a min_by
+    * partial+final aggregate, not a window sort. Returns (centroids,
+    * assignment(vec_id, v, nrm, cid, cdist)). */
+  private def dupAssignment(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.l2norm($"v"))
+    val cents = kmeansCentroids(emb, DupCells, KmeansIters)
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("cdist",
+        unitDist(Similarity.dot($"v", $"cv") / ($"nrm" * $"cn")))
+      .groupBy($"vec_id")
+      .agg(min_by(struct($"cid", $"v", $"nrm", $"cdist"),
+        struct($"cdist", $"cid")).as("best"))
+      .select($"vec_id", $"best.v".as("v"), $"best.nrm".as("nrm"),
+        $"best.cid".as("cid"), $"best.cdist".as("cdist"))
+    (cents, assigned)
+  }
+
   /** Embedding-cosine near-duplicate pairs (cos ≥ 0.4) as an EXACT
     * distributed metric join — no full-table broadcast (VERDICT r1 #3):
     *
@@ -530,22 +556,7 @@ object SimilarityQueries {
     import spark.implicits._
     val t = EmbedDupThreshold
     val r = math.sqrt(2.0 - 2.0 * t)
-    def unitDist(dot: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * dot))
-    val emb = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-      .withColumn("nrm", Similarity.l2norm($"v"))
-    val cents = kmeansCentroids(emb, DupCells, KmeansIters)
-    // nearest-cell assignment (min distance, tie → lowest cid) as a
-    // min_by partial+final aggregate, not a window sort
-    val assigned = emb.crossJoin(broadcast(cents))
-      .withColumn("cdist",
-        unitDist(Similarity.dot($"v", $"cv") / ($"nrm" * $"cn")))
-      .groupBy($"vec_id")
-      .agg(min_by(struct($"cid", $"v", $"nrm", $"cdist"),
-        struct($"cdist", $"cid")).as("best"))
-      .select($"vec_id", $"best.v".as("v"), $"best.nrm".as("nrm"),
-        $"best.cid".as("cid"), $"best.cdist".as("cdist"))
+    val (cents, assigned) = dupAssignment(spark, dir)
     val radii = assigned.groupBy($"cid").agg(max($"cdist").as("rad"))
     val centDist = cents.as("p").crossJoin(cents.as("q"))
       .select($"p.cid".as("ci"), $"q.cid".as("cj"),
@@ -600,6 +611,94 @@ object SimilarityQueries {
       .filter($"cos" >= EmbedDupThreshold)
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
         round($"cos", 6).as("cosine"))
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  /** Probe budget per cell of [[embedDupCapped]]: at most this many members
+    * of each cell act as probe rows (an unbiased deterministic md5 sample),
+    * so verification work is O([[DupCells]] · budget · n) — LINEAR in table
+    * size — instead of the uncapped join's O(n²) isotropic floor. 256 keeps
+    * every driver tier ≤ sf0.1 exact (their largest cell is smaller than
+    * the budget) and binds at the ScaleUp tiers, where the output discloses
+    * the truncation per pair. */
+  val EmbedDupProbes = 256
+
+  /** BUDGETED exact metric join (VERDICT r5 #1): same pair semantics as
+    * [[embedDupPairs]] — cos ≥ [[EmbedDupThreshold]] over the
+    * [[DupCells]]-cell triangle-inequality prune — but verification is
+    * capped at [[EmbedDupProbes]] probe rows per cell, chosen as the
+    * lowest md5(vec_id) members (an unbiased deterministic sample both
+    * engines can replay). A pair is reported iff EITHER endpoint is a
+    * probe, canonicalized (vec_a < vec_b) and deduplicated, so when no
+    * cell exceeds the budget the output EQUALS the uncapped join's; when
+    * the budget binds, recall degrades gracefully and VISIBLY — every
+    * output row carries `cells_truncated` (how many of the pair's two
+    * cells overflowed the budget: 0 = this region of the corpus was
+    * exhaustively verified) and the constant `probe_budget`.
+    *
+    * Scale shape — the reason this variant survives 100 TB where the
+    * uncapped join cannot: the probe side is ≤ cells × budget rows, so it
+    * BROADCASTS (with the C² surviving cell-pair list and the C-row cell
+    * sizes); the member side never shuffles at all — the whole verification
+    * is one map-only pass over the assignment, parallelism = scan
+    * partitions, immune to the small-key AQE coalescing that forced
+    * [[EmbedDupSalt]] on the uncapped join. Measured sf10: the uncapped
+    * join's 562 s isotropic floor drops to the ~C·budget·n dot-product
+    * stream (pair mass ~8×10⁸ at 200k vectors, constant thereafter per
+    * row). The uncapped [[embedDupPairs]] stays registered as the
+    * small-tier oracle twin. */
+  def embedDupCapped(spark: SparkSession, dir: String): DataFrame =
+    embedDupCapped(spark, dir, EmbedDupProbes)
+
+  /** [[embedDupCapped]] with an explicit budget — test seam for forcing
+    * the cap to bind on small fixtures. */
+  private[graft] def embedDupCapped(spark: SparkSession, dir: String,
+      budget: Int): DataFrame = {
+    import spark.implicits._
+    val t = EmbedDupThreshold
+    val r = math.sqrt(2.0 - 2.0 * t)
+    val (cents, assigned) = dupAssignment(spark, dir)
+    val radii = assigned.groupBy($"cid").agg(max($"cdist").as("rad"))
+    val centDist = cents.as("p").crossJoin(cents.as("q"))
+      .select($"p.cid".as("ci"), $"q.cid".as("cj"),
+        unitDist(Similarity.dot($"p.cv", $"q.cv") / ($"p.cn" * $"q.cn")).as("cc"))
+    val cellPairs = centDist
+      .join(radii.as("ri"), $"ci" === $"ri.cid")
+      .join(radii.as("rj"), $"cj" === $"rj.cid")
+      .filter($"cc" <= $"ri.rad" + $"rj.rad" + lit(r))
+      .select($"ci", $"cj")
+    val cellSizes = assigned.groupBy($"cid").agg(count(lit(1)).as("csz"))
+    // deterministic unbiased probe sample: rank cell members by
+    // md5(vec_id) — replayable bit-for-bit in the DuckDB oracle
+    val byHash = Window.partitionBy($"cid")
+      .orderBy(md5($"vec_id".cast("string").cast("binary")), $"vec_id")
+    val probes = assigned
+      .withColumn("rn", row_number().over(byHash))
+      .filter($"rn" <= budget)
+      .select($"vec_id", $"v", $"nrm", $"cid")
+    // probe side ≤ cells × budget rows → broadcast; members stay map-only
+    val pairs = assigned.as("b")
+      .join(broadcast(cellPairs), $"b.cid" === $"cj")
+      .join(broadcast(probes).as("a"),
+        $"a.cid" === $"ci" && $"a.vec_id" =!= $"b.vec_id")
+      .withColumn("cos", Similarity.dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm"))
+      .filter($"cos" >= t)
+      // canonicalize: dot and norm products are bit-commutative, so the
+      // (a,b)/(b,a) duplicates when BOTH endpoints are probes carry the
+      // identical cosine and collapse in the distinct
+      .select(least($"a.vec_id", $"b.vec_id").as("vec_a"),
+        greatest($"a.vec_id", $"b.vec_id").as("vec_b"),
+        round($"cos", 6).as("cosine"),
+        least($"a.cid", $"b.cid").as("ca"),
+        greatest($"a.cid", $"b.cid").as("cb"))
+      .distinct()
+    pairs
+      .join(broadcast(cellSizes).as("sa"), $"ca" === $"sa.cid")
+      .join(broadcast(cellSizes).as("sb"), $"cb" === $"sb.cid")
+      .select($"vec_a", $"vec_b", $"cosine",
+        (($"sa.csz" > budget).cast("int") + ($"sb.csz" > budget).cast("int"))
+          .as("cells_truncated"),
+        lit(budget).as("probe_budget"))
       .orderBy($"vec_a", $"vec_b")
   }
 

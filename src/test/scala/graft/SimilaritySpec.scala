@@ -166,6 +166,29 @@ class SimilaritySpec extends SparkSpec {
     assert(metric.toSeq == brute.toSeq)
   }
 
+  test("budgeted embed dup: unbinding cap == uncapped; binding cap is a " +
+      "visible-truncation subset (sf0.001)") {
+    val full = SimilarityQueries.embedDupPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // budget far above the largest cell → identical pairs, zero truncation
+    val wide = SimilarityQueries.embedDupCapped(spark, sf, 100000).collect()
+    assert(wide.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      == full.toSeq)
+    assert(wide.forall(r => r.getInt(3) == 0 && r.getInt(4) == 100000))
+    // budget of 2 probes/cell MUST bind on 500 vectors / 16 cells: every
+    // reported pair is a true pair with the identical cosine, at least one
+    // cell pair is flagged truncated, and nothing outside `full` appears
+    val tight = SimilarityQueries.embedDupCapped(spark, sf, 2).collect()
+    val fullSet = full.map(t => (t._1, t._2) -> t._3).toMap
+    tight.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(fullSet.contains(key), s"capped join invented pair $key")
+      assert(r.getDouble(2) == fullSet(key))
+    }
+    assert(tight.length < full.length, "a 2-probe budget cannot keep all pairs")
+    assert(tight.forall(_.getInt(3) == 2), "every cell holds >2 members here")
+  }
+
   test("ANN never beats brute force; finds real neighbors (sf0.001)") {
     val knnTop = SimilarityQueries.knnCosine(spark, sf)
       .filter(col("rank") === 1).collect()
