@@ -73,6 +73,7 @@ object SparkEntry {
     // --- multimodal binary-column plumbing (stub decode, real pipeline) ---
     "q_media_meta"     -> ((s, d) => MultimodalQueries.mediaMeta(s, d)),
     "q_media_features" -> ((s, d) => MultimodalQueries.mediaFeatures(s, d)),
+    "q_media_pixels"   -> ((s, d) => MultimodalQueries.mediaPixels(s, d)),
     "q_media_frames"   -> ((s, d) => MultimodalQueries.mediaFrames(s, d)),
     "q_value_histogram" -> ((s, d) => AnalyticQueries.valueHistogram(s, d)),
     "q_daily_full_outer" -> ((s, d) => AnalyticQueries.dailyPurchaseVsError(s, d)),
@@ -575,11 +576,42 @@ object SparkEntry {
          round(avg(64 + (strlen(text)*13) % 513), 6) AS avg_height,
          round(avg(1 + strlen(text) % 3), 6) AS avg_channels
          FROM documents WHERE text IS NOT NULL GROUP BY 1 ORDER BY 1""",
+    // document payloads are UTF-8 text -> stub arithmetic; the 7 fixture
+    // rows are REAL decoded pixels, pinned to tools/make_fixtures.py's
+    // independent Python statistics (full-precision literals, rounded here)
     "q_media_features" ->
       """SELECT doc_id, round(sqrt(list_dot_product(f, f)), 6) AS feature_norm
          FROM (SELECT doc_id, list_transform([7,11,13,17,19,23,29,31],
                  p -> ((strlen(text)*p) % 1000)/1000.0) AS f
                FROM documents WHERE text IS NOT NULL)
+         UNION ALL
+         SELECT CAST(fid AS BIGINT) AS doc_id, round(fnorm, 6) AS feature_norm
+         FROM (VALUES
+           (-1, 0.3542432515235823),
+           (-2, 0.42847841252506524),
+           (-3, 0.3542432515235823),
+           (-4, 0.42847841252506524),
+           (-5, 0.43204937989385733),
+           (-6, 0.45069390943299864),
+           (-7, 0.43204937989385733)) t(fid, fnorm)
+         ORDER BY doc_id""",
+    // every row is a committed binary fixture decoded to raw pixels by the
+    // engine (PNG Inflater + defilter / BMP stride+BGR normalization); the
+    // expected statistics come from tools/make_fixtures.py's independent
+    // implementation over the raw patterns
+    "q_media_pixels" ->
+      """SELECT CAST(fid AS BIGINT) AS doc_id, CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height, CAST(ch AS INTEGER) AS channels,
+           round(luma, 6) AS luma_mean, round(fnorm, 6) AS feature_norm
+         FROM (VALUES
+           (-1, 8, 8, 1, 125.0,              0.3542432515235823),
+           (-2, 8, 8, 3, 127.234375,         0.42847841252506524),
+           (-3, 8, 8, 2, 125.0,              0.3542432515235823),
+           (-4, 8, 8, 4, 127.234375,         0.42847841252506524),
+           (-5, 5, 6, 3, 118.86666666666666, 0.43204937989385733),
+           (-6, 4, 4, 4, 110.0,              0.45069390943299864),
+           (-7, 5, 6, 3, 118.86666666666666, 0.43204937989385733))
+           t(fid, w, h, ch, luma, fnorm)
          ORDER BY doc_id""",
     // frame profile mirrors frameSampleStub arithmetic on byte length
     "q_media_frames" ->

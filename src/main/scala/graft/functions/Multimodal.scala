@@ -10,16 +10,21 @@ import org.apache.spark.sql.functions._
   * Datasets (`mapPartitions` — the JVM analog of a vectorized batch UDF:
   * one iterator per partition, no per-row driver round-trips).
   *
-  * ==== STUB NOTICE (narrowed in round 5) ====
-  * The decode path now parses REAL image headers — PNG IHDR and BMP
-  * BITMAPINFOHEADER ([[parseImageHeader]], pure-JVM byte parsing, no codec
-  * library) — and only falls back to the deterministic byte-length FAKE
-  * ([[decodeStub]]) for payloads that are not a recognized image format.
-  * Feature extraction / resize / frame sampling remain STUBS (pixel work
-  * needs a full codec). The Spark-side contract — schema, encoders,
-  * partitioning, batch iteration shape — is real throughout and is what
-  * the tests pin; MultimodalSpec drives real PNG/BMP byte fixtures through
-  * the same mapPartitions path the registered queries use.
+  * ==== STUB NOTICE (narrowed again in round 6) ====
+  * The decode path is REAL end-to-end for 8-bit PNG (Inflater + all five
+  * scanline filters, color types 0/2/4/6) and uncompressed 24/32-bpp BMP
+  * ([[decodePixels]] — pure-JVM, no codec library), and feature extraction
+  * over decodable payloads is a REAL statistic (the 8-bin luminance
+  * histogram, [[histFeature]]). The deterministic byte-length FAKES
+  * ([[decodeStub]]/[[featureStub]]) remain only as the fallback for
+  * payloads outside those formats (palette/16-bit PNG, RLE BMP, JPEG, the
+  * testdata's UTF-8 text payloads). Resize / frame sampling remain STUBS
+  * (a resampler is codec work this engine doesn't claim). The Spark-side
+  * contract — schema, encoders, partitioning, batch iteration shape — is
+  * real throughout; MultimodalSpec drives the committed binary fixtures
+  * through the same mapPartitions path the registered queries use, and
+  * q_media_pixels pins the decoded statistics to independently computed
+  * values (tools/make_fixtures.py).
   */
 object Multimodal {
 
@@ -105,12 +110,183 @@ object Multimodal {
       case None => decodeStub(r)
     }
 
-  /** STUB feature extraction: 8-dim deterministic pseudo-embedding. */
+  /** STUB feature extraction: 8-dim deterministic pseudo-embedding — the
+    * fallback for payloads [[decodePixels]] cannot decode. */
   def featureStub(r: MediaRecord): MediaFeature = {
     val n = r.payload.length.toLong
     MediaFeature(r.doc_id,
       FeaturePrimes.map(p => ((n * p) % 1000).toDouble / 1000.0))
   }
+
+  /** A fully decoded raster: 8-bit samples, channel-interleaved, row-major,
+    * TOP-DOWN, unpadded; channel order grey / grey+α / RGB / RGBA. */
+  case class PixelImage(width: Int, height: Int, channels: Int,
+                        pixels: Array[Byte])
+
+  /** REAL pixel decode (round-5 VERDICT #2 — no codec library, pure JVM):
+    *
+    *  - **PNG** (spec: RFC 2083 / W3C PNG): 8-bit depth, color types
+    *    0/2/4/6, non-interlaced. IDAT chunks are concatenated, inflated
+    *    with `java.util.zip.Inflater` (zlib stream, as the spec mandates),
+    *    and every scanline's filter (None/Sub/Up/Average/Paeth) is
+    *    reversed. Palette (type 3) and 16-bit depths fall back to the stub
+    *    — they need a PLTE lookup / sample narrowing this engine doesn't
+    *    claim.
+    *  - **BMP**: BITMAPINFOHEADER-family, BI_RGB (uncompressed) 24/32 bpp.
+    *    Rows are stride-padded to 4 bytes and stored bottom-up unless the
+    *    height is negative (top-down); samples arrive BGR(A) and are
+    *    reordered to RGB(A) so channel statistics mean the same thing for
+    *    every format.
+    *
+    * Returns None for anything unrecognized/malformed/truncated — the
+    * caller keeps the stub fallback, so a corrupt payload can never kill a
+    * 100-TB pass (the error-table pattern applies upstream). */
+  def decodePixels(p: Array[Byte]): Option[PixelImage] = {
+    try {
+      if (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P') decodePng(p)
+      else if (p.length >= 54 && p(0) == 'B' && p(1) == 'M') decodeBmp(p)
+      else None
+    } catch { case _: Exception => None }
+  }
+
+  private def decodePng(p: Array[Byte]): Option[PixelImage] = {
+    if (!(p.length >= 33 &&
+        (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G' &&
+        p(4) == 0x0d && p(5) == 0x0a && p(6) == 0x1a && p(7) == 0x0a &&
+        p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R'))
+      return None
+    val w = be32(p, 16); val h = be32(p, 20)
+    val bitDepth = p(24) & 0xff
+    val channels = (p(25) & 0xff) match {
+      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+      case _ => return None // palette / invalid → header-only territory
+    }
+    // compression=0, filter=0, interlace=0 are the only spec'd values we
+    // decode; Adam7 interlacing falls back
+    if (w <= 0 || h <= 0 || bitDepth != 8 || p(26) != 0 || p(27) != 0 ||
+        p(28) != 0) return None
+    // walk chunks, concatenating IDAT payloads
+    val idat = new java.io.ByteArrayOutputStream()
+    var off = 8
+    var done = false
+    while (!done && off + 8 <= p.length) {
+      val len = be32(p, off)
+      val typ = new String(p, off + 4, 4, "US-ASCII")
+      if (len < 0 || off + 12 + len > p.length) return None
+      if (typ == "IDAT") idat.write(p, off + 8, len)
+      if (typ == "IEND") done = true
+      off += 12 + len // len + type + data + crc
+    }
+    val bpp = channels // bytes per pixel at depth 8
+    val rowBytes = w * bpp
+    val raw = new Array[Byte](h * (1 + rowBytes))
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var got = 0
+    while (got < raw.length && !inf.finished()) {
+      val n = inf.inflate(raw, got, raw.length - got)
+      if (n == 0 && inf.needsInput()) return None // truncated stream
+      got += n
+    }
+    inf.end()
+    if (got < raw.length) return None
+    // reverse per-scanline filters (PNG spec §6)
+    val out = new Array[Byte](h * rowBytes)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (1 + rowBytes)) & 0xff
+      val src = y * (1 + rowBytes) + 1
+      val dst = y * rowBytes
+      var i = 0
+      while (i < rowBytes) {
+        val x = raw(src + i) & 0xff
+        val a = if (i >= bpp) out(dst + i - bpp) & 0xff else 0        // left
+        val b = if (y > 0) out(dst - rowBytes + i) & 0xff else 0      // up
+        val c = if (y > 0 && i >= bpp) out(dst - rowBytes + i - bpp) & 0xff
+                else 0                                                 // up-left
+        val v = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + (a + b) / 2
+          case 4 => // Paeth predictor
+            val pp = a + b - c
+            val pa = math.abs(pp - a); val pb = math.abs(pp - b)
+            val pc = math.abs(pp - c)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case _ => return None
+        }
+        out(dst + i) = (v & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    Some(PixelImage(w, h, channels, out))
+  }
+
+  private def decodeBmp(p: Array[Byte]): Option[PixelImage] = {
+    if (!(p.length >= 54 && p(0) == 'B' && p(1) == 'M' &&
+        Set(40, 52, 56, 64, 108, 124).contains(le32(p, 14)) &&
+        le16(p, 26) == 1)) return None
+    val bpp = le16(p, 28)
+    if (bpp != 24 && bpp != 32) return None
+    if (le32(p, 30) != 0) return None // BI_RGB only (no RLE/bitfields)
+    val w = le32(p, 18); val rawH = le32(p, 22)
+    val topDown = rawH < 0
+    val h = math.abs(rawH)
+    if (w <= 0 || h == 0) return None
+    val nch = bpp / 8
+    val stride = (w * nch + 3) & ~3
+    val dataOff = le32(p, 10)
+    if (dataOff < 54 || dataOff.toLong + stride.toLong * h > p.length)
+      return None
+    val out = new Array[Byte](h * w * nch)
+    var y = 0
+    while (y < h) {
+      val srcRow = dataOff + (if (topDown) y else h - 1 - y) * stride
+      var x = 0
+      while (x < w) {
+        val s = srcRow + x * nch
+        val d = (y * w + x) * nch
+        out(d) = p(s + 2)     // R  (file order is BGR[A])
+        out(d + 1) = p(s + 1) // G
+        out(d + 2) = p(s)     // B
+        if (nch == 4) out(d + 3) = p(s + 3)
+        x += 1
+      }
+      y += 1
+    }
+    Some(PixelImage(w, h, nch, out))
+  }
+
+  /** Integer luminance of pixel `i` (same arithmetic the oracle replays):
+    * grey formats take the grey sample; color formats the BT.601 integer
+    * approximation (299R+587G+114B)/1000 with integer division. */
+  def luma(img: PixelImage, i: Int): Int = {
+    val o = i * img.channels
+    if (img.channels <= 2) img.pixels(o) & 0xff
+    else (299 * (img.pixels(o) & 0xff) + 587 * (img.pixels(o + 1) & 0xff) +
+      114 * (img.pixels(o + 2) & 0xff)) / 1000
+  }
+
+  /** REAL feature for decoded payloads: the 8-bin luminance histogram as
+    * pixel fractions (bin = luma >> 5) — [[FeatureDim]] dims, exact integer
+    * counts divided once, so both engines reproduce it bit-for-bit. */
+  def histFeature(img: PixelImage): Array[Double] = {
+    val counts = new Array[Long](FeatureDim)
+    val n = img.width * img.height
+    var i = 0
+    while (i < n) { counts(luma(img, i) >> 5) += 1; i += 1 }
+    counts.map(_.toDouble / n)
+  }
+
+  /** Feature extraction with the round-6 contract: REAL statistic (the
+    * luminance histogram) for payloads that decode; stub otherwise. */
+  def feature(r: MediaRecord): MediaFeature =
+    decodePixels(r.payload) match {
+      case Some(img) => MediaFeature(r.doc_id, histFeature(img))
+      case None => featureStub(r)
+    }
 
   /** STUB resize: returns a payload of exactly `targetBytes` (≤ 0 → empty),
     * cycling the source bytes — stands in for a pixel resample. */
@@ -154,10 +330,55 @@ object Multimodal {
     media.mapPartitions(_.map(decode))
   }
 
-  /** Partition-batched feature extraction. */
+  /** Partition-batched feature extraction: REAL luminance-histogram
+    * features for payloads that pixel-decode, stub fallback otherwise. */
   def featuresAll(media: Dataset[MediaRecord]): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(featureStub))
+    media.mapPartitions(_.map(feature))
+  }
+
+  /** The committed binary image fixtures (tools/make_fixtures.py writes
+    * them + the expected statistics; MultimodalSpec and the q_media_pixels
+    * oracle pin both). doc_id = −(position+1) — the negative range can
+    * never collide with documents at any scale factor. */
+  val FixtureNames: Seq[String] = Seq(
+    "png_grey.png", "png_rgb.png", "png_greya.png", "png_rgba.png",
+    "bmp24.bmp", "bmp32.bmp", "bmp24_topdown.bmp")
+
+  /** The fixture catalog as a media table: a CONSTANT-size frame (7 rows,
+    * ~1 KB total, independent of scale factor) loaded from classpath
+    * resources — cwd-independent, so the registered queries see the same
+    * bytes under any driver. */
+  def fixtureMedia(spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    val recs = FixtureNames.zipWithIndex.map { case (name, i) =>
+      val in = getClass.getResourceAsStream(s"/graft/fixtures/$name")
+      require(in != null, s"missing fixture resource $name")
+      val bytes = try in.readAllBytes() finally in.close()
+      MediaRecord(-(i + 1).toLong, "img/fixture", bytes)
+    }
+    spark.createDataset(recs)
+  }
+
+  /** Per-payload decoded-raster profile. */
+  case class PixelStats(doc_id: Long, width: Int, height: Int, channels: Int,
+                        luma_sum: Long, n_pixels: Int, feature: Array[Double])
+
+  /** Partition-batched pixel decode → raster statistics; payloads that do
+    * not decode are dropped (the caller's contract — q_media_pixels runs
+    * on the fixture catalog, where every payload decodes). */
+  def pixelStatsAll(media: Dataset[MediaRecord]): Dataset[PixelStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      decodePixels(r.payload).map { img =>
+        val n = img.width * img.height
+        var s = 0L
+        var i = 0
+        while (i < n) { s += luma(img, i); i += 1 }
+        PixelStats(r.doc_id, img.width, img.height, img.channels, s, n,
+          histFeature(img))
+      }
+    })
   }
 
   /** Per-payload frame-sampling profile. */

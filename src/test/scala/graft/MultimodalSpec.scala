@@ -96,6 +96,70 @@ class MultimodalSpec extends SparkSpec {
       MediaRecord(3L, "img/txt", "plain text payload".getBytes("UTF-8"))))
   }
 
+  private def fixture(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/graft/fixtures/$name")
+    assert(in != null, s"missing fixture $name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("pixel decode: PNG fixtures inflate + defilter to the exact pattern") {
+    // the generator cycles all five filter types across rows, so a wrong
+    // Sub/Up/Average/Paeth reversal cannot pass this
+    val img = Multimodal.decodePixels(fixture("png_rgb.png")).get
+    assert(img.width == 8 && img.height == 8 && img.channels == 3)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val o = (y * 8 + x) * 3
+      assert((img.pixels(o) & 0xff) == (x * 37 + y * 101) % 256, s"R($x,$y)")
+      assert((img.pixels(o + 1) & 0xff) == (x * 59 + y * 13) % 256, s"G($x,$y)")
+      assert((img.pixels(o + 2) & 0xff) == (x * 83 + y * 29) % 256, s"B($x,$y)")
+    }
+    val grey = Multimodal.decodePixels(fixture("png_grey.png")).get
+    assert(grey.channels == 1)
+    assert((grey.pixels(8 * 3 + 2) & 0xff) == (2 * 31 + 3 * 7) % 256) // (x=2,y=3)
+    assert(Multimodal.decodePixels(fixture("png_rgba.png")).get.channels == 4)
+    assert(Multimodal.decodePixels(fixture("png_greya.png")).get.channels == 2)
+  }
+
+  test("pixel decode: BMP bottom-up + padded stride + BGR order normalized; " +
+      "top-down variant decodes identically") {
+    val up = Multimodal.decodePixels(fixture("bmp24.bmp")).get
+    assert(up.width == 5 && up.height == 6 && up.channels == 3)
+    // spot pixel (x=3, y=1) — wrong row order / stride / channel order all
+    // shift this
+    val o = (1 * 5 + 3) * 3
+    assert((up.pixels(o) & 0xff) == (3 * 37 + 1 * 101) % 256)
+    assert((up.pixels(o + 1) & 0xff) == (3 * 59 + 1 * 13) % 256)
+    assert((up.pixels(o + 2) & 0xff) == (3 * 83 + 1 * 29) % 256)
+    val down = Multimodal.decodePixels(fixture("bmp24_topdown.bmp")).get
+    assert(down.pixels.toSeq == up.pixels.toSeq)
+    assert(Multimodal.decodePixels(fixture("bmp32.bmp")).get.channels == 4)
+  }
+
+  test("pixel decode: text and truncated payloads fall back, never throw") {
+    assert(Multimodal.decodePixels("not an image".getBytes("UTF-8")).isEmpty)
+    val truncated = fixture("png_rgb.png").take(40)
+    assert(Multimodal.decodePixels(truncated).isEmpty)
+    val truncBmp = fixture("bmp24.bmp").take(60)
+    assert(Multimodal.decodePixels(truncBmp).isEmpty)
+    // feature falls back to the stub for undecodable payloads
+    val r = MediaRecord(5L, "img/t", "plain".getBytes("UTF-8"))
+    assert(Multimodal.feature(r).feature.toSeq ==
+      Multimodal.featureStub(r).feature.toSeq)
+  }
+
+  test("real features: luminance histogram matches the independent " +
+      "make_fixtures.py statistics") {
+    val img = Multimodal.decodePixels(fixture("png_rgb.png")).get
+    val f = Multimodal.histFeature(img)
+    assert(f.length == Multimodal.FeatureDim)
+    assert(math.abs(f.sum - 1.0) < 1e-12)
+    val norm = math.sqrt(f.map(v => v * v).sum)
+    assert(norm == 0.42847841252506524) // exact: dyadic fractions
+    val bmp = Multimodal.decodePixels(fixture("bmp24.bmp")).get
+    val lumaMean = (0 until 30).map(Multimodal.luma(bmp, _)).sum / 30.0
+    assert(lumaMean == 118.86666666666666)
+  }
+
   test("dataset plumbing: binary payloads decode per-partition, rows preserved") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val media = Multimodal.mediaFromDocuments(docs).repartition(4)
