@@ -1158,8 +1158,22 @@ object SparkEntry {
                  t -> lower(t) IN ('the','a','an','and','or','of','to','in','is','are','was','it','for','on','with','as','at','by','be','this','that'))) AS DOUBLE)
                  / len(list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0)) ELSE 0.0 END * 5.0, 1.0)) / 3.0, 6) AS quality
          FROM documents),
-       thr AS (SELECT source, round(quantile_cont(quality, 0.25), 6) AS p25,
-           count(*) AS n_total FROM q GROUP BY 1)
+       byval AS (SELECT source, quality, count(*) AS c FROM q GROUP BY 1, 2),
+       cum AS (SELECT source, quality,
+           sum(c) OVER (PARTITION BY source ORDER BY quality) AS cum
+         FROM byval),
+       rk AS (SELECT source, count(*) AS n_total,
+           CAST(count(*) - 1 AS DOUBLE) * 0.25 AS pos
+         FROM q GROUP BY 1),
+       -- shared lerp formulation, identical to the engine's: bracketing
+       -- order statistics as conditional mins over the cumulative counts,
+       -- then qlo + (qhi - qlo) * frac (pos is exact: x * 2^-2)
+       thr AS (SELECT c.source, r.n_total,
+           round(min(CASE WHEN cum >= floor(pos) + 1 THEN quality END)
+             + (min(CASE WHEN cum >= ceil(pos) + 1 THEN quality END)
+                - min(CASE WHEN cum >= floor(pos) + 1 THEN quality END))
+               * (pos - floor(pos)), 6) AS p25
+         FROM cum c JOIN rk r USING (source) GROUP BY 1, 2, pos)
        SELECT q.source, t.p25, t.n_total, count(*) AS n_kept,
          round(CAST(count(*) AS DOUBLE) / t.n_total, 6) AS kept_frac
        FROM q JOIN thr t USING (source) WHERE q.quality >= t.p25
