@@ -18,7 +18,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the run — the subset-tier
+    // probes (e.g. the documents/embeddings-only sf100 decade) time just
+    // the queries whose tables exist there
+    val onlySet = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => onlySet.forall(_.contains(n)) }
     // warmup (not reported): smallest SF sibling of the target, same plans
     val warmDir = new java.io.File(sfDir).getParentFile match {
       case null => "/root/testdata/sf0.001"

@@ -33,12 +33,19 @@ import org.apache.spark.sql.functions._
   * and the Spark queries read the same parquet, so CORRECTNESS at the new
   * tier is a true hash-match sweep, not an extrapolation.
   *
-  * Usage: runMain graft.ScaleUp <srcDir> <dstDir> <factor>
+  * Usage: runMain graft.ScaleUp <srcDir> <dstDir> <factor> [tables]
+  * `tables` (comma-separated, optional) restricts generation to a subset —
+  * the decade-3 probe writes only the heavy families (documents,
+  * embeddings) because a full sf100 relational tier (~600M lineitem)
+  * exceeds sandbox wall-clock without adding scale signal beyond sf10's.
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
-    val Array(srcDir, dstDir, fStr) = args
+    val (srcDir, dstDir, fStr) = (args(0), args(1), args(2))
     val factor = fStr.toInt
+    val tables: Set[String] =
+      if (args.length > 3) args(3).split(",").map(_.trim).toSet else Set.empty
+    def wanted(t: String): Boolean = tables.isEmpty || tables(t)
     require(factor >= 1, s"factor must be >= 1, got $factor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -68,46 +75,60 @@ object ScaleUp {
       }
 
     // fixed dims — verbatim
-    write(src("region"), "region")
-    write(src("nation"), "nation")
+    if (wanted("region")) write(src("region"), "region")
+    if (wanted("nation")) write(src("nation"), "nation")
 
-    val cOff = keyMax(src("customer"), "c_custkey") + 1
-    val oOff = keyMax(src("orders"), "o_orderkey") + 1
-    val pOff = keyMax(src("part"), "p_partkey") + 1
-    val sOff = keyMax(src("supplier"), "s_suppkey") + 1
-    write(shifted(src("customer"), "c_custkey" -> cOff).drop("copy"), "customer")
-    write(shifted(src("supplier"), "s_suppkey" -> sOff).drop("copy"), "supplier")
-    write(shifted(src("part"), "p_partkey" -> pOff).drop("copy"), "part")
-    write(shifted(src("orders"),
-      "o_orderkey" -> oOff, "o_custkey" -> cOff).drop("copy"), "orders")
-    write(shifted(src("lineitem"),
-      "l_orderkey" -> oOff, "l_partkey" -> pOff, "l_suppkey" -> sOff)
-      .drop("copy"), "lineitem")
+    if (Seq("customer", "supplier", "part", "orders", "lineitem")
+        .exists(wanted)) {
+      val cOff = keyMax(src("customer"), "c_custkey") + 1
+      val oOff = keyMax(src("orders"), "o_orderkey") + 1
+      val pOff = keyMax(src("part"), "p_partkey") + 1
+      val sOff = keyMax(src("supplier"), "s_suppkey") + 1
+      if (wanted("customer"))
+        write(shifted(src("customer"), "c_custkey" -> cOff).drop("copy"), "customer")
+      if (wanted("supplier"))
+        write(shifted(src("supplier"), "s_suppkey" -> sOff).drop("copy"), "supplier")
+      if (wanted("part"))
+        write(shifted(src("part"), "p_partkey" -> pOff).drop("copy"), "part")
+      if (wanted("orders"))
+        write(shifted(src("orders"),
+          "o_orderkey" -> oOff, "o_custkey" -> cOff).drop("copy"), "orders")
+      if (wanted("lineitem"))
+        write(shifted(src("lineitem"),
+          "l_orderkey" -> oOff, "l_partkey" -> pOff, "l_suppkey" -> sOff)
+          .drop("copy"), "lineitem")
+    }
 
-    // events via Tables.events: the source ts is TIMESTAMP(NANOS), which
-    // becomes a plain µs timestamp here — the scaled tier reads natively
-    val ev = Tables.events(spark, srcDir)
-    val eOff = keyMax(ev, "event_id") + 1
-    val uOff = keyMax(ev, "user_id") + 1
-    write(shifted(ev, "event_id" -> eOff, "user_id" -> uOff)
-      .drop("copy"), "events")
+    if (wanted("events")) {
+      // events via Tables.events: the source ts is TIMESTAMP(NANOS), which
+      // becomes a plain µs timestamp here — the scaled tier reads natively
+      val ev = Tables.events(spark, srcDir)
+      val eOff = keyMax(ev, "event_id") + 1
+      val uOff = keyMax(ev, "user_id") + 1
+      write(shifted(ev, "event_id" -> eOff, "user_id" -> uOff)
+        .drop("copy"), "events")
+    }
 
-    val docsSrc = src("documents")
-    val dOff = keyMax(docsSrc, "doc_id") + 1
-    write(shifted(docsSrc, "doc_id" -> dOff)
-      .withColumn("text", when($"copy" === 0, $"text").otherwise(
-        regexp_replace($"text", lit("(\\S+)"), concat(lit("$1_c"), $"copy"))))
-      .withColumn("n_chars",
-        when($"text".isNull, $"n_chars").otherwise(length($"text").cast("long")))
-      .drop("copy"), "documents")
+    if (wanted("documents")) {
+      val docsSrc = src("documents")
+      val dOff = keyMax(docsSrc, "doc_id") + 1
+      write(shifted(docsSrc, "doc_id" -> dOff)
+        .withColumn("text", when($"copy" === 0, $"text").otherwise(
+          regexp_replace($"text", lit("(\\S+)"), concat(lit("$1_c"), $"copy"))))
+        .withColumn("n_chars",
+          when($"text".isNull, $"n_chars").otherwise(length($"text").cast("long")))
+        .drop("copy"), "documents")
+    }
 
-    val embSrc = src("embeddings")
-    val vOff = keyMax(embSrc, "vec_id") + 1
-    write(shifted(embSrc, "vec_id" -> vOff)
-      .withColumn("embedding", when($"copy" === 0, $"embedding").otherwise(
-        transform($"embedding",
-          (x, j) => when(pmod(hash($"copy", j), lit(2)) === 0, x).otherwise(-x))))
-      .drop("copy"), "embeddings")
+    if (wanted("embeddings")) {
+      val embSrc = src("embeddings")
+      val vOff = keyMax(embSrc, "vec_id") + 1
+      write(shifted(embSrc, "vec_id" -> vOff)
+        .withColumn("embedding", when($"copy" === 0, $"embedding").otherwise(
+          transform($"embedding",
+            (x, j) => when(pmod(hash($"copy", j), lit(2)) === 0, x).otherwise(-x))))
+        .drop("copy"), "embeddings")
+    }
 
     println(s"[scaleup] wrote $dstDir at factor $factor from $srcDir")
     spark.stop()

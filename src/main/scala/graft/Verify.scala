@@ -44,10 +44,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // full registry manifest, so the checker can detect rows-only queries
-    // whose dump failed (they have no oracle entry to cross-check against)
+    // registry manifest, so the checker can detect rows-only queries whose
+    // dump failed (no oracle entry to cross-check against); a restricted
+    // run manifests only its subset — the checker then scores exactly what
+    // was asked for (the subset-tier artifacts, e.g. sf100, stay clean)
+    val manifest =
+      if (only.isEmpty) SparkEntry.queries.keys.toSeq else only.toSeq
     Files.writeString(Paths.get(s"$outDir/queries.txt"),
-      SparkEntry.queries.keys.toSeq.sorted.mkString("", "\n", "\n"))
+      manifest.sorted.mkString("", "\n", "\n"))
     spark.stop()
   }
 }
