@@ -1142,7 +1142,7 @@ object SparkEntry {
            avg(ln(CAST(n1 AS DOUBLE) / CAST(c AS DOUBLE))) AS nll
          FROM toks JOIN uni USING (w) CROSS JOIN n GROUP BY 1)
        SELECT d.doc_id, sc.n_tokens, round(sc.nll, 6) AS mean_nll,
-         round(exp(sc.nll), 6) AS ppl
+         round(exp(round(sc.nll, 6)), 2) AS ppl
        FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
        ORDER BY d.doc_id""",
     // per-source p25 quality gate; threshold and quality both 6-dp-rounded
@@ -1237,9 +1237,12 @@ object SparkEntry {
          CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY 1 ORDER BY 1""",
-    // CCNet head/middle/tail: in-corpus unigram ppl per doc (6-dp-rounded
-    // BEFORE the cut), per-LANG tertile thresholds (6-dp-rounded), bucket
-    // membership on the rounded grid so both engines cut identically
+    // CCNet head/middle/tail (hardened r6, the sf100 lesson): ppl
+    // exponentiates the 6-dp-ROUNDED mean surprisal (exp of a raw avg
+    // amplifies fold-order noise by the ppl magnitude) onto a 0.01 grid
+    // the input quantization dominates; tertile cuts replay the shared
+    // exact-rank lerp (no builtin quantile on either side); avg_ppl sums
+    // the grid values in DECIMAL — fold-order exact
     "q_ccnet_buckets" ->
       """WITH toks AS (SELECT doc_id, lang,
            unnest(list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0)) AS w
@@ -1247,15 +1250,31 @@ object SparkEntry {
        uni AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
        n AS (SELECT count(*) AS n1 FROM toks),
        sc AS (SELECT doc_id, lang, count(*) AS n_tokens,
-           round(exp(avg(ln(CAST(n1 AS DOUBLE) / CAST(c AS DOUBLE)))), 6) AS ppl
+           round(exp(round(avg(ln(CAST(n1 AS DOUBLE) / CAST(c AS DOUBLE))), 6)), 2) AS ppl
          FROM toks JOIN uni USING (w) CROSS JOIN n GROUP BY 1, 2),
-       cuts AS (SELECT lang, round(quantile_cont(ppl, 1.0/3.0), 6) AS p33,
-           round(quantile_cont(ppl, 2.0/3.0), 6) AS p67
-         FROM sc GROUP BY 1)
+       byval AS (SELECT lang, ppl, count(*) AS c FROM sc GROUP BY 1, 2),
+       cum AS (SELECT lang, ppl,
+           sum(c) OVER (PARTITION BY lang ORDER BY ppl) AS cum FROM byval),
+       rk AS (SELECT lang, count(*) AS nd,
+           CAST(count(*) - 1 AS DOUBLE) * (1.0/3.0) AS pos33,
+           CAST(count(*) - 1 AS DOUBLE) * (2.0/3.0) AS pos67
+         FROM sc GROUP BY 1),
+       cuts AS (SELECT c.lang,
+           round(min(CASE WHEN cum >= floor(pos33) + 1 THEN ppl END)
+             + (min(CASE WHEN cum >= ceil(pos33) + 1 THEN ppl END)
+                - min(CASE WHEN cum >= floor(pos33) + 1 THEN ppl END))
+               * (pos33 - floor(pos33)), 6) AS p33,
+           round(min(CASE WHEN cum >= floor(pos67) + 1 THEN ppl END)
+             + (min(CASE WHEN cum >= ceil(pos67) + 1 THEN ppl END)
+                - min(CASE WHEN cum >= floor(pos67) + 1 THEN ppl END))
+               * (pos67 - floor(pos67)), 6) AS p67
+         FROM cum c JOIN rk r USING (lang) GROUP BY 1, pos33, pos67)
        SELECT sc.lang,
          CASE WHEN ppl <= p33 THEN 'head'
               WHEN ppl <= p67 THEN 'middle' ELSE 'tail' END AS bucket,
-         count(*) AS n_docs, round(avg(ppl), 6) AS avg_ppl,
+         count(*) AS n_docs,
+         round(CAST(sum(CAST(ppl AS DECIMAL(18,2))) AS DOUBLE)
+           / count(*), 6) AS avg_ppl,
          CAST(sum(n_tokens) AS BIGINT) AS n_tokens
        FROM sc JOIN cuts USING (lang) GROUP BY 1, 2 ORDER BY 1, 2""",
     // DSIR log importance ratio over md5-bucketed word-unigram features

@@ -120,7 +120,15 @@ object CorpusQueries {
     * stream (unhinted — AQE broadcasts the vocabulary while it fits an
     * executor and falls back to a hash shuffle join when it doesn't), one
     * per-doc mean. The "model" never exists off-executor; documents with
-    * no tokens surface NULL scores rather than vanishing. */
+    * no tokens surface NULL scores rather than vanishing.
+    *
+    * Determinism (sf100 lesson, r6): ppl exponentiates the 6-dp-ROUNDED
+    * mean — exp of the raw avg amplifies fold-order noise by the ppl
+    * magnitude (~3×10⁴ here), which crossed a 6-dp rounding boundary once
+    * in 5M docs — and rounds to 2 dp, a grid the input quantization
+    * (±ppl·5e-7) dominates, so the ≤1-ulp difference between JVM Math.exp
+    * and libm exp on the identical grid point cannot flip a digit
+    * (residual boundary probability ~1e-9 per distinct value). */
   def unigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
@@ -139,7 +147,7 @@ object CorpusQueries {
       .join(scored, Seq("doc_id"), "left")
       .select($"doc_id", $"n_tokens",
         round($"nll", 6).as("mean_nll"),
-        round(exp($"nll"), 6).as("ppl"))
+        round(exp(round($"nll", 6)), 2).as("ppl"))
       .orderBy($"doc_id")
   }
 
@@ -235,15 +243,21 @@ object CorpusQueries {
     * decision is visible. Per-language cuts matter: a single global
     * threshold would mostly encode language identity, not quality.
     *
-    * Determinism: ppl is rounded to 6 dp BEFORE the tertile cut and the
-    * cuts are rounded to 6 dp before comparison, so Spark and DuckDB make
-    * identical head/middle/tail decisions. Docs with zero tokens cannot be
-    * scored and are excluded (CCNet semantics).
+    * Determinism (hardened r6, the sf100 lesson): ppl exponentiates the
+    * 6-dp-ROUNDED mean surprisal — exp of a raw avg amplifies fold-order
+    * noise by the ppl magnitude — and lands on a 0.01 grid the input
+    * quantization dominates, so the ≤1-ulp JVM-vs-libm exp difference
+    * cannot flip a digit. The tertile cuts use the same shared exact-rank
+    * lerp as [[quantileFilter]] (no builtin percentile on either side;
+    * pos = (n−1)·(1/3) uses the identical compile-time double in both
+    * engines), and avg_ppl sums the grid values in DECIMAL — fold-order
+    * exact at any parallelism. Docs with zero tokens cannot be scored and
+    * are excluded (CCNet semantics).
     *
-    * Scale shape: the unigram join is unhinted (AQE decides); the tertile
-    * cuts are a per-lang percentile AGGREGATE joined back (#langs rows —
-    * broadcast), the same no-stratum-buffering shape as
-    * [[quantileFilter]]. */
+    * Scale shape: the unigram join is unhinted (AQE decides); the cut
+    * statistics ride a cumulative window over the per-(lang, ppl-grid)
+    * DISTINCT frame (bounded by the 0.01 value grid, never by corpus
+    * rows), joined back as #langs rows (broadcast). */
   def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
@@ -254,11 +268,26 @@ object CorpusQueries {
     val scored = toks.join(uni, "w").crossJoin(broadcast(n1))
       .groupBy($"doc_id", $"lang")
       .agg(count(lit(1)).as("n_tokens"),
-        round(exp(avg(log($"n1".cast("double") / $"c".cast("double")))), 6)
+        round(exp(round(avg(log($"n1".cast("double") / $"c".cast("double"))), 6)), 2)
           .as("ppl"))
-    val cuts = scored.groupBy($"lang")
-      .agg(round(percentile($"ppl", lit(1.0 / 3.0)), 6).as("p33"),
-        round(percentile($"ppl", lit(2.0 / 3.0)), 6).as("p67"))
+    val byVal = scored.groupBy($"lang", $"ppl").agg(count(lit(1)).as("c"))
+    val cum = byVal.withColumn("cum",
+      sum($"c").over(Window.partitionBy($"lang").orderBy($"ppl")))
+    val ranks = scored.groupBy($"lang").agg(count(lit(1)).as("nd"))
+      .withColumn("pos33", ($"nd" - 1).cast("double") * lit(1.0 / 3.0))
+      .withColumn("pos67", ($"nd" - 1).cast("double") * lit(2.0 / 3.0))
+    val cuts = cum.join(ranks, "lang")
+      .groupBy($"lang", $"pos33", $"pos67")
+      .agg(
+        min(when($"cum" >= floor($"pos33") + 1, $"ppl")).as("qlo33"),
+        min(when($"cum" >= ceil($"pos33") + 1, $"ppl")).as("qhi33"),
+        min(when($"cum" >= floor($"pos67") + 1, $"ppl")).as("qlo67"),
+        min(when($"cum" >= ceil($"pos67") + 1, $"ppl")).as("qhi67"))
+      .select($"lang",
+        round($"qlo33" + ($"qhi33" - $"qlo33") * ($"pos33" - floor($"pos33")), 6)
+          .as("p33"),
+        round($"qlo67" + ($"qhi67" - $"qlo67") * ($"pos67" - floor($"pos67")), 6)
+          .as("p67"))
     scored.join(cuts, "lang")
       .withColumn("bucket",
         when($"ppl" <= $"p33", lit("head"))
@@ -266,7 +295,8 @@ object CorpusQueries {
           .otherwise(lit("tail")))
       .groupBy($"lang", $"bucket")
       .agg(count(lit(1)).as("n_docs"),
-        round(avg($"ppl"), 6).as("avg_ppl"),
+        round(sum($"ppl".cast("decimal(18,2)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("avg_ppl"),
         sum($"n_tokens").as("n_tokens"))
       .orderBy($"lang", $"bucket")
   }
