@@ -74,6 +74,7 @@ object SparkEntry {
     "q_media_meta"     -> ((s, d) => MultimodalQueries.mediaMeta(s, d)),
     "q_media_features" -> ((s, d) => MultimodalQueries.mediaFeatures(s, d)),
     "q_media_pixels"   -> ((s, d) => MultimodalQueries.mediaPixels(s, d)),
+    "q_media_resize"   -> ((s, d) => MultimodalQueries.mediaResize(s, d)),
     "q_media_frames"   -> ((s, d) => MultimodalQueries.mediaFrames(s, d)),
     "q_value_histogram" -> ((s, d) => AnalyticQueries.valueHistogram(s, d)),
     "q_daily_full_outer" -> ((s, d) => AnalyticQueries.dailyPurchaseVsError(s, d)),
@@ -576,7 +577,7 @@ object SparkEntry {
          round(avg(64 + (strlen(text)*13) % 513), 6) AS avg_height,
          round(avg(1 + strlen(text) % 3), 6) AS avg_channels
          FROM documents WHERE text IS NOT NULL GROUP BY 1 ORDER BY 1""",
-    // document payloads are UTF-8 text -> stub arithmetic; the 7 fixture
+    // document payloads are UTF-8 text -> stub arithmetic; the 13 fixture
     // rows are REAL decoded pixels, pinned to tools/make_fixtures.py's
     // independent Python statistics (full-precision literals, rounded here)
     "q_media_features" ->
@@ -593,7 +594,13 @@ object SparkEntry {
            (-4, 0.42847841252506524),
            (-5, 0.43204937989385733),
            (-6, 0.45069390943299864),
-           (-7, 0.43204937989385733)) t(fid, fnorm)
+           (-7, 0.43204937989385733),
+           (-8, 0.4419417382415922),
+           (-9, 0.4346134936801766),
+           (-10, 0.5014627042462879),
+           (-11, 0.6778441238588707),
+           (-12, 0.43985155195259007),
+           (-13, 0.44158804331639234)) t(fid, fnorm)
          ORDER BY doc_id""",
     // every row is a committed binary fixture decoded to raw pixels by the
     // engine (PNG Inflater + defilter / BMP stride+BGR normalization); the
@@ -610,8 +617,35 @@ object SparkEntry {
            (-4, 8, 8, 4, 127.234375,         0.42847841252506524),
            (-5, 5, 6, 3, 118.86666666666666, 0.43204937989385733),
            (-6, 4, 4, 4, 110.0,              0.45069390943299864),
-           (-7, 5, 6, 3, 118.86666666666666, 0.43204937989385733))
+           (-7, 5, 6, 3, 118.86666666666666, 0.43204937989385733),
+           (-8, 8, 8, 3, 124.71875,          0.4419417382415922),
+           (-9, 6, 5, 3, 120.46666666666667, 0.4346134936801766),
+           (-10, 8, 8, 1, 58.0,              0.5014627042462879),
+           (-11, 8, 8, 3, 34.96875,          0.6778441238588707),
+           (-12, 7, 5, 3, 127.97142857142858, 0.43985155195259007),
+           (-13, 10, 4, 3, 125.925,          0.44158804331639234))
            t(fid, w, h, ch, luma, fnorm)
+         ORDER BY doc_id""",
+    // every row: committed fixture decoded then nearest-neighbor-resampled
+    // to 3x2 by the engine; expected means replayed by make_fixtures.py's
+    // independent resize_stats() over the raw patterns (same floor mapping)
+    "q_media_resize" ->
+      """SELECT CAST(fid AS BIGINT) AS doc_id, 3 AS width, 2 AS height,
+           CAST(ch AS INTEGER) AS channels, round(luma, 6) AS luma_mean
+         FROM (VALUES
+           (-1, 1, 86.33333333333333),
+           (-2, 3, 90.16666666666667),
+           (-3, 2, 86.33333333333333),
+           (-4, 4, 90.16666666666667),
+           (-5, 3, 91.83333333333333),
+           (-6, 4, 83.33333333333333),
+           (-7, 3, 91.83333333333333),
+           (-8, 3, 97.5),
+           (-9, 3, 117.33333333333333),
+           (-10, 1, 38.333333333333336),
+           (-11, 3, 22.166666666666668),
+           (-12, 3, 107.83333333333333),
+           (-13, 3, 114.83333333333333)) t(fid, ch, luma)
          ORDER BY doc_id""",
     // frame profile mirrors frameSampleStub arithmetic on byte length
     "q_media_frames" ->

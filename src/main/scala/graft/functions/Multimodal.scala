@@ -10,20 +10,25 @@ import org.apache.spark.sql.functions._
   * Datasets (`mapPartitions` — the JVM analog of a vectorized batch UDF:
   * one iterator per partition, no per-row driver round-trips).
   *
-  * ==== STUB NOTICE (narrowed again in round 6) ====
-  * The decode path is REAL end-to-end for 8-bit PNG (Inflater + all five
-  * scanline filters, color types 0/2/4/6) and uncompressed 24/32-bpp BMP
-  * ([[decodePixels]] — pure-JVM, no codec library), and feature extraction
+  * ==== STUB NOTICE (narrowed again, round 6 final) ====
+  * The decode path is REAL end-to-end for PNG at bit depth 8 and 16
+  * (Inflater + all five scanline filters, color types 0/2/4/6; 16-bit
+  * samples narrowed to their high byte, the spec's approximation) and for
+  * palette PNG (color type 3 at depths 1/2/4/8, PLTE lookup → RGB), and
+  * for BMP 24/32-bpp uncompressed, 8-bpp color-table, and 8-bpp BI_RLE8
+  * ([[decodePixels]] — pure-JVM, no codec library). Feature extraction
   * over decodable payloads is a REAL statistic (the 8-bin luminance
-  * histogram, [[histFeature]]). The deterministic byte-length FAKES
-  * ([[decodeStub]]/[[featureStub]]) remain only as the fallback for
-  * payloads outside those formats (palette/16-bit PNG, RLE BMP, JPEG, the
-  * testdata's UTF-8 text payloads). Resize / frame sampling remain STUBS
-  * (a resampler is codec work this engine doesn't claim). The Spark-side
-  * contract — schema, encoders, partitioning, batch iteration shape — is
-  * real throughout; MultimodalSpec drives the committed binary fixtures
-  * through the same mapPartitions path the registered queries use, and
-  * q_media_pixels pins the decoded statistics to independently computed
+  * histogram, [[histFeature]]), and resize is a REAL nearest-neighbor
+  * resample over decoded rasters ([[resizePixels]]). The deterministic
+  * byte-length FAKES ([[decodeStub]]/[[featureStub]]/[[resizeStub]])
+  * remain only as the fallback for payloads outside those formats (JPEG,
+  * interlaced PNG, RLE4/bitfield BMP, the testdata's UTF-8 text
+  * payloads). Video frame sampling remains a STUB (a video codec is work
+  * this engine doesn't claim). The Spark-side contract — schema,
+  * encoders, partitioning, batch iteration shape — is real throughout;
+  * MultimodalSpec drives the committed binary fixtures through the same
+  * mapPartitions path the registered queries use, and q_media_pixels /
+  * q_media_resize pin the decoded statistics to independently computed
   * values (tools/make_fixtures.py).
   */
 object Multimodal {
@@ -125,14 +130,15 @@ object Multimodal {
 
   /** REAL pixel decode (round-5 VERDICT #2 — no codec library, pure JVM):
     *
-    *  - **PNG** (spec: RFC 2083 / W3C PNG): 8-bit depth, color types
-    *    0/2/4/6, non-interlaced. IDAT chunks are concatenated, inflated
-    *    with `java.util.zip.Inflater` (zlib stream, as the spec mandates),
-    *    and every scanline's filter (None/Sub/Up/Average/Paeth) is
-    *    reversed. Palette (type 3) and 16-bit depths fall back to the stub
-    *    — they need a PLTE lookup / sample narrowing this engine doesn't
-    *    claim.
-    *  - **BMP**: BITMAPINFOHEADER-family, BI_RGB (uncompressed) 24/32 bpp.
+    *  - **PNG** (spec: RFC 2083 / W3C PNG): non-interlaced; color types
+    *    0/2/4/6 at bit depth 8 and 16 (16-bit samples narrow to their high
+    *    byte), palette type 3 at depths 1/2/4/8 (MSB-first index unpack +
+    *    PLTE lookup → RGB). IDAT chunks are concatenated, inflated with
+    *    `java.util.zip.Inflater` (zlib stream, as the spec mandates), and
+    *    every scanline's filter (None/Sub/Up/Average/Paeth) is reversed.
+    *    Adam7 interlacing falls back to the stub.
+    *  - **BMP**: BITMAPINFOHEADER-family. BI_RGB 24/32 bpp, 8-bpp with a
+    *    color table, and 8-bpp BI_RLE8 (run/absolute/EOL/delta/EOF).
     *    Rows are stride-padded to 4 bytes and stored bottom-up unless the
     *    height is negative (top-down); samples arrive BGR(A) and are
     *    reordered to RGB(A) so channel statistics mean the same thing for
@@ -157,16 +163,23 @@ object Multimodal {
       return None
     val w = be32(p, 16); val h = be32(p, 20)
     val bitDepth = p(24) & 0xff
-    val channels = (p(25) & 0xff) match {
-      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
-      case _ => return None // palette / invalid → header-only territory
+    val colorType = p(25) & 0xff
+    // samples per pixel IN THE ENCODED STREAM (palette = 1 index sample)
+    val rawCh = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      case _ => return None
+    }
+    val depthOk = colorType match {
+      case 3 => bitDepth == 1 || bitDepth == 2 || bitDepth == 4 || bitDepth == 8
+      case _ => bitDepth == 8 || bitDepth == 16
     }
     // compression=0, filter=0, interlace=0 are the only spec'd values we
     // decode; Adam7 interlacing falls back
-    if (w <= 0 || h <= 0 || bitDepth != 8 || p(26) != 0 || p(27) != 0 ||
+    if (w <= 0 || h <= 0 || !depthOk || p(26) != 0 || p(27) != 0 ||
         p(28) != 0) return None
-    // walk chunks, concatenating IDAT payloads
+    // walk chunks, concatenating IDAT payloads and capturing PLTE
     val idat = new java.io.ByteArrayOutputStream()
+    var plte: Array[Byte] = null
     var off = 8
     var done = false
     while (!done && off + 8 <= p.length) {
@@ -174,11 +187,14 @@ object Multimodal {
       val typ = new String(p, off + 4, 4, "US-ASCII")
       if (len < 0 || off + 12 + len > p.length) return None
       if (typ == "IDAT") idat.write(p, off + 8, len)
+      if (typ == "PLTE") plte = java.util.Arrays.copyOfRange(p, off + 8, off + 8 + len)
       if (typ == "IEND") done = true
       off += 12 + len // len + type + data + crc
     }
-    val bpp = channels // bytes per pixel at depth 8
-    val rowBytes = w * bpp
+    val bitsPerPixel = rawCh * bitDepth
+    // filtering operates on bytes; sub-byte depths use a 1-byte step (spec §6)
+    val bpp = math.max(1, bitsPerPixel / 8)
+    val rowBytes = (w * bitsPerPixel + 7) / 8
     val raw = new Array[Byte](h * (1 + rowBytes))
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
@@ -221,7 +237,39 @@ object Multimodal {
       }
       y += 1
     }
-    Some(PixelImage(w, h, channels, out))
+    // widen the defiltered byte stream into 8-bit interleaved samples
+    if (colorType == 3) {
+      // palette: unpack the bit-packed indices (MSB-first within each
+      // byte, rows padded to a byte boundary), then PLTE lookup → RGB
+      if (plte == null || plte.length < 3 || plte.length % 3 != 0) return None
+      val nEntries = plte.length / 3
+      val mask = (1 << bitDepth) - 1
+      val px = new Array[Byte](h * w * 3)
+      var yy = 0
+      while (yy < h) {
+        var xx = 0
+        while (xx < w) {
+          val bitPos = xx * bitDepth
+          val b = out(yy * rowBytes + (bitPos >> 3)) & 0xff
+          val idx = (b >> (8 - bitDepth - (bitPos & 7))) & mask
+          if (idx >= nEntries) return None
+          val d = (yy * w + xx) * 3
+          px(d) = plte(idx * 3); px(d + 1) = plte(idx * 3 + 1)
+          px(d + 2) = plte(idx * 3 + 2)
+          xx += 1
+        }
+        yy += 1
+      }
+      Some(PixelImage(w, h, 3, px))
+    } else if (bitDepth == 16) {
+      // narrow 16-bit samples to their high byte (the spec-sanctioned
+      // approximation of v*255/65535)
+      val n = h * w * rawCh
+      val px = new Array[Byte](n)
+      var i = 0
+      while (i < n) { px(i) = out(i * 2); i += 1 }
+      Some(PixelImage(w, h, rawCh, px))
+    } else Some(PixelImage(w, h, rawCh, out))
   }
 
   private def decodeBmp(p: Array[Byte]): Option[PixelImage] = {
@@ -229,34 +277,132 @@ object Multimodal {
         Set(40, 52, 56, 64, 108, 124).contains(le32(p, 14)) &&
         le16(p, 26) == 1)) return None
     val bpp = le16(p, 28)
-    if (bpp != 24 && bpp != 32) return None
-    if (le32(p, 30) != 0) return None // BI_RGB only (no RLE/bitfields)
+    val compression = le32(p, 30)
     val w = le32(p, 18); val rawH = le32(p, 22)
     val topDown = rawH < 0
     val h = math.abs(rawH)
     if (w <= 0 || h == 0) return None
-    val nch = bpp / 8
-    val stride = (w * nch + 3) & ~3
     val dataOff = le32(p, 10)
-    if (dataOff < 54 || dataOff.toLong + stride.toLong * h > p.length)
-      return None
-    val out = new Array[Byte](h * w * nch)
-    var y = 0
-    while (y < h) {
-      val srcRow = dataOff + (if (topDown) y else h - 1 - y) * stride
+    if (bpp == 24 || bpp == 32) {
+      if (compression != 0) return None // BI_RGB only (no bitfields)
+      val nch = bpp / 8
+      val stride = (w * nch + 3) & ~3
+      if (dataOff < 54 || dataOff.toLong + stride.toLong * h > p.length)
+        return None
+      val out = new Array[Byte](h * w * nch)
+      var y = 0
+      while (y < h) {
+        val srcRow = dataOff + (if (topDown) y else h - 1 - y) * stride
+        var x = 0
+        while (x < w) {
+          val s = srcRow + x * nch
+          val d = (y * w + x) * nch
+          out(d) = p(s + 2)     // R  (file order is BGR[A])
+          out(d + 1) = p(s + 1) // G
+          out(d + 2) = p(s)     // B
+          if (nch == 4) out(d + 3) = p(s + 3)
+          x += 1
+        }
+        y += 1
+      }
+      Some(PixelImage(w, h, nch, out))
+    } else if (bpp == 8) decodeBmp8(p, w, h, topDown, compression, dataOff)
+    else None
+  }
+
+  /** 8-bpp BMP: color-table lookup → RGB; BI_RGB (compression 0, padded
+    * stride) or BI_RLE8 (compression 1 — run/absolute/EOL/delta/EOF
+    * escapes, bottom-up as the format mandates; pixels an RLE delta skips
+    * stay index 0, the de-facto decoder convention). */
+  private def decodeBmp8(p: Array[Byte], w: Int, h: Int, topDown: Boolean,
+                         compression: Int, dataOff: Int): Option[PixelImage] = {
+    if (compression != 0 && compression != 1) return None
+    if (compression == 1 && topDown) return None // RLE is bottom-up only
+    val hdrSize = le32(p, 14)
+    val clrUsed = le32(p, 46)
+    val nColors = if (clrUsed == 0) 256 else clrUsed
+    val tbl = 14 + hdrSize // BGRX quads follow the info header
+    if (nColors < 1 || nColors > 256 ||
+        tbl.toLong + 4L * nColors > p.length) return None
+    // decode to a top-down row-major index buffer first
+    val idx = new Array[Byte](w * h)
+    if (compression == 0) {
+      val stride = (w + 3) & ~3
+      if (dataOff.toLong + stride.toLong * h > p.length) return None
+      var y = 0
+      while (y < h) {
+        val srcRow = dataOff + (if (topDown) y else h - 1 - y) * stride
+        System.arraycopy(p, srcRow, idx, y * w, w)
+        y += 1
+      }
+    } else {
+      var pos = dataOff
       var x = 0
-      while (x < w) {
-        val s = srcRow + x * nch
-        val d = (y * w + x) * nch
-        out(d) = p(s + 2)     // R  (file order is BGR[A])
-        out(d + 1) = p(s + 1) // G
-        out(d + 2) = p(s)     // B
-        if (nch == 4) out(d + 3) = p(s + 3)
+      var yBot = 0 // row counted from the bottom
+      var eof = false
+      while (!eof) {
+        if (pos + 2 > p.length) return None
+        val b1 = p(pos) & 0xff; val b2 = p(pos + 1) & 0xff
+        pos += 2
+        if (b1 > 0) { // encoded run: b1 copies of index b2
+          var k = 0
+          while (k < b1) {
+            if (x < w && yBot < h) idx((h - 1 - yBot) * w + x) = b2.toByte
+            x += 1; k += 1
+          }
+        } else b2 match {
+          case 0 => x = 0; yBot += 1                      // end of line
+          case 1 => eof = true                            // end of bitmap
+          case 2 =>                                       // delta jump
+            if (pos + 2 > p.length) return None
+            x += p(pos) & 0xff; yBot += p(pos + 1) & 0xff
+            pos += 2
+          case n =>                                       // absolute mode
+            if (pos + n + (n & 1) > p.length) return None
+            var k = 0
+            while (k < n) {
+              if (x < w && yBot < h) idx((h - 1 - yBot) * w + x) = p(pos + k)
+              x += 1; k += 1
+            }
+            pos += n + (n & 1) // literals are word-aligned
+        }
+      }
+    }
+    // color-table map (file order BGRX → interleaved RGB)
+    val out = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < w * h) {
+      val e = idx(i) & 0xff
+      if (e >= nColors) return None
+      val s = tbl + 4 * e
+      out(i * 3) = p(s + 2); out(i * 3 + 1) = p(s + 1); out(i * 3 + 2) = p(s)
+      i += 1
+    }
+    Some(PixelImage(w, h, 3, out))
+  }
+
+  /** REAL nearest-neighbor resample over a decoded raster: source pixel =
+    * `(dst * srcDim) / dstDim` (floor) — exact integer arithmetic, so the
+    * oracle's independent Python implementation reproduces it bit-for-bit.
+    * Deterministic, channel-preserving; None for degenerate targets. */
+  def resizePixels(img: PixelImage, tw: Int, th: Int): Option[PixelImage] = {
+    if (tw <= 0 || th <= 0) return None
+    val out = new Array[Byte](tw * th * img.channels)
+    var y = 0
+    while (y < th) {
+      val sy = y * img.height / th
+      var x = 0
+      while (x < tw) {
+        val sx = x * img.width / tw
+        val s = (sy * img.width + sx) * img.channels
+        val d = (y * tw + x) * img.channels
+        var c = 0
+        while (c < img.channels) { out(d + c) = img.pixels(s + c); c += 1 }
         x += 1
       }
       y += 1
     }
-    Some(PixelImage(w, h, nch, out))
+    Some(PixelImage(tw, th, img.channels, out))
   }
 
   /** Integer luminance of pixel `i` (same arithmetic the oracle replays):
@@ -343,7 +489,9 @@ object Multimodal {
     * never collide with documents at any scale factor. */
   val FixtureNames: Seq[String] = Seq(
     "png_grey.png", "png_rgb.png", "png_greya.png", "png_rgba.png",
-    "bmp24.bmp", "bmp32.bmp", "bmp24_topdown.bmp")
+    "bmp24.bmp", "bmp32.bmp", "bmp24_topdown.bmp",
+    "png_pal8.png", "png_pal4.png", "png_grey16.png", "png_rgb16.png",
+    "bmp_pal8.bmp", "bmp_rle8.bmp")
 
   /** The fixture catalog as a media table: a CONSTANT-size frame (7 rows,
     * ~1 KB total, independent of scale factor) loaded from classpath
@@ -364,21 +512,34 @@ object Multimodal {
   case class PixelStats(doc_id: Long, width: Int, height: Int, channels: Int,
                         luma_sum: Long, n_pixels: Int, feature: Array[Double])
 
+  private def rasterStats(docId: Long, img: PixelImage): PixelStats = {
+    val n = img.width * img.height
+    var s = 0L
+    var i = 0
+    while (i < n) { s += luma(img, i); i += 1 }
+    PixelStats(docId, img.width, img.height, img.channels, s, n,
+      histFeature(img))
+  }
+
   /** Partition-batched pixel decode → raster statistics; payloads that do
     * not decode are dropped (the caller's contract — q_media_pixels runs
     * on the fixture catalog, where every payload decodes). */
   def pixelStatsAll(media: Dataset[MediaRecord]): Dataset[PixelStats] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.flatMap { r =>
-      decodePixels(r.payload).map { img =>
-        val n = img.width * img.height
-        var s = 0L
-        var i = 0
-        while (i < n) { s += luma(img, i); i += 1 }
-        PixelStats(r.doc_id, img.width, img.height, img.channels, s, n,
-          histFeature(img))
-      }
-    })
+    media.mapPartitions(_.flatMap(r =>
+      decodePixels(r.payload).map(rasterStats(r.doc_id, _))))
+  }
+
+  /** Partition-batched decode → REAL nearest-neighbor resize → raster
+    * statistics of the RESIZED image; payloads that do not decode are
+    * dropped. The resample itself stays on executors — only the per-doc
+    * statistics row comes back. */
+  def resizeStatsAll(media: Dataset[MediaRecord], tw: Int,
+                     th: Int): Dataset[PixelStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(r =>
+      decodePixels(r.payload).flatMap(resizePixels(_, tw, th))
+        .map(rasterStats(r.doc_id, _))))
   }
 
   /** Per-payload frame-sampling profile. */

@@ -69,4 +69,20 @@ object MultimodalQueries {
         round(Similarity.l2norm(col("feature")), 6).as("feature_norm"))
       .orderBy(col("doc_id"))
   }
+
+  /** REAL resize end-to-end (closes the round-5 stub residue): decode every
+    * committed fixture, nearest-neighbor-resample to 3×2, and profile the
+    * RESIZED raster. The oracle pins each row to the independent Python
+    * implementation in tools/make_fixtures.py (same `(dst*src)/dstDim`
+    * floor mapping over the raw patterns) — a sampling-offset or
+    * channel-order bug in the resampler cannot cancel out. Constant-size
+    * input by design; the scale path is the same partition-batched
+    * mapPartitions shape as featuresAll. */
+  def mediaResize(spark: SparkSession, dir: String): DataFrame = {
+    Multimodal.resizeStatsAll(Multimodal.fixtureMedia(spark), 3, 2).toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("channels"),
+        round(col("luma_sum").cast("double") / col("n_pixels"), 6)
+          .as("luma_mean"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -160,6 +160,82 @@ class MultimodalSpec extends SparkSpec {
     assert(lumaMean == 118.86666666666666)
   }
 
+  test("pixel decode: palette PNG (depth 8 + depth 4 odd-width) resolves " +
+      "PLTE entries to the exact RGB pattern") {
+    // generator palette: entry i = (53i, 97i, 31i) mod 256; index (5x+11y)%64
+    val p8 = Multimodal.decodePixels(fixture("png_pal8.png")).get
+    assert(p8.width == 8 && p8.height == 8 && p8.channels == 3)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val i = (x * 5 + y * 11) % 64
+      val o = (y * 8 + x) * 3
+      assert((p8.pixels(o) & 0xff) == (i * 53) % 256, s"R($x,$y)")
+      assert((p8.pixels(o + 1) & 0xff) == (i * 97) % 256, s"G($x,$y)")
+      assert((p8.pixels(o + 2) & 0xff) == (i * 31) % 256, s"B($x,$y)")
+    }
+    // depth 4, width 6 (3 bytes/row, partial nibble padding), 16 entries
+    val p4 = Multimodal.decodePixels(fixture("png_pal4.png")).get
+    assert(p4.width == 6 && p4.height == 5 && p4.channels == 3)
+    for (y <- 0 until 5; x <- 0 until 6) {
+      val i = (x * 3 + y * 7) % 16
+      val o = (y * 6 + x) * 3
+      assert((p4.pixels(o) & 0xff) == (i * 29) % 256, s"R($x,$y)")
+      assert((p4.pixels(o + 1) & 0xff) == (i * 61) % 256, s"G($x,$y)")
+      assert((p4.pixels(o + 2) & 0xff) == (i * 101) % 256, s"B($x,$y)")
+    }
+  }
+
+  test("pixel decode: 16-bit PNG narrows each sample to its high byte") {
+    val g16 = Multimodal.decodePixels(fixture("png_grey16.png")).get
+    assert(g16.width == 8 && g16.height == 8 && g16.channels == 1)
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert((g16.pixels(y * 8 + x) & 0xff) ==
+        ((x * 4021 + y * 257) % 65536) >> 8, s"($x,$y)")
+    val c16 = Multimodal.decodePixels(fixture("png_rgb16.png")).get
+    assert(c16.channels == 3)
+    val o = (2 * 8 + 3) * 3 // spot pixel (x=3, y=2)
+    assert((c16.pixels(o) & 0xff) == ((3 * 4021 + 2 * 257) % 65536) >> 8)
+    assert((c16.pixels(o + 1) & 0xff) == ((3 * 1031 + 2 * 523) % 65536) >> 8)
+    assert((c16.pixels(o + 2) & 0xff) == ((3 * 757 + 2 * 3001) % 65536) >> 8)
+  }
+
+  test("pixel decode: 8bpp BMP color table, and RLE8 (runs + absolute mode " +
+      "+ EOL/EOF escapes) reproduces the same pattern") {
+    def expect(img: Multimodal.PixelImage, w: Int, h: Int): Unit =
+      for (y <- 0 until h; x <- 0 until w) {
+        val i = ((x / 3) * 7 + y * 13) % 64
+        val o = (y * w + x) * 3
+        assert((img.pixels(o) & 0xff) == (i * 53) % 256, s"R($x,$y)")
+        assert((img.pixels(o + 1) & 0xff) == (i * 97) % 256, s"G($x,$y)")
+        assert((img.pixels(o + 2) & 0xff) == (i * 31) % 256, s"B($x,$y)")
+      }
+    val pal = Multimodal.decodePixels(fixture("bmp_pal8.bmp")).get
+    assert(pal.width == 7 && pal.height == 5 && pal.channels == 3)
+    expect(pal, 7, 5)
+    val rle = Multimodal.decodePixels(fixture("bmp_rle8.bmp")).get
+    assert(rle.width == 10 && rle.height == 4 && rle.channels == 3)
+    expect(rle, 10, 4)
+  }
+
+  test("real resize: nearest-neighbor floor mapping, channel-preserving, " +
+      "degenerate-target-safe") {
+    val img = Multimodal.decodePixels(fixture("png_rgb.png")).get
+    val r = Multimodal.resizePixels(img, 3, 2).get
+    assert(r.width == 3 && r.height == 2 && r.channels == 3)
+    for (y <- 0 until 2; x <- 0 until 3) {
+      val sx = x * 8 / 3; val sy = y * 8 / 2
+      val o = (y * 3 + x) * 3
+      assert((r.pixels(o) & 0xff) == (sx * 37 + sy * 101) % 256, s"R($x,$y)")
+      assert((r.pixels(o + 1) & 0xff) == (sx * 59 + sy * 13) % 256, s"G($x,$y)")
+      assert((r.pixels(o + 2) & 0xff) == (sx * 83 + sy * 29) % 256, s"B($x,$y)")
+    }
+    // upscale hits every source coordinate via the same mapping
+    val up = Multimodal.resizePixels(img, 16, 16).get
+    assert((up.pixels(((5 * 16) + 7) * 3) & 0xff) ==
+      ((7 * 8 / 16) * 37 + (5 * 8 / 16) * 101) % 256)
+    assert(Multimodal.resizePixels(img, 0, 2).isEmpty)
+    assert(Multimodal.resizePixels(img, 3, -1).isEmpty)
+  }
+
   test("dataset plumbing: binary payloads decode per-partition, rows preserved") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val media = Multimodal.mediaFromDocuments(docs).repartition(4)

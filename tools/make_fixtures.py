@@ -1,17 +1,27 @@
 #!/usr/bin/env python3
 """Generate the committed binary image fixtures and their expected decode
-statistics (provenance for the q_media_pixels / q_media_features oracles
-and MultimodalSpec assertions).
+statistics (provenance for the q_media_pixels / q_media_features /
+q_media_resize oracles and MultimodalSpec assertions).
 
 Pure-stdlib PNG/BMP encoders (zlib + struct) writing deterministic pixel
 patterns; the expected per-fixture statistics are computed HERE, from the
 raw patterns, by an implementation independent of the Scala decoder — so
-a defiltering/stride/channel-order bug in the engine cannot cancel out.
+a defiltering/stride/channel-order/palette-lookup bug in the engine
+cannot cancel out.
 
-PNG rows cycle through all five filter types (None/Sub/Up/Average/Paeth)
-so the fixtures exercise the full defilter path. BMP fixtures cover
-bottom-up 24bpp with a padded stride, 32bpp, and a top-down (negative
-height) variant that must decode identically to its bottom-up twin.
+Coverage:
+  - PNG 8-bit, color types 0/2/4/6, rows cycling all five filter types
+    (None/Sub/Up/Average/Paeth) so the full defilter path is exercised.
+  - PNG 16-bit (types 0 and 2): the decoder narrows to 8-bit by taking
+    each sample's high byte (the spec-sanctioned approximation); expected
+    stats here are computed over the same high-byte pattern.
+  - PNG palette (type 3) at bit depth 8 and at depth 4 with an odd width
+    (sub-byte index unpacking + partial trailing byte), PLTE lookup → RGB.
+  - BMP 24bpp bottom-up (padded stride), 32bpp, 24bpp top-down (negative
+    height) that must decode identically to its bottom-up twin.
+  - BMP 8bpp uncompressed with a 64-color table (biClrUsed=64, odd width).
+  - BMP 8bpp BI_RLE8: encoded runs + an absolute-mode segment per row +
+    EOL/EOF escapes (bottom-up, as RLE mandates).
 
 Run from the repo root:  python3 tools/make_fixtures.py
 Writes src/main/resources/graft/fixtures/ and prints the expected-value
@@ -21,7 +31,7 @@ import os, struct, zlib
 
 OUT = "src/main/resources/graft/fixtures"
 
-# ---------- deterministic pixel patterns ----------
+# ---------- deterministic pixel patterns (8-bit effective values) ----------
 
 def pat_grey(x, y):  return ((x * 31 + y * 7) % 256,)
 def pat_rgb(x, y):   return ((x * 37 + y * 101) % 256, (x * 59 + y * 13) % 256,
@@ -29,27 +39,40 @@ def pat_rgb(x, y):   return ((x * 37 + y * 101) % 256, (x * 59 + y * 13) % 256,
 def pat_rgba(x, y):  return pat_rgb(x, y) + ((x * 17 + y * 43) % 256,)
 def pat_greya(x, y): return pat_grey(x, y) + ((x * 11 + y * 61) % 256,)
 
-# ---------- PNG encoder (8-bit depth, no interlace) ----------
+# 16-bit raw sample patterns (the decoder keeps the high byte)
+def pat16_grey(x, y): return ((x * 4021 + y * 257) % 65536,)
+def pat16_rgb(x, y):  return ((x * 4021 + y * 257) % 65536,
+                              (x * 1031 + y * 523) % 65536,
+                              (x * 757 + y * 3001) % 65536)
+def hi8(pat16):
+    return lambda x, y: tuple(v >> 8 for v in pat16(x, y))
 
-def png(w, h, color_type, pat):
-    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
-    raw = [bytes(c for x in range(w) for c in pat(x, y)) for y in range(h)]
-    bpp = ch  # bytes per pixel at bit depth 8
+# palettes + index patterns
+PAL64 = [((i * 53) % 256, (i * 97) % 256, (i * 31) % 256) for i in range(64)]
+PAL16 = [((i * 29) % 256, (i * 61) % 256, (i * 101) % 256) for i in range(16)]
+def idx_pal8(x, y): return (x * 5 + y * 11) % 64
+def idx_pal4(x, y): return (x * 3 + y * 7) % 16
+def idx_bmp8(x, y): return ((x // 3) * 7 + y * 13) % 64   # runs of 3 for RLE
+def pal_pat(palette, idx):
+    return lambda x, y: palette[idx(x, y)]
 
+# ---------- PNG encoder (no interlace; depths 8/16 + palette 4/8) ----------
+
+def _png_chunks(w, h, depth, color_type, raw_rows, filter_bpp, extra=()):
     def paeth(a, b, c):
         p = a + b - c
         pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
         return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
 
     filtered = bytearray()
-    for y, row in enumerate(raw):
+    for y, row in enumerate(raw_rows):
         ft = y % 5  # cycle every filter type
-        prev = raw[y - 1] if y > 0 else bytes(len(row))
+        prev = raw_rows[y - 1] if y > 0 else bytes(len(row))
         filtered.append(ft)
         for i, v in enumerate(row):
-            a = row[i - bpp] if i >= bpp else 0
+            a = row[i - filter_bpp] if i >= filter_bpp else 0
             b = prev[i]
-            c = prev[i - bpp] if i >= bpp else 0
+            c = prev[i - filter_bpp] if i >= filter_bpp else 0
             if ft == 0:   f = v
             elif ft == 1: f = (v - a) & 0xff
             elif ft == 2: f = (v - b) & 0xff
@@ -61,12 +84,46 @@ def png(w, h, color_type, pat):
         return (struct.pack(">I", len(data)) + typ + data +
                 struct.pack(">I", zlib.crc32(typ + data) & 0xffffffff))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) +
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+    body = b"".join(chunk(t, d) for t, d in extra)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + body +
             chunk(b"IDAT", zlib.compress(bytes(filtered))) +
             chunk(b"IEND", b""))
 
-# ---------- BMP encoder (BITMAPINFOHEADER, BI_RGB) ----------
+def png(w, h, color_type, pat):
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    raw = [bytes(c for x in range(w) for c in pat(x, y)) for y in range(h)]
+    return _png_chunks(w, h, 8, color_type, raw, ch)
+
+def png16(w, h, color_type, pat16):
+    ch = {0: 1, 2: 3}[color_type]
+    raw = [b"".join(struct.pack(">H", v) for x in range(w)
+                    for v in pat16(x, y)) for y in range(h)]
+    return _png_chunks(w, h, 16, color_type, raw, ch * 2)
+
+def png_pal(w, h, depth, palette, idx):
+    per_byte = 8 // depth
+    raw = []
+    for y in range(h):
+        row = bytearray()
+        for i in range(0, w, per_byte):
+            b = 0
+            for j in range(per_byte):
+                v = idx(i + j, y) if i + j < w else 0
+                b = (b << depth) | v
+            row.append(b)
+        raw.append(bytes(row))
+    plte = b"".join(bytes(rgb) for rgb in palette)
+    return _png_chunks(w, h, depth, 3, raw, 1, extra=((b"PLTE", plte),))
+
+# ---------- BMP encoder (BITMAPINFOHEADER; BI_RGB 8/24/32, BI_RLE8) ----------
+
+def _bmp_header(w, hdr_h, bpp, compression, data_len, palette=()):
+    tbl = b"".join(bytes((c[2], c[1], c[0], 0)) for c in palette)
+    off = 54 + len(tbl)
+    return (b"BM" + struct.pack("<IHHI", off + data_len, 0, 0, off) +
+            struct.pack("<IiiHHIIiiII", 40, w, hdr_h, 1, bpp, compression,
+                        data_len, 2835, 2835, len(palette), 0) + tbl)
 
 def bmp(w, h, bpp, pat, top_down=False):
     nch = bpp // 8
@@ -84,24 +141,48 @@ def bmp(w, h, bpp, pat, top_down=False):
     if not top_down:
         rows = rows[::-1]                         # bottom-up storage
     data = b"".join(rows)
-    hdr_h = -h if top_down else h
-    header = (b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54) +
-              struct.pack("<IiiHHIIiiII", 40, w, hdr_h, 1, bpp, 0,
-                          len(data), 2835, 2835, 0, 0))
-    return header + data
+    return _bmp_header(w, -h if top_down else h, bpp, 0, len(data)) + data
+
+def bmp8(w, h, palette, idx):
+    stride = (w + 3) & ~3
+    rows = []
+    for y in range(h):
+        row = bytes(idx(x, y) for x in range(w)) + b"\xaa" * (stride - w)
+        rows.append(row)
+    data = b"".join(rows[::-1])                   # bottom-up
+    return _bmp_header(w, h, 8, 0, len(data), palette) + data
+
+def bmp_rle8(w, h, palette, idx):
+    out = bytearray()
+    for y in range(h - 1, -1, -1):                # RLE rows are bottom-up
+        row = [idx(x, y) for x in range(w)]
+        x = 0
+        first_seg = True
+        while x < w:
+            run = 1
+            while x + run < w and row[x + run] == row[x] and run < 255:
+                run += 1
+            if first_seg and run >= 3:
+                # absolute-mode segment (escape 00, count>=3, literals,
+                # word-aligned) to exercise that decoder branch
+                out += bytes((0, run)) + bytes(row[x:x + run])
+                if run & 1:
+                    out.append(0)
+            else:
+                out += bytes((run, row[x]))
+            first_seg = False
+            x += run
+        out += bytes((0, 0))                      # end of line
+    out += bytes((0, 1))                          # end of bitmap
+    return _bmp_header(w, h, 8, 1, len(out), palette) + bytes(out)
 
 # ---------- independent expected-statistics implementation ----------
 
+def lum_of(px, ch):
+    return px[0] if ch <= 2 else (299 * px[0] + 587 * px[1] + 114 * px[2]) // 1000
+
 def stats(w, h, ch, pat):
-    lumas = []
-    for y in range(h):
-        for x in range(w):
-            px = pat(x, y)
-            if ch <= 2:
-                lum = px[0]
-            else:
-                lum = (299 * px[0] + 587 * px[1] + 114 * px[2]) // 1000
-            lumas.append(lum)
+    lumas = [lum_of(pat(x, y), ch) for y in range(h) for x in range(w)]
     hist = [0] * 8
     for l in lumas:
         hist[l >> 5] += 1
@@ -109,6 +190,15 @@ def stats(w, h, ch, pat):
     feat = [c / n for c in hist]
     norm = sum(f * f for f in feat) ** 0.5
     return sum(lumas) / n, norm
+
+# nearest-neighbor resize expectations: src = (dst * src_dim) // dst_dim —
+# the exact integer mapping Multimodal.resizePixels uses
+def resize_stats(w, h, ch, pat, tw, th):
+    lumas = [lum_of(pat(x * w // tw, y * h // th), ch)
+             for y in range(th) for x in range(tw)]
+    return sum(lumas) / len(lumas)
+
+RESIZE_W, RESIZE_H = 3, 2
 
 FIXTURES = [
     ("png_grey.png",      8, 8, 1, pat_grey,  lambda: png(8, 8, 0, pat_grey)),
@@ -118,11 +208,23 @@ FIXTURES = [
     ("bmp24.bmp",         5, 6, 3, pat_rgb,   lambda: bmp(5, 6, 24, pat_rgb)),
     ("bmp32.bmp",         4, 4, 4, pat_rgba,  lambda: bmp(4, 4, 32, pat_rgba)),
     ("bmp24_topdown.bmp", 5, 6, 3, pat_rgb,   lambda: bmp(5, 6, 24, pat_rgb, top_down=True)),
+    ("png_pal8.png",      8, 8, 3, pal_pat(PAL64, idx_pal8),
+     lambda: png_pal(8, 8, 8, PAL64, idx_pal8)),
+    ("png_pal4.png",      6, 5, 3, pal_pat(PAL16, idx_pal4),
+     lambda: png_pal(6, 5, 4, PAL16, idx_pal4)),
+    ("png_grey16.png",    8, 8, 1, hi8(pat16_grey),
+     lambda: png16(8, 8, 0, pat16_grey)),
+    ("png_rgb16.png",     8, 8, 3, hi8(pat16_rgb),
+     lambda: png16(8, 8, 2, pat16_rgb)),
+    ("bmp_pal8.bmp",      7, 5, 3, pal_pat(PAL64, idx_bmp8),
+     lambda: bmp8(7, 5, PAL64, idx_bmp8)),
+    ("bmp_rle8.bmp",     10, 4, 3, pal_pat(PAL64, idx_bmp8),
+     lambda: bmp_rle8(10, 4, PAL64, idx_bmp8)),
 ]
 
 def main():
     os.makedirs(OUT, exist_ok=True)
-    print(f"-- fixture expected values (doc_id = -(position), luma_mean/feature_norm pre-round) --")
+    print("-- fixture expected values (doc_id = -(position), pre-round) --")
     for i, (name, w, h, ch, pat, enc) in enumerate(FIXTURES):
         data = enc()
         with open(os.path.join(OUT, name), "wb") as f:
@@ -131,6 +233,11 @@ def main():
         print(f"{name}: doc_id={-(i+1)} bytes={len(data)} w={w} h={h} ch={ch} "
               f"luma_mean={luma!r} feature_norm={norm!r} "
               f"(6dp: {round(luma,6)}, {round(norm,6)})")
+    print(f"-- nearest-neighbor resize to {RESIZE_W}x{RESIZE_H} --")
+    for i, (name, w, h, ch, pat, enc) in enumerate(FIXTURES):
+        rl = resize_stats(w, h, ch, pat, RESIZE_W, RESIZE_H)
+        print(f"{name}: doc_id={-(i+1)} resized_luma_mean={rl!r} "
+              f"(6dp: {round(rl,6)})")
 
 if __name__ == "__main__":
     main()
