@@ -76,6 +76,8 @@ object SparkEntry {
     "q_media_pixels"   -> ((s, d) => MultimodalQueries.mediaPixels(s, d)),
     "q_media_resize"   -> ((s, d) => MultimodalQueries.mediaResize(s, d)),
     "q_media_frames"   -> ((s, d) => MultimodalQueries.mediaFrames(s, d)),
+    "q_media_audio"    -> ((s, d) => MultimodalQueries.mediaAudio(s, d)),
+    "q_media_video"    -> ((s, d) => MultimodalQueries.mediaVideo(s, d)),
     "q_value_histogram" -> ((s, d) => AnalyticQueries.valueHistogram(s, d)),
     "q_daily_full_outer" -> ((s, d) => AnalyticQueries.dailyPurchaseVsError(s, d)),
     // --- relational breadth ---
@@ -139,6 +141,7 @@ object SparkEntry {
     "q_dedup_incr"      -> ((s, d) => SimilarityQueries.incrementalDedup(s, d)),
     "q_ngram_diversity" -> ((s, d) => CorpusQueries.ngramDiversity(s, d)),
     "q_source_overlap"  -> ((s, d) => CorpusQueries.sourceOverlap(s, d)),
+    "q_bpe_pairs"       -> ((s, d) => CorpusQueries.bpePairs(s, d)),
     "q_quality_lr"      -> ((s, d) => PipelineQueries.qualityLr(s, d)),
     "q_source_entropy"  -> ((s, d) => CorpusQueries.sourceEntropy(s, d)),
     "q_zipf_profile"    -> ((s, d) => CorpusQueries.zipfProfile(s, d)),
@@ -653,6 +656,44 @@ object SparkEntry {
          CASE WHEN strlen(text) // 4 > 0 THEN 4 ELSE 0 END AS n_frames,
          strlen(text) // 4 AS frame_len
          FROM documents WHERE text IS NOT NULL ORDER BY doc_id""",
+    // every row is a committed WAV fixture decoded by the engine's RIFF/PCM
+    // chunk walker; expected statistics from tools/make_av_fixtures.py's
+    // independent Python implementation over the raw integer patterns
+    "q_media_audio" ->
+      """SELECT CAST(fid AS BIGINT) AS doc_id,
+           CAST(sr AS INTEGER) AS sample_rate, CAST(ch AS INTEGER) AS channels,
+           CAST(b AS INTEGER) AS bits, CAST(nf AS INTEGER) AS n_frames,
+           round(dur, 6) AS duration_ms, round(r, 6) AS rms,
+           round(pk, 6) AS peak, CAST(zc AS INTEGER) AS zero_cross
+         FROM (VALUES
+           (-101, 8000, 1, 16, 64, 8.0, 0.07297891665970874, 0.12261962890625, 38),
+           (-102, 16000, 2, 16, 48, 3.0, 0.0313306047706921, 0.06103515625, 7),
+           (-103, 11025, 1, 8, 80, 7.2562358276643995, 0.5780986058164083, 0.9921875, 21),
+           (-104, 22050, 1, 16, 40, 1.8140589569160999, 0.018423275127541387, 0.03125, 34))
+           t(fid, sr, ch, b, nf, dur, r, pk, zc)
+         ORDER BY doc_id""",
+    // every row: a frame sampled (3 evenly spaced) from a committed
+    // animated-GIF fixture, decoded by the engine's real LZW path;
+    // expected values from make_av_fixtures.py's independent raw-pattern
+    // implementation (the GIF streams themselves are round-trip-checked
+    // by an independent spec-derived LZW decoder at generation time)
+    "q_media_video" ->
+      """SELECT CAST(fid AS BIGINT) AS doc_id, CAST(ix AS INTEGER) AS frame_ix,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           round(luma, 6) AS luma_mean
+         FROM (VALUES
+           (-201, 0, 10, 8, 105.875),
+           (-201, 1, 10, 8, 103.1875),
+           (-201, 2, 10, 8, 105.875),
+           (-202, 0, 7, 5, 114.77142857142857),
+           (-203, 0, 5, 4, 113.3),
+           (-203, 1, 5, 4, 134.7),
+           (-203, 2, 5, 4, 131.35),
+           (-204, 0, 12, 3, 127.97222222222223),
+           (-204, 1, 12, 3, 135.36111111111111),
+           (-204, 2, 12, 3, 136.38888888888889))
+           t(fid, ix, w, h, luma)
+         ORDER BY doc_id, frame_ix""",
     "q_daily_full_outer" ->
       """SELECT coalesce(p.day, e.day) AS day,
          coalesce(p.n_purchase, 0) AS n_purchase,
@@ -1477,6 +1518,19 @@ object SparkEntry {
        FROM com JOIN sizes x ON src_a = x.source
          JOIN sizes y ON src_b = y.source
        ORDER BY src_a, src_b""",
+    // one BPE merge iteration: adjacent character pairs over the corpus
+    // vocabulary weighted by word frequency (Sennrich et al. 2016)
+    "q_bpe_pairs" ->
+      raw"""WITH words AS (SELECT w AS word, count(*) AS f
+           FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                   q -> length(q) > 0)) AS w FROM documents)
+           GROUP BY 1),
+         pairs AS (SELECT f,
+             unnest(list_transform(range(1, length(word)),
+               i -> substr(word, CAST(i AS INTEGER), 2))) AS pair
+           FROM words WHERE length(word) >= 2)
+         SELECT pair, CAST(sum(f) AS BIGINT) AS n
+         FROM pairs GROUP BY 1 ORDER BY n DESC, pair LIMIT 50""",
     // LR quality filter: identical feature arithmetic (exact integer token
     // sums -> double division), z rounded to the 6-dp grid BEFORE exp so
     // both engines exponentiate the same value

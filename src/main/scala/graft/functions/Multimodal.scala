@@ -23,8 +23,15 @@ import org.apache.spark.sql.functions._
   * byte-length FAKES ([[decodeStub]]/[[featureStub]]/[[resizeStub]])
   * remain only as the fallback for payloads outside those formats (JPEG,
   * interlaced PNG, RLE4/bitfield BMP, the testdata's UTF-8 text
-  * payloads). Video frame sampling remains a STUB (a video codec is work
-  * this engine doesn't claim). The Spark-side contract — schema,
+  * payloads). AUDIO decode is REAL for RIFF/WAVE PCM at 8 and 16 bits
+  * ([[decodeWav]] — chunk walk with the odd-size pad rule, sign
+  * extension, per-clip rms/peak/zero-cross statistics). VIDEO frame
+  * sampling is REAL for animated GIF ([[decodeGifFrames]] — full LZW
+  * decompression with variable code widths and the KwKwK case, global
+  * and local color tables, extension skipping; evenly-spaced frame
+  * selection in [[sampleGifFrames]]); non-GIF payloads fall back to the
+  * byte-split stub, and a true video codec (H.264 etc.) remains out of
+  * scope. The Spark-side contract — schema,
   * encoders, partitioning, batch iteration shape — is real throughout;
   * MultimodalSpec drives the committed binary fixtures through the same
   * mapPartitions path the registered queries use, and q_media_pixels /
@@ -497,16 +504,8 @@ object Multimodal {
     * ~1 KB total, independent of scale factor) loaded from classpath
     * resources — cwd-independent, so the registered queries see the same
     * bytes under any driver. */
-  def fixtureMedia(spark: SparkSession): Dataset[MediaRecord] = {
-    import spark.implicits._
-    val recs = FixtureNames.zipWithIndex.map { case (name, i) =>
-      val in = getClass.getResourceAsStream(s"/graft/fixtures/$name")
-      require(in != null, s"missing fixture resource $name")
-      val bytes = try in.readAllBytes() finally in.close()
-      MediaRecord(-(i + 1).toLong, "img/fixture", bytes)
-    }
-    spark.createDataset(recs)
-  }
+  def fixtureMedia(spark: SparkSession): Dataset[MediaRecord] =
+    fixtureCatalog(spark, FixtureNames, 0, "img/fixture")
 
   /** Per-payload decoded-raster profile. */
   case class PixelStats(doc_id: Long, width: Int, height: Int, channels: Int,
@@ -545,15 +544,330 @@ object Multimodal {
   /** Per-payload frame-sampling profile. */
   case class FrameInfo(doc_id: Long, n_frames: Int, frame_len: Int)
 
-  /** Partition-batched frame sampling (video-style): split each payload
-    * into `n` frames via [[frameSampleStub]] and report the per-doc frame
-    * profile — the sampled frames themselves stay on executors. */
+  /** Partition-batched frame sampling: REAL decoded frames for GIF
+    * payloads (evenly-spaced selection over the actual animation, frame
+    * byte length = the decoded RGB raster size), stub byte-split for
+    * everything else — the sampled frames themselves stay on executors. */
   def framesAll(media: Dataset[MediaRecord], n: Int): Dataset[FrameInfo] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { r =>
-      val frames = frameSampleStub(r.payload, n)
-      FrameInfo(r.doc_id, frames.length,
-        frames.headOption.map(_.length).getOrElse(0))
+      sampleGifFrames(r.payload, n) match {
+        case Some(frames) =>
+          val f0 = frames.head
+          FrameInfo(r.doc_id, frames.length,
+            f0.width * f0.height * f0.channels)
+        case None =>
+          val frames = frameSampleStub(r.payload, n)
+          FrameInfo(r.doc_id, frames.length,
+            frames.headOption.map(_.length).getOrElse(0))
+      }
     })
   }
+
+  // ======================= AUDIO (WAV / RIFF PCM) =======================
+
+  /** A decoded PCM clip: samples channel-interleaved and centered at 0
+    * (16-bit: the raw signed sample; 8-bit: unsigned byte − 128, the WAV
+    * convention), normalization denominator implied by `bits`. */
+  case class AudioClip(sampleRate: Int, channels: Int, bits: Int,
+                       samples: Array[Int])
+
+  /** REAL WAV decode (RIFF container, spec: Microsoft/IBM WAVE format) —
+    * pure JVM, no codec library: walks RIFF chunks (honoring the
+    * odd-size pad-byte rule), requires a PCM `fmt ` chunk (audioFormat 1,
+    * 8 or 16 bits/sample) before `data`, and sign-extends 16-bit LE
+    * samples / centers 8-bit unsigned ones. Returns None for anything
+    * unrecognized, compressed, or truncated — callers keep a stub
+    * fallback, so a corrupt payload can never kill a 100-TB pass. */
+  def decodeWav(p: Array[Byte]): Option[AudioClip] = try {
+    if (p.length < 44 || p(0) != 'R' || p(1) != 'I' || p(2) != 'F' ||
+        p(3) != 'F' || p(8) != 'W' || p(9) != 'A' || p(10) != 'V' ||
+        p(11) != 'E') return None
+    var pos = 12
+    var rate = 0; var ch = 0; var bits = 0; var haveFmt = false
+    var samples: Array[Int] = null
+    while (pos + 8 <= p.length && samples == null) {
+      val a = p(pos).toChar; val b = p(pos + 1).toChar
+      val c = p(pos + 2).toChar; val d = p(pos + 3).toChar
+      val size = le32(p, pos + 4)
+      val body = pos + 8
+      if (size < 0 || body + size > p.length) return None
+      if (a == 'f' && b == 'm' && c == 't' && d == ' ') {
+        if (size < 16) return None
+        val audioFormat = le16(p, body)
+        ch = le16(p, body + 2)
+        rate = le32(p, body + 4)
+        bits = le16(p, body + 14)
+        if (audioFormat != 1 || ch < 1 || rate <= 0 ||
+            (bits != 8 && bits != 16)) return None
+        haveFmt = true
+      } else if (a == 'd' && b == 'a' && c == 't' && d == 'a') {
+        if (!haveFmt) return None
+        samples =
+          if (bits == 16) Array.tabulate(size / 2)(i =>
+            (le16(p, body + 2 * i) << 16) >> 16) // sign-extend
+          else Array.tabulate(size)(i => (p(body + i) & 0xff) - 128)
+      }
+      pos = body + size + (size & 1) // RIFF chunks pad to even offsets
+    }
+    Option(samples).map(s => AudioClip(rate, ch, bits, s))
+  } catch { case _: Exception => None }
+
+  /** Per-clip audio profile (all integer-exact until the final divides,
+    * so the oracle's independent Python implementation reproduces every
+    * value bit-for-bit): rms/peak normalized by 2^(bits−1), zero_cross =
+    * strict sign flips along channel 0. */
+  case class AudioStats(doc_id: Long, sample_rate: Int, channels: Int,
+                        bits: Int, n_frames: Int, duration_ms: Double,
+                        rms: Double, peak: Double, zero_cross: Int)
+
+  def audioStats(docId: Long, c: AudioClip): AudioStats = {
+    val denom = if (c.bits == 16) 32768.0 else 128.0
+    val n = c.samples.length
+    var sumsq = 0L; var peakI = 0; var i = 0
+    while (i < n) {
+      val s = c.samples(i)
+      sumsq += s.toLong * s
+      val as = math.abs(s)
+      if (as > peakI) peakI = as
+      i += 1
+    }
+    var zc = 0; var j = c.channels
+    while (j < n) {
+      if (c.samples(j - c.channels).toLong * c.samples(j) < 0) zc += 1
+      j += c.channels
+    }
+    val frames = n / c.channels
+    AudioStats(docId, c.sampleRate, c.channels, c.bits, frames,
+      frames * 1000.0 / c.sampleRate,
+      math.sqrt(sumsq.toDouble / n) / denom, peakI / denom, zc)
+  }
+
+  /** Partition-batched audio decode → per-clip profile; payloads that do
+    * not WAV-decode are dropped (the caller's contract — q_media_audio
+    * runs on the fixture catalog, where every payload decodes). */
+  def audioStatsAll(media: Dataset[MediaRecord]): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(r =>
+      decodeWav(r.payload).map(audioStats(r.doc_id, _))))
+  }
+
+  // ======================= VIDEO (animated GIF) =======================
+
+  private def readPalette(p: Array[Byte], off: Int, n: Int): Array[Int] =
+    Array.tabulate(n)(i => ((p(off + 3 * i) & 0xff) << 16) |
+      ((p(off + 3 * i + 1) & 0xff) << 8) | (p(off + 3 * i + 2) & 0xff))
+
+  /** GIF LZW decompression (spec: GIF89a appendix F; the giflib pairing):
+    * LSB-first variable-width codes, clear/end codes, prefix/suffix
+    * dictionary with the KwKwK case, and the decoder-side EARLY width
+    * change (bump at next == 2^width − 1 — the decoder lags the encoder
+    * by one dictionary entry, so it must anticipate by one to stay
+    * bit-aligned). Returns exactly `maxOut` index bytes or None. */
+  private def lzwDecode(data: Array[Byte], minCode: Int,
+                        maxOut: Int): Option[Array[Byte]] = {
+    val clear = 1 << minCode
+    val end = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4097)
+    val out = new Array[Byte](maxOut)
+    var outPos = 0
+    var width = minCode + 1
+    var next = end + 1
+    var prev = -1
+    var bitPos = 0
+    val nbits = data.length * 8
+
+    // writes `code`'s sequence to out (forward order), returns first byte
+    def writeSeq(code: Int): Int = {
+      var sp = 0
+      var c = code
+      while (c >= clear) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+      stack(sp) = c.toByte; sp += 1
+      val first = stack(sp - 1) & 0xff
+      if (outPos + sp > maxOut) return -1
+      var i = sp - 1
+      while (i >= 0) { out(outPos) = stack(i); outPos += 1; i -= 1 }
+      first
+    }
+
+    while (bitPos + width <= nbits) {
+      var code = 0
+      var j = 0
+      while (j < width) {
+        val b = bitPos + j
+        code |= ((data(b >> 3) >> (b & 7)) & 1) << j
+        j += 1
+      }
+      bitPos += width
+      if (code == clear) { width = minCode + 1; next = end + 1; prev = -1 }
+      else if (code == end) {
+        return if (outPos == maxOut) Some(out) else None
+      } else if (prev == -1) {
+        if (code >= clear || outPos >= maxOut) return None
+        out(outPos) = code.toByte; outPos += 1
+        prev = code
+      } else {
+        var first = 0
+        if (code < next && code != end && code != clear) {
+          first = writeSeq(code)
+        } else if (code == next) { // KwKwK: seq(prev) + first(seq(prev))
+          first = writeSeq(prev)
+          if (first >= 0) {
+            if (outPos >= maxOut) return None
+            out(outPos) = first.toByte; outPos += 1
+          }
+        } else return None
+        if (first < 0) return None
+        if (next < 4096) {
+          prefix(next) = prev
+          suffix(next) = first.toByte
+          next += 1
+          if (next == (1 << width) - 1 && width < 12) width += 1
+        }
+        prev = code
+      }
+    }
+    None // ran out of bits before the end code
+  }
+
+  /** REAL animated-GIF decode (spec: GIF87a/89a) — pure JVM: logical
+    * screen descriptor + global color table, extension blocks skipped
+    * (GCE/comment/application), per-frame image descriptor with optional
+    * LOCAL color table, real LZW decompression of the index stream, and
+    * palette lookup → an RGB [[PixelImage]] per frame (each frame
+    * rendered standalone at its own dimensions; disposal/composition and
+    * transparency are out of scope and documented so). Interlaced frames
+    * and malformed streams return None — callers keep the stub fallback. */
+  def decodeGifFrames(p: Array[Byte]): Option[IndexedSeq[PixelImage]] = try {
+    if (p.length < 14 || p(0) != 'G' || p(1) != 'I' || p(2) != 'F' ||
+        p(3) != '8' || !(p(4) == '7' || p(4) == '9') || p(5) != 'a')
+      return None
+    var pos = 10 // skip header + canvas dims; frames carry their own
+    val packed = p(pos) & 0xff
+    pos += 3 // packed, background index, aspect
+    var gct: Array[Int] = null
+    if ((packed & 0x80) != 0) {
+      val n = 1 << ((packed & 7) + 1)
+      gct = readPalette(p, pos, n)
+      pos += 3 * n
+    }
+    val buf = scala.collection.mutable.ArrayBuffer.empty[PixelImage]
+    var done = false
+    while (!done) {
+      (p(pos) & 0xff) match {
+        case 0x3b => done = true
+        case 0x21 => // extension: label byte + sub-blocks
+          pos += 2
+          var n = p(pos) & 0xff
+          while (n != 0) { pos += 1 + n; n = p(pos) & 0xff }
+          pos += 1
+        case 0x2c => // image descriptor
+          val w = le16(p, pos + 5)
+          val h = le16(p, pos + 7)
+          val ip = p(pos + 9) & 0xff
+          pos += 10
+          if ((ip & 0x40) != 0) return None // interlaced: out of scope
+          var pal = gct
+          if ((ip & 0x80) != 0) {
+            val n = 1 << ((ip & 7) + 1)
+            pal = readPalette(p, pos, n)
+            pos += 3 * n
+          }
+          if (pal == null || w <= 0 || h <= 0) return None
+          val minCode = p(pos) & 0xff
+          pos += 1
+          val bb = new java.io.ByteArrayOutputStream()
+          var n = p(pos) & 0xff; pos += 1
+          while (n != 0) { bb.write(p, pos, n); pos += n; n = p(pos) & 0xff; pos += 1 }
+          val idx = lzwDecode(bb.toByteArray, minCode, w * h) match {
+            case Some(a) => a
+            case None => return None
+          }
+          val out = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < w * h) {
+            val k = idx(i) & 0xff
+            if (k >= pal.length) return None // index outside palette
+            val c = pal(k)
+            out(i * 3) = (c >> 16).toByte
+            out(i * 3 + 1) = (c >> 8).toByte
+            out(i * 3 + 2) = c.toByte
+            i += 1
+          }
+          buf += PixelImage(w, h, 3, out)
+        case _ => return None
+      }
+    }
+    if (buf.isEmpty) None else Some(buf.toIndexedSeq)
+  } catch { case _: Exception => None }
+
+  /** REAL frame sampling over a decoded GIF: all frames when the clip has
+    * ≤ n, else the n evenly-spaced frames at indices ⌊i·f/n⌋ (exact
+    * integer arithmetic — the oracle's Python twin replays it). */
+  def sampleGifFrames(p: Array[Byte],
+                      n: Int): Option[IndexedSeq[PixelImage]] =
+    if (n <= 0) None
+    else decodeGifFrames(p).map { fs =>
+      if (fs.length <= n) fs
+      else IndexedSeq.tabulate(n)(i => fs(i * fs.length / n))
+    }
+
+  /** Per-sampled-frame raster profile (frame_ix = position in the SAMPLED
+    * order, not the file order). */
+  case class VideoFrameStats(doc_id: Long, frame_ix: Int, width: Int,
+                             height: Int, luma_sum: Long, n_pixels: Int)
+
+  /** Partition-batched GIF decode → evenly-sampled frames → per-frame
+    * luminance statistics; payloads that do not GIF-decode are dropped
+    * (q_media_video runs on the fixture catalog, where every payload
+    * decodes). Frames themselves never leave executors. */
+  def videoFrameStatsAll(media: Dataset[MediaRecord],
+                         n: Int): Dataset[VideoFrameStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      sampleGifFrames(r.payload, n).toSeq.flatMap { frames =>
+        frames.zipWithIndex.map { case (img, ix) =>
+          val np = img.width * img.height
+          var s = 0L; var i = 0
+          while (i < np) { s += luma(img, i); i += 1 }
+          VideoFrameStats(r.doc_id, ix, img.width, img.height, s, np)
+        }
+      }
+    })
+  }
+
+  /** The committed audio fixtures (tools/make_av_fixtures.py writes them
+    * + the expected statistics). doc_id = −(100+pos+1) — a negative range
+    * disjoint from both documents and the image fixtures. */
+  val AudioFixtureNames: Seq[String] = Seq(
+    "wav16_mono.wav", "wav16_stereo.wav", "wav8_mono.wav",
+    "wav16_chunks.wav")
+
+  /** The committed video (GIF) fixtures; doc_id = −(200+pos+1). */
+  val VideoFixtureNames: Seq[String] = Seq(
+    "gif_anim.gif", "gif_single.gif", "gif_lct.gif", "gif_wide.gif")
+
+  private def fixtureCatalog(spark: SparkSession, names: Seq[String],
+                             base: Int,
+                             mediaType: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    val recs = names.zipWithIndex.map { case (name, i) =>
+      val in = getClass.getResourceAsStream(s"/graft/fixtures/$name")
+      require(in != null, s"missing fixture resource $name")
+      val bytes = try in.readAllBytes() finally in.close()
+      MediaRecord(-(base + i + 1).toLong, mediaType, bytes)
+    }
+    spark.createDataset(recs)
+  }
+
+  /** Audio fixture catalog as a media table (constant-size frame, ~700 B
+    * total, classpath-loaded so any driver sees the same bytes). */
+  def fixtureAudio(spark: SparkSession): Dataset[MediaRecord] =
+    fixtureCatalog(spark, AudioFixtureNames, 100, "audio/wav")
+
+  /** Video (GIF) fixture catalog as a media table. */
+  def fixtureVideo(spark: SparkSession): Dataset[MediaRecord] =
+    fixtureCatalog(spark, VideoFixtureNames, 200, "video/gif")
 }

@@ -618,4 +618,30 @@ object CorpusQueries {
           ($"tokens_a" + $"tokens_b" - $"common"), 6).as("jaccard"))
       .orderBy($"src_a", $"src_b")
   }
+
+  /** One BPE merge iteration (Sennrich et al. 2016, "Neural Machine
+    * Translation of Rare Words with Subword Units" — the public
+    * tokenizer-training algorithm): count adjacent character pairs over
+    * the corpus vocabulary weighted by word frequency, emit the top-50
+    * merge candidates. Scale shape: the corpus-sized shuffle is the
+    * word-frequency groupBy (tokens → vocab); pair generation then runs
+    * on the VOCABULARY (≪ corpus — Heaps' law), array-side via
+    * transform(sequence(...)) with no self-join, and the top-50 is a
+    * TakeOrderedAndProject, never a global sort. A full BPE trainer
+    * iterates this job, re-segmenting against the merges-so-far; one
+    * iteration is the representative distributed step. */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = Tables.documents(spark, dir)
+      .select(explode(Text.tokenize($"text")).as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("f"))
+    words
+      .filter(length($"word") >= 2)
+      .select($"f", explode(expr(
+        "transform(sequence(1, length(word) - 1)," +
+          " i -> substring(word, i, 2))")).as("pair"))
+      .groupBy($"pair").agg(sum($"f").as("n"))
+      .orderBy($"n".desc, $"pair")
+      .limit(50)
+  }
 }

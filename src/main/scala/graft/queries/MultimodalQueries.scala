@@ -70,6 +70,40 @@ object MultimodalQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** REAL audio decode end-to-end: every committed WAV fixture through the
+    * RIFF/PCM decoder (chunk walk incl. an odd-size junk chunk, 8-bit
+    * centering, 16-bit sign extension) → per-clip rms / peak / zero-cross
+    * profile. The oracle pins every row to statistics computed by
+    * tools/make_av_fixtures.py's INDEPENDENT Python implementation over
+    * the raw integer sample patterns — a chunk-walk or sign-extension bug
+    * cannot cancel out. Constant-size input by design; the scale path is
+    * the same partition-batched mapPartitions shape as featuresAll. */
+  def mediaAudio(spark: SparkSession, dir: String): DataFrame = {
+    Multimodal.audioStatsAll(Multimodal.fixtureAudio(spark)).toDF()
+      .select(col("doc_id"), col("sample_rate"), col("channels"),
+        col("bits"), col("n_frames"),
+        round(col("duration_ms"), 6).as("duration_ms"),
+        round(col("rms"), 6).as("rms"),
+        round(col("peak"), 6).as("peak"), col("zero_cross"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** REAL video-frame sampling end-to-end: every committed animated-GIF
+    * fixture through the full GIF decoder (real LZW with variable code
+    * widths, global + local color tables, extension skipping), 3 frames
+    * evenly sampled per clip, per-frame luminance profile. The oracle
+    * pins every row to tools/make_av_fixtures.py's independent Python
+    * implementation over the raw index patterns (with an LZW round-trip
+    * self-check at fixture-generation time, so an encoder bug cannot
+    * reach the committed bytes). */
+  def mediaVideo(spark: SparkSession, dir: String): DataFrame = {
+    Multimodal.videoFrameStatsAll(Multimodal.fixtureVideo(spark), 3).toDF()
+      .select(col("doc_id"), col("frame_ix"), col("width"), col("height"),
+        round(col("luma_sum").cast("double") / col("n_pixels"), 6)
+          .as("luma_mean"))
+      .orderBy(col("doc_id"), col("frame_ix"))
+  }
+
   /** REAL resize end-to-end (closes the round-5 stub residue): decode every
     * committed fixture, nearest-neighbor-resample to 3×2, and profile the
     * RESIZED raster. The oracle pins each row to the independent Python

@@ -236,6 +236,152 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.resizePixels(img, 3, -1).isEmpty)
   }
 
+  // ---- audio (WAV) ----
+
+  private def fixtureBytes(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/graft/fixtures/$name")
+    require(in != null, s"missing $name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("wav decode: 16-bit mono stats match the independent Python values") {
+    val clip = Multimodal.decodeWav(fixtureBytes("wav16_mono.wav")).get
+    assert((clip.sampleRate, clip.channels, clip.bits) == ((8000, 1, 16)))
+    assert(clip.samples.length == 64)
+    // raw pattern: ((k*2477 + 101) % 8192) - 4096
+    assert(clip.samples(0) == 101 - 4096)
+    assert(clip.samples(1) == ((2477 + 101) % 8192) - 4096)
+    val st = Multimodal.audioStats(-101L, clip)
+    assert(st.n_frames == 64 && st.zero_cross == 38)
+    assert(math.abs(st.rms - 0.07297891665970874) < 1e-15)
+    assert(math.abs(st.peak - 0.12261962890625) < 1e-15)
+    assert(st.duration_ms == 8.0)
+  }
+
+  test("wav decode: junk LIST chunk with ODD size is walked over (pad rule)") {
+    val clip = Multimodal.decodeWav(fixtureBytes("wav16_chunks.wav")).get
+    assert(clip.sampleRate == 22050 && clip.samples.length == 40)
+    val st = Multimodal.audioStats(-104L, clip)
+    assert(st.zero_cross == 34 && math.abs(st.peak - 0.03125) < 1e-15)
+  }
+
+  test("wav decode: 8-bit unsigned centers at 128; stereo zero-cross walks " +
+    "channel 0 only") {
+    val c8 = Multimodal.decodeWav(fixtureBytes("wav8_mono.wav")).get
+    assert(c8.bits == 8)
+    assert(c8.samples(0) == 11 - 128) // pattern (k*37+11)%256, centered
+    val st8 = Multimodal.audioStats(-103L, c8)
+    assert(st8.zero_cross == 21 && math.abs(st8.peak - 0.9921875) < 1e-15)
+    val cs = Multimodal.decodeWav(fixtureBytes("wav16_stereo.wav")).get
+    assert(cs.channels == 2)
+    val sts = Multimodal.audioStats(-102L, cs)
+    assert(sts.n_frames == 48 && sts.zero_cross == 7)
+  }
+
+  test("wav decode: text, truncated, and non-PCM payloads return None") {
+    assert(Multimodal.decodeWav("not a wav at all, just text.".getBytes).isEmpty)
+    val good = fixtureBytes("wav16_mono.wav")
+    assert(Multimodal.decodeWav(good.take(30)).isEmpty)
+    val bad = good.clone()
+    bad(20) = 2 // audioFormat = 2 (ADPCM) in the fmt chunk
+    assert(Multimodal.decodeWav(bad).isEmpty)
+    // data chunk claiming more bytes than the payload holds
+    val trunc = good.clone()
+    trunc(good.length - 82) = 0x7f // corrupt data-size field region harmlessly
+    assert(Multimodal.decodeWav(good.dropRight(10)).isEmpty)
+  }
+
+  // ---- video (GIF) ----
+
+  test("gif decode: 4-frame animation decodes every frame at 10x8 RGB with " +
+    "the independent Python luma values") {
+    val frames = Multimodal.decodeGifFrames(fixtureBytes("gif_anim.gif")).get
+    assert(frames.length == 4)
+    assert(frames.forall(f => f.width == 10 && f.height == 8 && f.channels == 3))
+    def lumaMean(img: Multimodal.PixelImage): Double = {
+      val n = img.width * img.height
+      (0 until n).map(Multimodal.luma(img, _)).sum.toDouble / n
+    }
+    assert(lumaMean(frames(0)) == 105.875)
+    assert(lumaMean(frames(1)) == 103.1875)
+  }
+
+  test("gif decode: local color table overrides global for its frame only") {
+    val frames = Multimodal.decodeGifFrames(fixtureBytes("gif_lct.gif")).get
+    assert(frames.length == 3)
+    def lumaMean(img: Multimodal.PixelImage): Double = {
+      val n = img.width * img.height
+      (0 until n).map(Multimodal.luma(img, _)).sum.toDouble / n
+    }
+    assert(lumaMean(frames(0)) == 113.3)   // GCT
+    assert(lumaMean(frames(1)) == 134.7)   // frame-local LCT
+    assert(lumaMean(frames(2)) == 131.35)  // back to GCT
+  }
+
+  test("gif decode: 16-color stream exercises LZW width growth; comment " +
+    "extension and 87a header are handled") {
+    val wide = Multimodal.decodeGifFrames(fixtureBytes("gif_wide.gif")).get
+    assert(wide.length == 5 && wide.head.width == 12 && wide.head.height == 3)
+    val single = Multimodal.decodeGifFrames(fixtureBytes("gif_single.gif")).get
+    assert(single.length == 1 && single.head.width == 7)
+  }
+
+  test("gif decode: KwKwK code (code == next dictionary entry) decodes — " +
+    "handcrafted run-of-one-color stream") {
+    // 5x1 GIF, indices [1,1,1,1,1]: code sequence hits code==next (KwKwK);
+    // bytes emitted by tools/make_av_fixtures.py's encoder for this input
+    val g = Array[Int](71, 73, 70, 56, 57, 97, 5, 0, 1, 0, -15, 0, 0, 38, 14,
+      -30, 91, 111, -1, -112, -48, 28, -59, 49, 57, 44, 0, 0, 0, 0, 5, 0, 1,
+      0, 0, 2, 3, -116, -83, 0, 0, 59).map(_.toByte)
+    val frames = Multimodal.decodeGifFrames(g).get
+    assert(frames.length == 1 && frames.head.width == 5 && frames.head.height == 1)
+    // all five pixels = palette[1] = (91, 111, 255), luma 121
+    (0 until 5).foreach(i => assert(Multimodal.luma(frames.head, i) == 121))
+  }
+
+  test("gif decode: text and truncated payloads return None; frame sampling " +
+    "falls back to the byte-split stub for non-GIF") {
+    assert(Multimodal.decodeGifFrames("GIF89a but not really".getBytes).isEmpty)
+    val good = fixtureBytes("gif_anim.gif")
+    assert(Multimodal.decodeGifFrames(good.take(40)).isEmpty)
+    assert(Multimodal.sampleGifFrames("plain text".getBytes, 3).isEmpty)
+  }
+
+  test("gif frame sampling: evenly-spaced floor(i*f/n) selection, all frames " +
+    "when clip is short") {
+    val wide = fixtureBytes("gif_wide.gif") // 5 frames
+    val s3 = Multimodal.sampleGifFrames(wide, 3).get
+    assert(s3.length == 3) // file frames 0, 1, 3 — pinned via q_media_video
+    val all = Multimodal.sampleGifFrames(wide, 9).get
+    assert(all.length == 5)
+    val anim = Multimodal.sampleGifFrames(fixtureBytes("gif_anim.gif"), 4).get
+    assert(anim.length == 4)
+  }
+
+  test("framesAll: REAL frame profile for GIF payloads, stub for text") {
+    val media = Multimodal.fixtureVideo(spark)
+    val rows = Multimodal.framesAll(media, 4).collect()
+      .map(f => f.doc_id -> ((f.n_frames, f.frame_len))).toMap
+    // expected table from tools/make_av_fixtures.py (frame_len = w*h*3)
+    assert(rows(-201L) == ((4, 240)))
+    assert(rows(-202L) == ((1, 105)))
+    assert(rows(-203L) == ((3, 60)))
+    assert(rows(-204L) == ((4, 108)))
+    // text payloads keep the stub byte-split contract
+    val txt = spark.createDataset(Seq(
+      MediaRecord(7L, "img/x", "twelve bytes".getBytes)))
+    val stub = Multimodal.framesAll(txt, 4).head()
+    assert(stub.n_frames == 4 && stub.frame_len == 3)
+  }
+
+  test("audio/video fixture catalogs flow through the partition-batched path") {
+    val a = Multimodal.audioStatsAll(Multimodal.fixtureAudio(spark).repartition(3))
+    assert(a.count() == 4)
+    val v = Multimodal.videoFrameStatsAll(
+      Multimodal.fixtureVideo(spark).repartition(3), 3)
+    assert(v.count() == 10)
+  }
+
   test("dataset plumbing: binary payloads decode per-partition, rows preserved") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val media = Multimodal.mediaFromDocuments(docs).repartition(4)
