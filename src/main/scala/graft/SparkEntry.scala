@@ -145,6 +145,13 @@ object SparkEntry {
     "q_quality_lr"      -> ((s, d) => PipelineQueries.qualityLr(s, d)),
     "q_source_entropy"  -> ((s, d) => CorpusQueries.sourceEntropy(s, d)),
     "q_zipf_profile"    -> ((s, d) => CorpusQueries.zipfProfile(s, d)),
+    // --- round-6 additions: SCD2 interval compaction, KS drift monitor,
+    // --- weighted PageRank, power-iteration PCA, interpolated bigram LM ---
+    "q_scd2_intervals"  -> ((s, d) => AnalyticQueries.scd2Intervals(s, d)),
+    "q_ks_drift"        -> ((s, d) => AnalyticQueries.ksDrift(s, d)),
+    "q_pagerank"        -> ((s, d) => GraphQueries.pagerank(s, d)),
+    "q_embed_pca"       -> ((s, d) => CorpusQueries.embedPca(s, d)),
+    "q_bigram_lm"       -> ((s, d) => CorpusQueries.bigramLm(s, d)),
   )
 
   /** Decay expression shared by the EDW oracles (DuckDB `epoch()` returns
@@ -241,6 +248,75 @@ object SparkEntry {
       val lit = plane.map(_.toString).mkString("[", ", ", "]")
       s"(CASE WHEN list_dot_product(v, $lit) >= 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** Weighted-PageRank oracle: [[graft.queries.GraphQueries.PrIters]]
+    * synchronous iterations unrolled as CTEs, replaying the engine's fold
+    * exactly — each edge contribution quantized to the 6-dp grid and
+    * summed in DECIMAL (fold-order exact), rank update on two doubles. */
+  private val PagerankOracle: String = {
+    val iters = (1 to GraphQueries.PrIters).map { k =>
+      s"""c$k AS (SELECT dst,
+             sum(CAST(round(CAST(pr AS DOUBLE) * frac, 6) AS DECIMAL(28,6))) AS insum
+           FROM ew JOIN r${k - 1} ON ew.src = r${k - 1}.node GROUP BY 1),
+       r$k AS (SELECT node, CAST(round(${GraphQueries.Teleport}
+             + ${GraphQueries.Damping} * coalesce(CAST(insum AS DOUBLE), 0.0), 6)
+           AS DECIMAL(18,6)) AS pr
+           FROM nodes LEFT JOIN c$k ON node = dst)"""
+    }.mkString(",\n       ", ",\n       ", "")
+    s"""WITH edges AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+           count(*) AS w
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         GROUP BY 1, 2),
+       outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM edges GROUP BY 1),
+       ew AS (SELECT e.src, e.dst,
+           CAST(e.w AS DOUBLE) / CAST(o.outw AS DOUBLE) AS frac
+         FROM edges e JOIN outw o USING (src)),
+       nodes AS (SELECT n_nationkey AS node, n_name FROM nation),
+       r0 AS (SELECT node, CAST(0.04 AS DECIMAL(18,6)) AS pr FROM nodes)$iters
+       SELECT r.node, n.n_name, CAST(r.pr AS DOUBLE) AS pr
+       FROM r${GraphQueries.PrIters} r JOIN nodes n ON r.node = n.node
+       ORDER BY r.node"""
+  }
+
+  /** Power-iteration PCA oracle: the q_embed_gram fixed-point Gram CTE
+    * (bit-identical longs), mirrored to the full symmetric matrix, then
+    * [[graft.queries.CorpusQueries.PcaIters]] matvec+normalize rounds
+    * unrolled — every Σ quantizes terms to the 6-dp grid and sums in
+    * DECIMAL, so the replay is exact under any fold order. */
+  private val PcaOracle: String = {
+    val iters = (1 to CorpusQueries.PcaIters).map { k =>
+      s"""u$k AS (SELECT f.i,
+             sum(CAST(round(f.g * CAST(v.vj AS DOUBLE), 6) AS DECIMAL(28,6))) AS ui
+           FROM fullg f JOIN v${k - 1} v ON f.j = v.j GROUP BY 1),
+       n$k AS (SELECT sum(CAST(round(CAST(ui AS DOUBLE) * CAST(ui AS DOUBLE), 6)
+             AS DECIMAL(38,6))) AS n2 FROM u$k),
+       v$k AS (SELECT i AS j, n2,
+             CAST(round(CAST(ui AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)), 6)
+               AS DECIMAL(18,6)) AS vj
+           FROM u$k CROSS JOIN n$k)"""
+    }.mkString(",\n       ", ",\n       ", "")
+    s"""WITH e AS (SELECT vec_id,
+           list_transform(CAST(embedding AS DOUBLE[]),
+             x -> CAST(floor(x * 100000.0 + 0.5) AS BIGINT)) AS q
+         FROM embeddings),
+       x AS (SELECT vec_id, generate_subscripts(q, 1) - 1 AS i, unnest(q) AS xi FROM e),
+       gm AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.xi * b.xi) AS BIGINT) AS g_fx
+         FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i
+         GROUP BY 1, 2),
+       fullg AS (SELECT i, j, CAST(g_fx AS DOUBLE) / (100000.0 * 100000.0) AS g
+         FROM gm
+         UNION ALL
+         SELECT j AS i, i AS j, CAST(g_fx AS DOUBLE) / (100000.0 * 100000.0) AS g
+         FROM gm WHERE i <> j),
+       v0 AS (SELECT CAST(i AS BIGINT) AS j, CAST(0.125 AS DECIMAL(18,6)) AS vj
+         FROM range(0, ${CorpusQueries.GramDims}) t(i))$iters
+       SELECT j AS dim, CAST(vj AS DOUBLE) AS loading,
+         round(sqrt(CAST(n2 AS DOUBLE)), 6) AS lambda
+       FROM v${CorpusQueries.PcaIters} ORDER BY dim"""
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1593,5 +1669,80 @@ object SparkEntry {
            round((sy - ((k*sxy - sx*sy) / (k*sxx - sx*sx)) * sx) / k, 6) + 0.0
            END AS zipf_intercept
        FROM agg ORDER BY source""",
+    // SCD type-2 gaps-and-islands: change-flag running sum -> one version
+    // row per run; all columns exact (timestamps/longs), no rounding needed
+    "q_scd2_intervals" ->
+      """WITH r AS (SELECT user_id, event_id, ts, event_type,
+           CASE WHEN lag(event_type) OVER w IS NULL
+                  OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       s AS (SELECT user_id, event_type, ts,
+           CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq
+         FROM r),
+       g AS (SELECT user_id, seq, event_type, min(ts) AS valid_from,
+           count(*) AS n_events FROM s GROUP BY 1, 2, 3)
+       SELECT user_id, seq, event_type, valid_from, valid_to, n_events,
+         (valid_to IS NULL) AS is_current
+       FROM (SELECT user_id, seq, event_type, valid_from, n_events,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY seq) AS valid_to
+         FROM g)
+       ORDER BY user_id, seq""",
+    // two-sample KS: ECDF gap per distinct value on exact cumulative longs;
+    // every |F_A - F_B| is deterministic per row, max/argmax order-free
+    "q_ks_drift" ->
+      s"""WITH f AS (SELECT value,
+           CASE WHEN ts < t0 + INTERVAL ${AnalyticQueries.KsSplitDays} DAY
+             THEN 1 ELSE 0 END AS ia
+         FROM events CROSS JOIN (SELECT min(ts) AS t0 FROM events)),
+       g AS (SELECT value, CAST(sum(ia) AS BIGINT) AS ca,
+           CAST(sum(1 - ia) AS BIGINT) AS cb FROM f GROUP BY 1),
+       c AS (SELECT value,
+           CAST(sum(ca) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS BIGINT) AS la,
+           CAST(sum(cb) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS BIGINT) AS lb
+         FROM g),
+       tot AS (SELECT CAST(sum(ia) AS BIGINT) AS n_a,
+           CAST(sum(1 - ia) AS BIGINT) AS n_b FROM f),
+       ks AS (SELECT value, n_a, n_b,
+           abs(CAST(la AS DOUBLE) / CAST(n_a AS DOUBLE)
+             - CAST(lb AS DOUBLE) / CAST(n_b AS DOUBLE)) AS ks
+         FROM c CROSS JOIN tot),
+       m AS (SELECT max(ks) AS mks FROM ks)
+       SELECT n_a, n_b, round(max(ks), 6) AS ks_stat, min(value) AS ks_at
+       FROM ks CROSS JOIN m WHERE ks = mks GROUP BY 1, 2""",
+    // interpolated bigram LM: p = λ·c(w1w2)/c(w1) + (1-λ)·c(w2)/T on exact
+    // counts; each -ln p 6-dp-quantized and DECIMAL-summed per doc; ppl
+    // exponentiates the ROUNDED mean; <2-token docs surface NULLs
+    "q_bigram_lm" ->
+      s"""WITH toks AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\\s+'), q -> length(q) > 0) AS t
+         FROM documents),
+       tok AS (SELECT unnest(t) AS w FROM toks),
+       uni AS (SELECT w, count(*) AS cw FROM tok GROUP BY 1),
+       n AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM tok),
+       bg AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+           SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+               i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS p
+           FROM toks)),
+       bcnt AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+       sc AS (SELECT doc_id, count(*) AS n_bigrams,
+           sum(CAST(round(-ln(${CorpusQueries.BigramLambda}
+               * (CAST(cb AS DOUBLE) / CAST(c1 AS DOUBLE))
+             + ${1.0 - CorpusQueries.BigramLambda}
+               * (CAST(c2 AS DOUBLE) / CAST(tt AS DOUBLE))), 6)
+             AS DECIMAL(28,6))) AS nll
+         FROM bg
+         JOIN bcnt USING (w1, w2)
+         JOIN (SELECT w AS w1, cw AS c1 FROM uni) USING (w1)
+         JOIN (SELECT w AS w2, cw AS c2 FROM uni) USING (w2)
+         CROSS JOIN n GROUP BY 1)
+       SELECT d.doc_id, sc.n_bigrams,
+         round(CAST(sc.nll AS DOUBLE) / sc.n_bigrams, 6) AS xent,
+         round(exp(round(CAST(sc.nll AS DOUBLE) / sc.n_bigrams, 6)), 2) AS ppl
+       FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+       ORDER BY d.doc_id""",
+    "q_pagerank" -> PagerankOracle,
+    "q_embed_pca" -> PcaOracle,
   )
 }

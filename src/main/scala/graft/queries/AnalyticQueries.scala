@@ -256,4 +256,88 @@ object AnalyticQueries {
         round(max($"value"), 6).as("max_value"))
       .orderBy($"event_type")
   }
+
+  /** SCD type-2 interval compaction (Kimball's slowly-changing dimension
+    * build — the warehouse MERGE every CDC pipeline lands on): per user,
+    * consecutive runs of the same event_type collapse into one
+    * [valid_from, valid_to) version row; the latest run per user has
+    * valid_to = NULL and is_current = true. Gaps-and-islands via a
+    * change-flag running sum, so one record per *change*, not per event.
+    *
+    * Scale shape: one hash partition by user_id with an in-partition sort
+    * (identical to sessionization); the run grouping and the valid_to
+    * lead are further per-user window passes on the already-partitioned
+    * data — no second shuffle. All columns are exact (timestamps, longs),
+    * so cross-engine parity needs no rounding. */
+  def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val runs = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"ts", $"event_type")
+      .withColumn("prev", lag($"event_type", 1).over(byUser))
+      .withColumn("chg",
+        when($"prev".isNull || $"prev" =!= $"event_type", 1L).otherwise(0L))
+      .withColumn("seq", sum($"chg").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bySeq = Window.partitionBy($"user_id").orderBy($"seq")
+    runs.groupBy($"user_id", $"seq", $"event_type")
+      .agg(min($"ts").as("valid_from"), count(lit(1)).as("n_events"))
+      .withColumn("valid_to", lead($"valid_from", 1).over(bySeq))
+      .select($"user_id", $"seq", $"event_type", $"valid_from", $"valid_to",
+        $"n_events", $"valid_to".isNull.as("is_current"))
+      .orderBy($"user_id", $"seq")
+  }
+
+  /** Period split point of [[ksDrift]]: events in the first 15 days are
+    * the reference window, the rest the comparison window. */
+  val KsSplitDays = 15
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic over `value` — the
+    * standard distribution-shift monitor a production data pipeline runs
+    * between ingestion periods (KS = sup |F̂_A − F̂_B|; flag when it
+    * exceeds the critical value). Reports the statistic and the leftmost
+    * value attaining it.
+    *
+    * Scale shape: the ECDFs need a cumulative count over the *globally
+    * ordered* distinct values — computed as a DISTRIBUTED prefix sum
+    * (range-partition by value, in-partition cumsum, per-partition base
+    * offsets from a #partitions-row broadcast frame), the
+    * [[PipelineQueries.tokenShards]] pattern, NOT a single-partition
+    * global window. Counts are exact longs; each |F̂_A − F̂_B| is two
+    * divides and a subtract on exact inputs — deterministic per row — and
+    * the max / leftmost-argmax reduce is order-independent, so parity
+    * needs rounding only on the reported statistic. */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val t0 = ev.agg(min($"ts").as("t0"))
+    val flagged = ev.crossJoin(broadcast(t0))
+      .select($"value",
+        when($"ts" < $"t0" + expr(s"INTERVAL $KsSplitDays DAYS"), 1L)
+          .otherwise(0L).as("ia"))
+    val grp = flagged.groupBy($"value")
+      .agg(sum($"ia").as("ca"), sum(lit(1L) - $"ia").as("cb"))
+      .repartitionByRange($"value")
+      .withColumn("pid", spark_partition_id())
+    val wIn = Window.partitionBy($"pid").orderBy($"value")
+    val cum = grp
+      .withColumn("la", sum($"ca").over(wIn))
+      .withColumn("lb", sum($"cb").over(wIn))
+    val wP = Window.orderBy($"pid").rowsBetween(Window.unboundedPreceding, -1)
+    val bases = cum.groupBy($"pid")
+      .agg(max($"la").as("ta"), max($"lb").as("tb"))
+      .withColumn("ba", coalesce(sum($"ta").over(wP), lit(0L)))
+      .withColumn("bb", coalesce(sum($"tb").over(wP), lit(0L)))
+      .select($"pid", $"ba", $"bb")
+    val tot = flagged.agg(sum($"ia").as("n_a"), sum(lit(1L) - $"ia").as("n_b"))
+    val ks = cum.join(broadcast(bases), "pid").crossJoin(broadcast(tot))
+      .select($"value", $"n_a", $"n_b",
+        abs(($"ba" + $"la").cast("double") / $"n_a".cast("double") -
+          ($"bb" + $"lb").cast("double") / $"n_b".cast("double")).as("ks"))
+    val m = ks.agg(max($"ks").as("mks"))
+    ks.crossJoin(broadcast(m)).filter($"ks" === $"mks")
+      .groupBy($"n_a", $"n_b")
+      .agg(round(max($"ks"), 6).as("ks_stat"), min($"value").as("ks_at"))
+      .select($"n_a", $"n_b", $"ks_stat", $"ks_at")
+  }
 }

@@ -453,6 +453,19 @@ object CorpusQueries {
     * exact artifact. */
   def embedGram(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    gramUpperFx(spark, dir)
+      .select($"i", $"j", $"g_fx",
+        round($"g_fx" / (graft.functions.Linalg.GramFxScale *
+          graft.functions.Linalg.GramFxScale), 6).as("g"))
+      .orderBy($"i", $"j")
+  }
+
+  /** Exact fixed-point Gram upper triangle (i, j, g_fx) — the distributed
+    * sufficient statistic shared by [[embedGram]] (the human view) and
+    * [[embedPca]] (the power iteration). See [[embedGram]] for the
+    * exactness argument. */
+  private def gramUpperFx(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val d = GramDims
     val q = Tables.embeddings(spark, dir)
       .select(transform($"embedding".cast("array<double>"),
@@ -466,11 +479,64 @@ object CorpusQueries {
       .crossJoin(spark.range(d).toDF("j")).filter($"j" >= $"i")
       .withColumn("k",
         ($"i" * (2 * d + 1) - $"i" * $"i") / 2 + ($"j" - $"i"))
-    gram.join(broadcast(pairs), "k")
-      .select($"i", $"j", $"g_fx",
-        round($"g_fx" / (graft.functions.Linalg.GramFxScale *
-          graft.functions.Linalg.GramFxScale), 6).as("g"))
-      .orderBy($"i", $"j")
+    gram.join(broadcast(pairs), "k").select($"i", $"j", $"g_fx")
+  }
+
+  /** Power-iteration steps of [[embedPca]]. Three suffice to separate the
+    * top eigenvector direction for reporting purposes while keeping the
+    * unrolled DuckDB oracle finite; the operator is iteration-generic. */
+  val PcaIters = 3
+
+  /** Top principal direction of the embedding corpus by power iteration
+    * on the EXACT fixed-point Gram matrix (the classic two-stage PCA at
+    * scale: one distributed pass reduces n×d rows to a d×d sufficient
+    * statistic, after which each iteration is O(d²) — the shape every
+    * embedding-whitening / "all-but-the-top" (Mu & Viswanath 2018)
+    * pipeline uses). Emits the unit loading per dimension after
+    * [[PcaIters]] iterations from the exact uniform start (1/√64 = 0.125),
+    * plus the dominant-eigenvalue estimate ‖G·v‖ from the final step.
+    *
+    * Determinism doctrine: matrix entries enter as exact fixed-point longs
+    * rescaled by one double divide; every Σ (matvec terms, squared norms)
+    * quantizes its terms to the 6-dp grid and sums in DECIMAL — exact
+    * under any fold order — and each normalize is a per-row double
+    * divide + round. The oracle replays all iterations as unrolled CTEs
+    * on the identical grid.
+    *
+    * Scale shape: the corpus-sized work is [[gramUpperFx]]'s mergeable
+    * fixed-buffer aggregate (shuffle = #partitions × 2080 longs); the
+    * iterations run on d²-row checkpointed frames — constant-size
+    * regardless of corpus row count. */
+  def embedPca(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fx2 = graft.functions.Linalg.GramFxScale * graft.functions.Linalg.GramFxScale
+    val upper = gramUpperFx(spark, dir)
+    // mirror to the full symmetric matrix, rescaled to the double view
+    val full = upper
+      .union(upper.filter($"i" =!= $"j").select($"j".as("i"), $"i".as("j"), $"g_fx"))
+      .select($"i", $"j", ($"g_fx" / lit(fx2)).as("g"))
+      .localCheckpoint()
+    var v = spark.range(GramDims)
+      .select($"id".as("j"), expr("CAST(0.125 AS DECIMAL(18,6))").as("vj"))
+    var last: DataFrame = null
+    for (_ <- 1 to PcaIters) {
+      val u = full.join(v, "j")
+        .select($"i", round($"g" * $"vj".cast("double"), 6)
+          .cast("decimal(28,6)").as("t"))
+        .groupBy($"i").agg(sum($"t").as("ui"))
+      val n2 = u.select(round($"ui".cast("double") * $"ui".cast("double"), 6)
+          .cast("decimal(38,6)").as("s"))
+        .agg(sum($"s").as("n2"))
+      last = u.crossJoin(broadcast(n2))
+        .select($"i".as("j"), $"n2",
+          round($"ui".cast("double") / sqrt($"n2".cast("double")), 6)
+            .cast("decimal(18,6)").as("vj"))
+        .localCheckpoint()
+      v = last.select($"j", $"vj")
+    }
+    last.select($"j".as("dim"), $"vj".cast("double").as("loading"),
+        round(sqrt($"n2".cast("double")), 6).as("lambda"))
+      .orderBy($"dim")
   }
 
   /** Per-source lexical diversity profile: type-token ratio and distinct-
@@ -643,5 +709,55 @@ object CorpusQueries {
       .groupBy($"pair").agg(sum($"f").as("n"))
       .orderBy($"n".desc, $"pair")
       .limit(50)
+  }
+
+  /** Interpolation weight of [[bigramLm]] on the bigram MLE; the
+    * complement backs off to the unigram distribution. */
+  val BigramLambda = 0.75
+
+  /** Interpolated bigram-LM cross-entropy scoring — one modeling step up
+    * from [[unigramSurprisal]] and the same shape CCNet's KenLM occupies
+    * (Wenzek et al. 2020; Jelinek–Mercer interpolation, Chen & Goodman
+    * 1999): p(w₂|w₁) = λ·c(w₁w₂)/c(w₁) + (1−λ)·c(w₂)/T fit on the corpus
+    * itself, each document scored by its mean bigram negative log
+    * probability and the equivalent perplexity. Unlike the unigram score
+    * this catches scrambled/unnatural word ORDER, not just rare words.
+    * (History counts use the plain unigram count c(w₁) — final-position
+    * tokens included — a documented, engine-symmetric simplification.)
+    *
+    * Scale shape: two count aggregates (bigram + unigram vocabularies)
+    * joined back over the bigram stream, both unhinted so AQE broadcasts
+    * while they fit and shuffle-joins when they don't; the 1-row total
+    * stays hinted. Per-doc reduction quantizes each −ln p to the 6-dp
+    * grid and sums in DECIMAL (fold-order exact); ppl exponentiates the
+    * ROUNDED mean (the sf100 lesson — see [[unigramSurprisal]]). Docs
+    * with < 2 tokens surface NULL scores rather than vanishing. */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(explode(Text.tokenize($"text")).as("w"))
+    val uni = toks.groupBy($"w").agg(count(lit(1)).as("cw"))
+    val tot = toks.agg(count(lit(1)).as("t"))
+    val bigs = docs.select($"doc_id", explode(Text.ngrams($"text", 2)).as("bg"))
+      .withColumn("w1", split($"bg", " ")(0))
+      .withColumn("w2", split($"bg", " ")(1))
+    val bcnt = bigs.groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
+    val scored = bigs
+      .join(bcnt, Seq("w1", "w2"))
+      .join(uni.select($"w".as("w1"), $"cw".as("c1")), "w1")
+      .join(uni.select($"w".as("w2"), $"cw".as("c2")), "w2")
+      .crossJoin(broadcast(tot))
+      .select($"doc_id",
+        (lit(BigramLambda) * ($"cb".cast("double") / $"c1".cast("double")) +
+          lit(1.0 - BigramLambda) * ($"c2".cast("double") / $"t".cast("double")))
+          .as("p"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(round(-log($"p"), 6).cast("decimal(28,6)")).as("nll"))
+    docs.select($"doc_id").join(scored, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_bigrams",
+        round($"nll".cast("double") / $"n_bigrams", 6).as("xent"),
+        round(exp(round($"nll".cast("double") / $"n_bigrams", 6)), 2).as("ppl"))
+      .orderBy($"doc_id")
   }
 }

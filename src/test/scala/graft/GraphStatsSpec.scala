@@ -1,0 +1,95 @@
+package graft
+
+import graft.queries.{AnalyticQueries, CorpusQueries, GraphQueries}
+import org.apache.spark.sql.functions._
+
+/** Round-6 operators: weighted PageRank, SCD2 interval compaction, KS
+  * drift, power-iteration PCA, interpolated bigram LM. Value-level parity
+  * is the DuckDB oracle (tools/check.py); these pin the semantic
+  * invariants the oracle can't phrase. */
+class GraphStatsSpec extends SparkSpec {
+  private val sql = SparkSpec.spark
+  import sql.implicits._
+
+  test("pagerank: one row per nation, mass conserved, teleport floor") {
+    val rows = GraphQueries.pagerank(spark, sf).collect()
+    assert(rows.length == 25, "one rank per nation")
+    val mass = rows.map(_.getDouble(2)).sum
+    // no dangling nodes in a complete order book -> total mass stays 1 up
+    // to the 6-dp per-node rounding (|err| <= 25e-6 per iteration)
+    assert(math.abs(mass - 1.0) < 1e-3, s"rank mass $mass drifted from 1")
+    rows.foreach(r => assert(r.getDouble(2) >= GraphQueries.Teleport - 1e-9,
+      s"node ${r.get(0)} below the teleport floor"))
+  }
+
+  test("scd2Intervals: contiguous versions, alternating types, one current row per user") {
+    val runs = AnalyticQueries.scd2Intervals(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3), if (r.isNullAt(4)) null else r.getTimestamp(4),
+        r.getLong(5), r.getBoolean(6)))
+    val nEvents = graft.sources.Tables.events(spark, sf).count()
+    assert(runs.map(_._6).sum == nEvents, "version rows must partition the event stream")
+    runs.groupBy(_._1).foreach { case (u, rs) =>
+      val seq = rs.sortBy(_._2)
+      assert(seq.map(_._2).toSeq == (1L to seq.length).toSeq, s"user $u seq gap")
+      seq.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 != b._3, s"user $u: adjacent runs share type ${a._3}")
+          assert(a._5 == b._4, s"user $u: interval gap at seq ${a._2}")
+        case _ =>
+      }
+      assert(seq.count(_._7) == 1, s"user $u: exactly one current version")
+      assert(seq.last._7 && seq.last._5 == null, s"user $u: open tail version")
+    }
+  }
+
+  test("ksDrift: matches a driver-side exact ECDF replay") {
+    val out = AnalyticQueries.ksDrift(spark, sf).collect()
+    assert(out.length == 1)
+    val (nA, nB, stat, at) = (out(0).getLong(0), out(0).getLong(1),
+      out(0).getDouble(2), out(0).getDouble(3))
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select($"ts", $"value").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getDouble(1)))
+    val t0 = ev.map(_._1).min
+    val cut = t0 + AnalyticQueries.KsSplitDays * 86400000L
+    val a = ev.filter(_._1 < cut).map(_._2)
+    val b = ev.filter(_._1 >= cut).map(_._2)
+    assert(nA == a.length && nB == b.length)
+    val values = ev.map(_._2).distinct.sorted
+    def ecdf(xs: Array[Double])(v: Double) = xs.count(_ <= v).toDouble / xs.length
+    val gaps = values.map(v => v -> math.abs(ecdf(a)(v) - ecdf(b)(v)))
+    val mx = gaps.map(_._2).max
+    assert(stat == math.rint(mx * 1e6) / 1e6, s"ks $stat != replay $mx")
+    assert(at == gaps.filter(_._2 == mx).map(_._1).min, "leftmost argmax")
+    assert(stat > 0.0 && stat <= 1.0)
+  }
+
+  test("embedPca: unit loading vector, positive dominant eigenvalue") {
+    val rows = CorpusQueries.embedPca(spark, sf).collect()
+    assert(rows.length == CorpusQueries.GramDims)
+    val norm = math.sqrt(rows.map(r => r.getDouble(1) * r.getDouble(1)).sum)
+    assert(math.abs(norm - 1.0) < 1e-4, s"loading norm $norm not unit")
+    val lambdas = rows.map(_.getDouble(2)).distinct
+    assert(lambdas.length == 1 && lambdas(0) > 0.0, "one positive eigenvalue estimate")
+  }
+
+  test("bigramLm: n_bigrams = n_tokens - 1, nonnegative xent, short docs NULL") {
+    val lm = CorpusQueries.bigramLm(spark, sf)
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", size(graft.functions.Text.tokenize($"text")).as("nt"))
+    val joined = lm.join(toks, "doc_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val nt = r.getInt(4)
+      if (nt < 2) {
+        assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3),
+          s"doc ${r.getLong(0)}: <2 tokens must surface NULL scores")
+      } else {
+        assert(r.getLong(1) == nt - 1L, s"doc ${r.getLong(0)}: bigram count")
+        assert(r.getDouble(2) >= 0.0, "p <= 1 everywhere -> xent >= 0")
+        assert(r.getDouble(3) >= 1.0, "ppl = exp(xent) >= 1")
+      }
+    }
+  }
+}
