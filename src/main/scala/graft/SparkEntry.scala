@@ -152,6 +152,9 @@ object SparkEntry {
     "q_pagerank"        -> ((s, d) => GraphQueries.pagerank(s, d)),
     "q_embed_pca"       -> ((s, d) => CorpusQueries.embedPca(s, d)),
     "q_bigram_lm"       -> ((s, d) => CorpusQueries.bigramLm(s, d)),
+    "q_pack_sequences"  -> ((s, d) => PipelineQueries.packSequences(s, d)),
+    "q_psi_drift"       -> ((s, d) => AnalyticQueries.psiDrift(s, d)),
+    "q_gini_users"      -> ((s, d) => AnalyticQueries.giniUsers(s, d)),
   )
 
   /** Decay expression shared by the EDW oracles (DuckDB `epoch()` returns
@@ -1744,5 +1747,70 @@ object SparkEntry {
        ORDER BY d.doc_id""",
     "q_pagerank" -> PagerankOracle,
     "q_embed_pca" -> PcaOracle,
+    // concatenate-and-chunk packing profile: global token cumsum -> each
+    // doc explodes into the windows it overlaps; all columns exact longs
+    "q_pack_sequences" ->
+      s"""WITH toks AS (SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+             q -> length(q) > 0)) AS BIGINT) AS nt
+         FROM documents),
+       cum AS (SELECT doc_id, nt,
+           CAST(sum(nt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+         FROM toks),
+       offs AS (SELECT doc_id, nt, e - nt AS s, e FROM cum WHERE nt > 0),
+       ex AS (SELECT doc_id, s, e,
+           (s // ${PipelineQueries.SeqTokens}) AS fs,
+           ((e - 1) // ${PipelineQueries.SeqTokens}) AS ls
+         FROM offs),
+       ch AS (SELECT doc_id, s, e, (fs <> ls) AS spans,
+           unnest(range(fs, ls + 1)) AS seq_id
+         FROM ex)
+       SELECT seq_id, count(*) AS n_docs,
+         CAST(sum(least(e, (seq_id + 1) * ${PipelineQueries.SeqTokens})
+           - greatest(s, seq_id * ${PipelineQueries.SeqTokens})) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN spans THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning,
+         min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       FROM ch GROUP BY 1 ORDER BY 1""",
+    // PSI: identical bin-edge arithmetic from the 1-row (lo,hi) aggregate,
+    // add-half smoothing, per-bin terms deterministic on exact counts;
+    // total = DECIMAL sum of the 6-dp terms
+    "q_psi_drift" ->
+      s"""WITH f AS (SELECT value,
+           CASE WHEN ts < t0 + INTERVAL ${AnalyticQueries.KsSplitDays} DAY
+             THEN 1 ELSE 0 END AS ia
+         FROM events CROSS JOIN (SELECT min(ts) AS t0 FROM events)),
+       rng AS (SELECT min(value) AS lo, max(value) AS hi,
+           CAST(sum(ia) AS BIGINT) AS n_a, CAST(sum(1 - ia) AS BIGINT) AS n_b
+         FROM f),
+       binned AS (SELECT
+           CASE WHEN hi = lo THEN 0
+             ELSE least(CAST(floor((value - lo) / ((hi - lo) / ${AnalyticQueries.PsiBins}.0)) AS BIGINT),
+               ${AnalyticQueries.PsiBins - 1}) END AS bin,
+           n_a, n_b,
+           CAST(sum(ia) AS BIGINT) AS ca, CAST(sum(1 - ia) AS BIGINT) AS cb
+         FROM f CROSS JOIN rng GROUP BY 1, 2, 3),
+       terms AS (SELECT bin, ca, cb,
+           (CAST(ca AS DOUBLE) + 0.5) / (CAST(n_a AS DOUBLE) + 0.5 * ${AnalyticQueries.PsiBins}) AS pa,
+           (CAST(cb AS DOUBLE) + 0.5) / (CAST(n_b AS DOUBLE) + 0.5 * ${AnalyticQueries.PsiBins}) AS pb
+         FROM binned),
+       rt AS (SELECT bin, ca, cb, round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+           round((pa - pb) * ln(pa / pb), 6) AS psi_term
+         FROM terms),
+       tot AS (SELECT sum(CAST(psi_term AS DECIMAL(18,6))) AS pt FROM rt)
+       SELECT bin, ca, cb, p_a, p_b, psi_term, CAST(pt AS DOUBLE) AS psi_total
+       FROM rt CROSS JOIN tot ORDER BY bin""",
+    // Gini of per-user event counts: ascending (count, user) rank, exact
+    // DECIMAL rank-weighted sum, one closing double divide
+    "q_gini_users" ->
+      """WITH per AS (SELECT user_id, count(*) AS x FROM events GROUP BY 1),
+       rk AS (SELECT x, row_number() OVER (ORDER BY x, user_id) AS i FROM per),
+       agg AS (SELECT count(*) AS n_users, CAST(sum(x) AS BIGINT) AS total_events,
+           sum(CAST(i AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS s1
+         FROM rk)
+       SELECT n_users, total_events,
+         round((2.0 * CAST(s1 AS DOUBLE)
+           - CAST(n_users + 1 AS DOUBLE) * CAST(total_events AS DOUBLE))
+           / (CAST(n_users AS DOUBLE) * CAST(total_events AS DOUBLE)), 6) AS gini
+       FROM agg""",
   )
 }

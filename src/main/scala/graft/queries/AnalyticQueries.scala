@@ -340,4 +340,90 @@ object AnalyticQueries {
       .agg(round(max($"ks"), 6).as("ks_stat"), min($"value").as("ks_at"))
       .select($"n_a", $"n_b", $"ks_stat", $"ks_at")
   }
+
+  /** Fixed bin count of [[psiDrift]]. */
+  val PsiBins = 10
+
+  /** Population Stability Index between the same two ingestion periods as
+    * [[ksDrift]] — the binned drift monitor risk/feature pipelines pair
+    * with KS (PSI = Σ (p_A − p_B)·ln(p_A/p_B); rule of thumb: >0.1 watch,
+    * >0.25 act). [[PsiBins]] equal-width bins over the global value range;
+    * proportions add-half smoothed ((c+0.5)/(n+0.5k)) so one-sided bins
+    * stay finite. Emits one row per occupied bin (a bin empty in BOTH
+    * periods has no mass to report and is skipped symmetrically in both
+    * engines) plus the total index repeated per row.
+    *
+    * Determinism: bin edges derive from the broadcast 1-row (lo, hi)
+    * aggregate by the same double arithmetic per engine; counts are exact
+    * longs, so each smoothed proportion and PSI term is deterministic per
+    * row; the 6-dp-rounded terms sum in DECIMAL — fold-order exact.
+    * Scale shape: one pass to (lo, hi, n_a, n_b), one map-side bin
+    * assignment, one [[PsiBins]]-row aggregate — all broadcast-joined. */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val t0 = ev.agg(min($"ts").as("t0"))
+    val flagged = ev.crossJoin(broadcast(t0))
+      .select($"value",
+        when($"ts" < $"t0" + expr(s"INTERVAL $KsSplitDays DAYS"), 1L)
+          .otherwise(0L).as("ia"))
+    val rng = flagged.agg(min($"value").as("lo"), max($"value").as("hi"),
+      sum($"ia").as("n_a"), sum(lit(1L) - $"ia").as("n_b"))
+    val binned = flagged.crossJoin(broadcast(rng))
+      .select(
+        when($"hi" === $"lo", lit(0L)).otherwise(
+          least(floor(($"value" - $"lo") / (($"hi" - $"lo") / lit(PsiBins.toDouble))),
+            lit(PsiBins - 1L))).as("bin"),
+        $"ia", $"n_a", $"n_b")
+      .groupBy($"bin", $"n_a", $"n_b")
+      .agg(sum($"ia").as("ca"), sum(lit(1L) - $"ia").as("cb"))
+    val terms = binned
+      .withColumn("pa", ($"ca".cast("double") + 0.5)
+        / ($"n_a".cast("double") + 0.5 * PsiBins))
+      .withColumn("pb", ($"cb".cast("double") + 0.5)
+        / ($"n_b".cast("double") + 0.5 * PsiBins))
+      .select($"bin", $"ca", $"cb",
+        round($"pa", 6).as("p_a"), round($"pb", 6).as("p_b"),
+        round(($"pa" - $"pb") * log($"pa" / $"pb"), 6).as("psi_term"))
+    val tot = terms.agg(sum($"psi_term".cast("decimal(18,6)")).as("pt"))
+    terms.crossJoin(broadcast(tot))
+      .select($"bin", $"ca", $"cb", $"p_a", $"p_b", $"psi_term",
+        $"pt".cast("double").as("psi_total"))
+      .orderBy($"bin")
+  }
+
+  /** Gini coefficient of per-user event concentration — the inequality
+    * profile a pipeline uses to spot bot-dominated traffic or
+    * single-tenant skew before it becomes a hot-key problem (G = (2·Σi·xᵢ
+    * − (n+1)·Σxᵢ) / (n·Σxᵢ) over ascending per-user totals).
+    *
+    * Scale shape: the global ascending rank is the [[PipelineQueries
+    * .tokenShards]] DISTRIBUTED prefix pattern — range-partition by
+    * (count, user_id), per-partition row_number, #partitions-row
+    * broadcast base offsets — never a single-partition window over users.
+    * Arithmetic is exact to the end: rank·count products accumulate in
+    * DECIMAL(38,0) (no long overflow at any scale), one double divide at
+    * the close. */
+  def giniUsers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.events(spark, dir)
+      .groupBy($"user_id").agg(count(lit(1)).as("x"))
+      .repartitionByRange($"x", $"user_id")
+      .withColumn("pid", spark_partition_id())
+    val wIn = Window.partitionBy($"pid").orderBy($"x", $"user_id")
+    val loc = per.withColumn("rn", row_number().over(wIn))
+    val wP = Window.orderBy($"pid").rowsBetween(Window.unboundedPreceding, -1)
+    val bases = loc.groupBy($"pid").agg(max($"rn").cast("long").as("cnt"))
+      .withColumn("base", coalesce(sum($"cnt").over(wP), lit(0L)))
+      .select($"pid", $"base")
+    loc.join(broadcast(bases), "pid")
+      .select($"x", ($"base" + $"rn").as("i"))
+      .agg(count(lit(1)).as("n_users"), sum($"x").as("total_events"),
+        sum($"i".cast("decimal(19,0)") * $"x".cast("decimal(19,0)")).as("s1"))
+      .select($"n_users", $"total_events",
+        round((lit(2.0) * $"s1".cast("double")
+          - ($"n_users" + 1).cast("double") * $"total_events".cast("double"))
+          / ($"n_users".cast("double") * $"total_events".cast("double")), 6)
+          .as("gini"))
+  }
 }

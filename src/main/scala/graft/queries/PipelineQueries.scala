@@ -115,8 +115,12 @@ object PipelineQueries {
     * construction bounded by cluster width, and it broadcasts back). The
     * result is independent of the partition count — pinned in
     * PipelineSpec against a single-partition reference. */
-  def tokenShards(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Each document's start offset in the concatenated (doc_id-ordered)
+    * token stream — the DISTRIBUTED ordered prefix sum shared by
+    * [[tokenShards]] and [[packSequences]]. Columns: doc_id, n_tokens,
+    * start_offset. See [[tokenShards]] for the partition-count-
+    * independence argument. */
+  private def docOffsets(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), Text.tokenCount(col("text")).cast("long").as("n_tokens"))
       .repartitionByRange(col("doc_id"))
@@ -130,6 +134,12 @@ object PipelineQueries {
       .select(col("pid"), col("base"))
     cum.join(broadcast(bases), "pid")
       .withColumn("start_offset", col("base") + col("local_end") - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("base"), col("local_end"),
+        col("start_offset"))
+  }
+
+  def tokenShards(spark: SparkSession, dir: String): DataFrame = {
+    docOffsets(spark, dir)
       .withColumn("start_shard", expr(s"start_offset div $ShardTokens"))
       .withColumn("end_shard",
         when(col("n_tokens") === 0, col("start_shard"))
@@ -138,6 +148,45 @@ object PipelineQueries {
         col("start_shard"), col("end_shard"),
         (col("start_shard") =!= col("end_shard")).as("spans_boundary"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Context-window length of [[packSequences]] — deliberately smaller
+    * than [[ShardTokens]] so the two views exercise different window
+    * geometries on the same stream. */
+  val SeqTokens = 512L
+
+  /** Per-context-window packing profile — the inverse view of
+    * [[tokenShards]] and the GPT-style concatenate-and-chunk loader's
+    * bookkeeping (documents concatenated in doc_id order, consumed as
+    * fixed [[SeqTokens]]-token windows): for every window, how many
+    * documents contribute tokens to it, how many of those straddle a
+    * window boundary (the attention-masking cases), and the token fill
+    * (= [[SeqTokens]] everywhere but the ragged tail — a law the spec
+    * pins).
+    *
+    * Scale shape: offsets come from the shared distributed prefix sum
+    * ([[docOffsets]]); each document then explodes into only the windows
+    * it overlaps (total fan-out = Σ windows-per-doc ≈ corpus tokens /
+    * [[SeqTokens]] + n_docs — linear), and the per-window profile is one
+    * partial+final aggregate on window id. All columns exact longs. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val offs = docOffsets(spark, dir)
+      .filter(col("n_tokens") > 0)
+      .withColumn("end_offset", col("start_offset") + col("n_tokens"))
+      .withColumn("first_seq", expr(s"start_offset div $SeqTokens"))
+      .withColumn("last_seq", expr(s"(end_offset - 1) div $SeqTokens"))
+    offs
+      .select(col("doc_id"), col("start_offset"), col("end_offset"),
+        (col("first_seq") =!= col("last_seq")).as("spans"),
+        explode(sequence(col("first_seq"), col("last_seq"))).as("seq_id"))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("end_offset"), (col("seq_id") + 1) * SeqTokens)
+          - greatest(col("start_offset"), col("seq_id") * SeqTokens)).as("n_tokens"),
+        sum(when(col("spans"), 1L).otherwise(0L)).as("n_spanning"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("seq_id"))
   }
 
   /** Gopher-style rule-based quality flags (Rae et al. 2021 §A1.1, adapted

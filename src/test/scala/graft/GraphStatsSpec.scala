@@ -74,6 +74,57 @@ class GraphStatsSpec extends SparkSpec {
     assert(lambdas.length == 1 && lambdas(0) > 0.0, "one positive eigenvalue estimate")
   }
 
+  test("psiDrift: nonnegative terms, total = term sum, bins within range") {
+    val rows = AnalyticQueries.psiDrift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val termSum = rows.map(r => BigDecimal(r.getDouble(5)).setScale(6)).sum
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) < AnalyticQueries.PsiBins)
+      assert(r.getLong(1) + r.getLong(2) > 0, "only occupied bins surface")
+      // (pa-pb) and ln(pa/pb) always share a sign
+      assert(r.getDouble(5) >= 0.0, s"bin ${r.getLong(0)}: negative PSI term")
+      assert(math.abs(r.getDouble(6) - termSum.toDouble) < 1e-9,
+        "psi_total must be the DECIMAL sum of the per-bin terms")
+    }
+  }
+
+  test("giniUsers: matches a driver-side exact replay, bounded [0,1)") {
+    val out = AnalyticQueries.giniUsers(spark, sf).collect()
+    assert(out.length == 1)
+    val (n, tot, gini) = (out(0).getLong(0), out(0).getLong(1), out(0).getDouble(2))
+    val counts = graft.sources.Tables.events(spark, sf)
+      .groupBy($"user_id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(n == counts.length && tot == counts.map(_._2).sum)
+    val xs = counts.sortBy(c => (c._2, c._1)).map(_._2)
+    val s1 = xs.zipWithIndex.map { case (x, i0) => BigInt(i0 + 1) * BigInt(x) }.sum
+    val expect = (2.0 * s1.toDouble - (n + 1).toDouble * tot.toDouble) /
+      (n.toDouble * tot.toDouble)
+    assert(gini == math.rint(expect * 1e6) / 1e6, s"gini $gini != replay $expect")
+    assert(gini >= 0.0 && gini < 1.0)
+  }
+
+  test("plan shapes: one user shuffle for SCD2, partitioned ECDF cumsum, no cartesians") {
+    val scd2 = AnalyticQueries.scd2Intervals(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the window, run-groupBy and valid_to lead all reuse the single
+    // user_id hash partition; the only other exchange is the output sort
+    val hashEx = "hashpartitioning".r.findAllIn(scd2).length
+    assert(!scd2.contains("SinglePartition)"), s"SCD2 collapsed to one partition:\n$scd2")
+    assert(hashEx <= 2, s"SCD2 re-shuffles the event stream:\n$scd2")
+    val ks = AnalyticQueries.ksDrift(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the value-ordered cumulative count must run partition-parallel
+    // (range partition + per-pid window), never one global window
+    assert(ks.contains("rangepartitioning"), s"ECDF lost its range partition:\n$ks")
+    assert(ks.contains("hashpartitioning(pid"), s"ECDF cumsum not per-partition:\n$ks")
+    val lm = CorpusQueries.bigramLm(spark, sf)
+      .queryExecution.executedPlan.toString
+    for ((n, p) <- Seq("scd2" -> scd2, "ks" -> ks, "bigramLm" -> lm)) {
+      assert(!p.contains("CartesianProduct"), s"$n plans a cartesian:\n$p")
+    }
+  }
+
   test("bigramLm: n_bigrams = n_tokens - 1, nonnegative xent, short docs NULL") {
     val lm = CorpusQueries.bigramLm(spark, sf)
     val toks = graft.sources.Tables.documents(spark, sf)
