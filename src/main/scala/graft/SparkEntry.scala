@@ -155,6 +155,10 @@ object SparkEntry {
     "q_pack_sequences"  -> ((s, d) => PipelineQueries.packSequences(s, d)),
     "q_psi_drift"       -> ((s, d) => AnalyticQueries.psiDrift(s, d)),
     "q_gini_users"      -> ((s, d) => AnalyticQueries.giniUsers(s, d)),
+    "q_funnel"          -> ((s, d) => AnalyticQueries.funnel(s, d)),
+    "q_cohort_retention" -> ((s, d) => AnalyticQueries.cohortRetention(s, d)),
+    "q_hits"            -> ((s, d) => GraphQueries.hits(s, d)),
+    "q_triangles"       -> ((s, d) => GraphQueries.triangles(s, d)),
   )
 
   /** Decay expression shared by the EDW oracles (DuckDB `epoch()` returns
@@ -252,6 +256,18 @@ object SparkEntry {
       s"(CASE WHEN list_dot_product(v, $lit) >= 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** The directed weighted trade graph + node CTEs shared by the
+    * q_pagerank / q_hits / q_triangles oracles. */
+  private val TradeGraphCte =
+    """edges AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+           count(*) AS w
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         GROUP BY 1, 2),
+       nodes AS (SELECT n_nationkey AS node, n_name FROM nation)"""
+
   /** Weighted-PageRank oracle: [[graft.queries.GraphQueries.PrIters]]
     * synchronous iterations unrolled as CTEs, replaying the engine's fold
     * exactly — each edge contribution quantized to the 6-dp grid and
@@ -266,18 +282,11 @@ object SparkEntry {
            AS DECIMAL(18,6)) AS pr
            FROM nodes LEFT JOIN c$k ON node = dst)"""
     }.mkString(",\n       ", ",\n       ", "")
-    s"""WITH edges AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
-           count(*) AS w
-         FROM lineitem l
-         JOIN orders o ON l.l_orderkey = o.o_orderkey
-         JOIN customer c ON o.o_custkey = c.c_custkey
-         JOIN supplier s ON l.l_suppkey = s.s_suppkey
-         GROUP BY 1, 2),
+    s"""WITH $TradeGraphCte,
        outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM edges GROUP BY 1),
        ew AS (SELECT e.src, e.dst,
            CAST(e.w AS DOUBLE) / CAST(o.outw AS DOUBLE) AS frac
          FROM edges e JOIN outw o USING (src)),
-       nodes AS (SELECT n_nationkey AS node, n_name FROM nation),
        r0 AS (SELECT node, CAST(0.04 AS DECIMAL(18,6)) AS pr FROM nodes)$iters
        SELECT r.node, n.n_name, CAST(r.pr AS DOUBLE) AS pr
        FROM r${GraphQueries.PrIters} r JOIN nodes n ON r.node = n.node
@@ -319,6 +328,64 @@ object SparkEntry {
        SELECT j AS dim, CAST(vj AS DOUBLE) AS loading,
          round(sqrt(CAST(n2 AS DOUBLE)), 6) AS lambda
        FROM v${CorpusQueries.PcaIters} ORDER BY dim"""
+  }
+
+  /** Weighted-HITS oracle: [[graft.queries.GraphQueries.HitsIters]]
+    * mutual-reinforcement rounds unrolled, each half-round the same 6-dp
+    * quantize + DECIMAL sum + L2 normalize the engine performs. */
+  private val HitsOracle: String = {
+    def half(round: Int, prefix: String, scoreFrom: String, joinKey: String,
+        groupKey: String): String =
+      s"""${prefix}r$round AS (SELECT n.node, coalesce(s.cs, CAST(0 AS DECIMAL(28,6))) AS s
+           FROM nodes n LEFT JOIN (
+             SELECT $groupKey, sum(CAST(round(CAST(w AS DOUBLE) * CAST(v AS DOUBLE), 6)
+               AS DECIMAL(28,6))) AS cs
+             FROM edges JOIN $scoreFrom ON edges.$joinKey = $scoreFrom.node
+             GROUP BY 1) s ON n.node = s.$groupKey),
+       ${prefix}n$round AS (SELECT sum(CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE), 6)
+           AS DECIMAL(38,6))) AS n2 FROM ${prefix}r$round),
+       $prefix$round AS (SELECT node,
+           CAST(round(CAST(s AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)), 6)
+             AS DECIMAL(18,6)) AS v
+           FROM ${prefix}r$round CROSS JOIN ${prefix}n$round)"""
+    val rounds = (1 to GraphQueries.HitsIters).map { k =>
+      half(k, "a", s"h${k - 1}", "src", "dst") + ",\n       " +
+        half(k, "h", s"a$k", "dst", "src")
+    }.mkString(",\n       ", ",\n       ", "")
+    s"""WITH $TradeGraphCte,
+       h0 AS (SELECT node, CAST(0.2 AS DECIMAL(18,6)) AS v FROM nodes)$rounds
+       SELECT n.node, n.n_name, CAST(h.v AS DOUBLE) AS hub,
+         CAST(a.v AS DOUBLE) AS auth
+       FROM nodes n
+       JOIN h${GraphQueries.HitsIters} h ON n.node = h.node
+       JOIN a${GraphQueries.HitsIters} a ON n.node = a.node
+       ORDER BY n.node"""
+  }
+
+  /** Strict-order funnel oracle: stage CTEs chained on the per-user
+    * first qualifying timestamp, one generated per
+    * [[graft.queries.AnalyticQueries.FunnelStages]] entry. */
+  private val FunnelOracle: String = {
+    val stages = AnalyticQueries.FunnelStages
+    val first =
+      s"""s1 AS (SELECT user_id, min(ts) AS t FROM events
+           WHERE event_type = '${stages.head}' GROUP BY 1)"""
+    val rest = stages.tail.zipWithIndex.map { case (st, i) =>
+      s"""s${i + 2} AS (SELECT e.user_id, min(e.ts) AS t
+           FROM events e JOIN s${i + 1} p ON e.user_id = p.user_id
+           WHERE e.event_type = '$st' AND e.ts > p.t GROUP BY 1)"""
+    }.mkString(",\n       ", ",\n       ", "")
+    val counts = stages.zipWithIndex.map { case (st, i) =>
+      s"SELECT ${i + 1} AS stage, '$st' AS event_type, count(*) AS n_users FROM s${i + 1}"
+    }.mkString("\n         UNION ALL ")
+    s"""WITH $first$rest,
+       c AS ($counts)
+       SELECT stage, event_type, n_users,
+         round(CAST(n_users AS DOUBLE)
+           / CAST(lag(n_users) OVER (ORDER BY stage) AS DOUBLE), 6) AS conv_prev,
+         round(CAST(n_users AS DOUBLE)
+           / CAST(first_value(n_users) OVER (ORDER BY stage ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6) AS conv_first
+       FROM c ORDER BY stage"""
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1812,5 +1879,38 @@ object SparkEntry {
            - CAST(n_users + 1 AS DOUBLE) * CAST(total_events AS DOUBLE))
            / (CAST(n_users AS DOUBLE) * CAST(total_events AS DOUBLE)), 6) AS gini
        FROM agg""",
+    "q_funnel" -> FunnelOracle,
+    // weekly cohorts: Monday-truncated first-event week; offsets are
+    // exact integer epoch arithmetic; distinct actives per (cohort, week)
+    "q_cohort_retention" ->
+      """WITH fu AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+         FROM events GROUP BY 1),
+       sizes AS (SELECT cohort_week, count(*) AS cohort_size FROM fu GROUP BY 1),
+       act AS (SELECT f.cohort_week,
+           (CAST(epoch(date_trunc('week', e.ts)) AS BIGINT)
+             - CAST(epoch(f.cohort_week) AS BIGINT)) // 604800 AS week_offset,
+           count(DISTINCT e.user_id) AS n_active
+         FROM events e JOIN fu f USING (user_id) GROUP BY 1, 2)
+       SELECT a.cohort_week, a.week_offset, a.n_active, s.cohort_size,
+         round(CAST(a.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE), 6)
+           AS retention
+       FROM act a JOIN sizes s USING (cohort_week) ORDER BY 1, 2""",
+    "q_hits" -> HitsOracle,
+    // id-oriented wedge enumeration (a < b < c) over the deduplicated
+    // undirected trade graph; each triangle credits its three corners
+    "q_triangles" ->
+      s"""WITH $TradeGraphCte,
+       und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         FROM edges WHERE src <> dst),
+       tri AS (SELECT x.a, x.b, y.b AS c
+         FROM und x JOIN und y ON x.b = y.a
+         JOIN und z ON z.a = x.a AND z.b = y.b),
+       pn AS (SELECT node, count(*) AS n FROM (
+           SELECT a AS node FROM tri
+           UNION ALL SELECT b FROM tri
+           UNION ALL SELECT c FROM tri)
+         GROUP BY 1)
+       SELECT n.node, n.n_name, coalesce(pn.n, 0) AS n_triangles
+       FROM nodes n LEFT JOIN pn ON n.node = pn.node ORDER BY n.node""",
   )
 }

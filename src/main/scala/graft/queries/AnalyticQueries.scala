@@ -341,6 +341,81 @@ object AnalyticQueries {
       .select($"n_a", $"n_b", $"ks_stat", $"ks_at")
   }
 
+  /** Ordered stages of [[funnel]], matched strictly in sequence. */
+  val FunnelStages: Seq[String] = Seq("signup", "view", "click", "purchase")
+
+  /** Ordered conversion funnel — the canonical product-analytics query: a
+    * user reaches stage k+1 only with an event of that type STRICTLY
+    * AFTER their stage-k timestamp (first qualifying event per stage).
+    * Emits one row per stage with the user count, step conversion, and
+    * cumulative conversion.
+    *
+    * Scale shape: stage k+1 is a semi-join of the type-filtered event
+    * stream against the stage-k frame — all keyed on user_id, so the
+    * first groupBy's hash partitioning is reused by every later join and
+    * aggregate (ClusteredDistribution on the same key; no re-shuffle).
+    * Only stage-timestamp frames (≤ one row per user) flow between
+    * steps; the closing window runs on a [[FunnelStages]].length-row
+    * frame. Counts are exact; conversions are two longs per divide. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select($"user_id", $"event_type", $"ts")
+    var reached = ev.filter($"event_type" === FunnelStages.head)
+      .groupBy($"user_id").agg(min($"ts").as("t"))
+    var stages = List((FunnelStages.head, reached))
+    for (st <- FunnelStages.tail) {
+      reached = ev.filter($"event_type" === st)
+        .join(reached.select($"user_id", $"t".as("t_prev")), "user_id")
+        .filter($"ts" > $"t_prev")
+        .groupBy($"user_id").agg(min($"ts").as("t"))
+      stages ::= (st, reached)
+    }
+    val counts = stages.reverse.zipWithIndex.map { case ((st, df), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("stage"), lit(st).as("event_type"), $"n_users")
+    }.reduce(_ unionAll _)
+    val w = Window.orderBy($"stage")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .select($"stage", $"event_type", $"n_users",
+        round($"n_users".cast("double")
+          / lag($"n_users", 1).over(Window.orderBy($"stage")).cast("double"), 6)
+          .as("conv_prev"),
+        round($"n_users".cast("double")
+          / first($"n_users").over(w).cast("double"), 6).as("conv_first"))
+      .orderBy($"stage")
+  }
+
+  /** Weekly cohort retention — the other canonical warehouse analytics
+    * query: users cohorted by the Monday-truncated week of their first
+    * event; retention at offset k = distinct cohort members active in
+    * week first+k, as a fraction of the cohort.
+    *
+    * Scale shape: first-event extraction and the per-(cohort, offset)
+    * distinct-user count are both user-keyed aggregates (partial
+    * distinct, two-level); the cohort-size frame is one row per calendar
+    * week — broadcast by construction at any corpus size. Week offsets
+    * are exact integer arithmetic on truncated epochs. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select($"user_id", $"ts")
+    val cohorts = ev.groupBy($"user_id").agg(min($"ts").as("first_ts"))
+      .select($"user_id", date_trunc("week", $"first_ts").as("cohort_week"))
+    val sizes = cohorts.groupBy($"cohort_week").agg(count(lit(1)).as("cohort_size"))
+    ev.join(cohorts, "user_id")
+      .select($"cohort_week",
+        expr("(unix_timestamp(date_trunc('week', ts))" +
+          " - unix_timestamp(cohort_week)) div 604800").as("week_offset"),
+        $"user_id")
+      .groupBy($"cohort_week", $"week_offset")
+      .agg(countDistinct($"user_id").as("n_active"))
+      .join(broadcast(sizes), "cohort_week")
+      .select($"cohort_week", $"week_offset", $"n_active", $"cohort_size",
+        round($"n_active".cast("double") / $"cohort_size".cast("double"), 6)
+          .as("retention"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
   /** Fixed bin count of [[psiDrift]]. */
   val PsiBins = 10
 

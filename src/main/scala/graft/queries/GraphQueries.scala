@@ -94,4 +94,95 @@ object GraphQueries {
       .select($"node", $"n_name", $"pr".cast("double").as("pr"))
       .orderBy($"node")
   }
+
+  /** Mutual-reinforcement rounds of [[hits]]. */
+  val HitsIters = 3
+
+  /** Weighted HITS hubs & authorities (Kleinberg 1999) over [[tradeEdges]]
+    * — the complementary graph signal to [[pagerank]]: authority flows
+    * along in-edges (a_v ← Σ w_uv·h_u), hub score along out-edges
+    * (h_u ← Σ w_uv·a_v), each L2-normalized per half-round from the exact
+    * uniform start (1/√25 = 0.2).
+    *
+    * Determinism doctrine (same as [[pagerank]] / embedPca): every Σ
+    * quantizes its terms to the 6-dp grid and sums in DECIMAL — exact
+    * under any fold order — and each normalize is a per-row double divide
+    * against the DECIMAL-summed squared norm. The DuckDB oracle unrolls
+    * all [[HitsIters]] rounds as CTEs.
+    *
+    * Scale shape: identical to [[pagerank]] — per round, two edge-frame
+    * shuffles keyed on dst/src with the node-sized score frame
+    * broadcast-joined (hash join once nodes outgrow broadcast). */
+  def hits(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ew = tradeEdges(spark, dir).localCheckpoint()
+    val nodes = Tables.nation(spark, dir)
+      .select($"n_nationkey".as("node"), $"n_name")
+    def normalized(raw: DataFrame): DataFrame = {
+      // raw: (node, s DECIMAL) -> unit-L2 (node, v DECIMAL(18,6))
+      val n2 = raw.select(round($"s".cast("double") * $"s".cast("double"), 6)
+          .cast("decimal(38,6)").as("q"))
+        .agg(sum($"q").as("n2"))
+      raw.crossJoin(broadcast(n2))
+        .select($"node",
+          round($"s".cast("double") / sqrt($"n2".cast("double")), 6)
+            .cast("decimal(18,6)").as("v"))
+    }
+    var hub = nodes.select($"node", expr("CAST(0.2 AS DECIMAL(18,6))").as("v"))
+    var auth: DataFrame = null
+    for (_ <- 1 to HitsIters) {
+      val araw = ew.join(hub, ew("src") === hub("node"))
+        .select($"dst", round($"w".cast("double") * $"v".cast("double"), 6)
+          .cast("decimal(28,6)").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("cs"))
+      auth = normalized(nodes.select($"node")
+        .join(araw, $"node" === $"dst", "left")
+        .select($"node", coalesce($"cs", lit(0).cast("decimal(28,6)")).as("s")))
+        .localCheckpoint()
+      val hraw = ew.join(auth, ew("dst") === auth("node"))
+        .select($"src", round($"w".cast("double") * $"v".cast("double"), 6)
+          .cast("decimal(28,6)").as("c"))
+        .groupBy($"src").agg(sum($"c").as("cs"))
+      hub = normalized(nodes.select($"node")
+        .join(hraw, $"node" === $"src", "left")
+        .select($"node", coalesce($"cs", lit(0).cast("decimal(28,6)")).as("s")))
+        .localCheckpoint()
+    }
+    nodes
+      .join(hub.select($"node", $"v".cast("double").as("hub")), "node")
+      .join(auth.select($"node", $"v".cast("double").as("auth")), "node")
+      .select($"node", $"n_name", $"hub", $"auth")
+      .orderBy($"node")
+  }
+
+  /** Per-nation triangle participation in the undirected trade graph —
+    * the clustering signal (a node in many triangles sits in a densely
+    * interconnected trading cluster; zero triangles marks a pure
+    * spoke). Triangles enumerate once each via the id-oriented wedge
+    * join (a < b < c); each found triangle credits its three corners.
+    *
+    * Scale shape: two shuffle joins keyed on node ids over the
+    * DEDUPLICATED undirected edge list (|E| ≤ nations², tiny here; at
+    * web scale the same plan holds with degree orientation bounding the
+    * wedge fan-out — the standard node-iterator bound). All counts
+    * exact longs; nations in no triangle surface with 0. */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val und = tradeEdges(spark, dir)
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .filter($"a" =!= $"b").distinct().localCheckpoint()
+    val wedges = und.as("x").join(und.as("y"), col("x.b") === col("y.a"))
+      .select(col("x.a").as("a"), col("x.b").as("b"), col("y.b").as("c"))
+    val tri = wedges.join(und.select($"a".as("ca"), $"b".as("cb")),
+      $"a" === $"ca" && $"c" === $"cb")
+      .select($"a", $"b", $"c")
+    val perNode = tri.select(explode(array($"a", $"b", $"c")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("n_triangles"))
+    Tables.nation(spark, dir)
+      .select($"n_nationkey".as("node"), $"n_name")
+      .join(perNode, Seq("node"), "left")
+      .select($"node", $"n_name",
+        coalesce($"n_triangles", lit(0L)).as("n_triangles"))
+      .orderBy($"node")
+  }
 }

@@ -74,6 +74,62 @@ class GraphStatsSpec extends SparkSpec {
     assert(lambdas.length == 1 && lambdas(0) > 0.0, "one positive eigenvalue estimate")
   }
 
+  test("funnel: stages shrink monotonically, conversions consistent") {
+    val rows = AnalyticQueries.funnel(spark, sf).collect()
+    assert(rows.length == AnalyticQueries.FunnelStages.length)
+    val n = rows.map(_.getLong(2))
+    assert(n.sliding(2).forall { case Array(a, b) => b <= a; case _ => true },
+      s"funnel grew: ${n.toSeq}")
+    assert(rows(0).isNullAt(3), "stage 1 has no previous stage")
+    rows.tail.zipWithIndex.foreach { case (r, i) =>
+      val expectPrev = math.rint(n(i + 1).toDouble / n(i).toDouble * 1e6) / 1e6
+      val expectFirst = math.rint(n(i + 1).toDouble / n(0).toDouble * 1e6) / 1e6
+      assert(r.getDouble(3) == expectPrev && r.getDouble(4) == expectFirst)
+    }
+  }
+
+  test("cohortRetention: week-0 retention is exactly 1, actives bounded by cohort") {
+    val rows = AnalyticQueries.cohortRetention(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val zeroWeeks = rows.filter(_.getLong(1) == 0L)
+    assert(zeroWeeks.nonEmpty, "every cohort is active in its own first week")
+    zeroWeeks.foreach { r =>
+      assert(r.getLong(2) == r.getLong(3) && r.getDouble(4) == 1.0,
+        s"cohort ${r.get(0)}: first-week retention must be 1")
+    }
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(3)))
+  }
+
+  test("hits: both score vectors unit-L2, nonnegative") {
+    val rows = GraphQueries.hits(spark, sf).collect()
+    assert(rows.length == 25)
+    val hubN = math.sqrt(rows.map(r => r.getDouble(2) * r.getDouble(2)).sum)
+    val authN = math.sqrt(rows.map(r => r.getDouble(3) * r.getDouble(3)).sum)
+    assert(math.abs(hubN - 1.0) < 1e-4, s"hub norm $hubN")
+    assert(math.abs(authN - 1.0) < 1e-4, s"auth norm $authN")
+    rows.foreach(r => assert(r.getDouble(2) >= 0.0 && r.getDouble(3) >= 0.0))
+  }
+
+  test("triangles: matches a driver-side brute-force count") {
+    val rows = GraphQueries.triangles(spark, sf).collect()
+    assert(rows.length == 25)
+    val und = GraphQueries.tradeEdges(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+      .filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct.toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val count = collection.mutable.Map.empty[Int, Long].withDefaultValue(0L)
+    for {
+      a <- nodes; b <- nodes if a < b && und((a, b))
+      c <- nodes if b < c && und((b, c)) && und((a, c))
+    } { count(a) += 1; count(b) += 1; count(c) += 1 }
+    rows.foreach { r =>
+      assert(r.getLong(2) == count(r.getInt(0)),
+        s"node ${r.getInt(0)}: ${r.getLong(2)} != ${count(r.getInt(0))}")
+    }
+    assert(rows.map(_.getLong(2)).sum % 3 == 0)
+  }
+
   test("psiDrift: nonnegative terms, total = term sum, bins within range") {
     val rows = AnalyticQueries.psiDrift(spark, sf).collect()
     assert(rows.nonEmpty)
