@@ -159,6 +159,7 @@ object SparkEntry {
     "q_cohort_retention" -> ((s, d) => AnalyticQueries.cohortRetention(s, d)),
     "q_hits"            -> ((s, d) => GraphQueries.hits(s, d)),
     "q_triangles"       -> ((s, d) => GraphQueries.triangles(s, d)),
+    "q_assoc_rules"     -> ((s, d) => AnalyticQueries.assocRules(s, d)),
   )
 
   /** Decay expression shared by the EDW oracles (DuckDB `epoch()` returns
@@ -1912,5 +1913,24 @@ object SparkEntry {
          GROUP BY 1)
        SELECT n.node, n.n_name, coalesce(pn.n, 0) AS n_triangles
        FROM nodes n LEFT JOIN pn ON n.node = pn.node ORDER BY n.node""",
+    // market-basket rules: distinct (order, part) incidence, pair
+    // co-occurrence via self-join (the set the array-side generator
+    // enumerates), single-divide metrics on exact integer inputs
+    "q_assoc_rules" ->
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       n AS (SELECT count(DISTINCT o) AS nn FROM op),
+       ic AS (SELECT p, count(*) AS c FROM op GROUP BY p),
+       pr AS (SELECT x.p AS a, y.p AS b, count(*) AS pc
+              FROM op x JOIN op y ON x.o = y.o AND x.p < y.p GROUP BY 1, 2)
+       SELECT pr.a AS part_a, pr.b AS part_b, pr.pc AS pair_cnt,
+         round(pr.pc / CAST(n.nn AS DOUBLE), 6) AS support,
+         round(pr.pc / CAST(ca.c AS DOUBLE), 6) AS conf_ab,
+         round(pr.pc / CAST(cb.c AS DOUBLE), 6) AS conf_ba,
+         round(pr.pc * CAST(n.nn AS DOUBLE) / (ca.c * CAST(cb.c AS DOUBLE)), 6) AS lift
+       FROM pr CROSS JOIN n
+       JOIN ic ca ON pr.a = ca.p JOIN ic cb ON pr.b = cb.p
+       WHERE pr.pc >= ${AnalyticQueries.AssocMinPairCount}
+       ORDER BY lift DESC, pair_cnt DESC, part_a, part_b
+       LIMIT ${AnalyticQueries.AssocTopK}""",
   )
 }

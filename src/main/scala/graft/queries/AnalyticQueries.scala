@@ -501,4 +501,63 @@ object AnalyticQueries {
           / ($"n_users".cast("double") * $"total_events".cast("double")), 6)
           .as("gini"))
   }
+
+  /** Minimum co-occurrence count for an association rule to register —
+    * prunes the quadratic singleton-pair tail before the metric joins. */
+  val AssocMinPairCount = 2
+
+  /** Rules reported by [[assocRules]]. */
+  val AssocTopK = 20
+
+  /** Market-basket association rules (Agrawal & Srikant 1994) over order
+    * baskets: for part pairs a < b co-purchased in ≥ [[AssocMinPairCount]]
+    * orders, support, both directed confidences, and lift; top
+    * [[AssocTopK]] by lift. The classic co-occurrence miner — the same
+    * shape scores tag/domain co-occurrence in a curation stack.
+    *
+    * Scale shape: baskets are one fact-table shuffle (`collect_set` dedups
+    * in-aggregate; TPC-H orders hold ≤ 7 lines, and real baskets are
+    * similarly bounded, so the array is small by construction). Pair
+    * generation is ARRAY-SIDE on the sorted basket — fan-out C(k,2) per
+    * order with bounded k, i.e. linear in orders — then one pair-key
+    * shuffle. Item counts reuse the exploded basket frame (|parts| rows);
+    * the two enrichment joins are deliberately un-hinted so AQE broadcasts
+    * while the part dimension fits and hash-joins beyond. The 1-row basket
+    * count broadcasts; top-k is TakeOrderedAndProject, never a full sort.
+    *
+    * Determinism doctrine: every metric is a single IEEE divide of exact
+    * integer-derived doubles (pc·nn and ca·cb are exact in double far past
+    * 100 TB row counts), rounded to the 6-dp grid in both engines; the
+    * result ordering ties are broken on (pair_cnt, part_a, part_b). */
+  def assocRules(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val baskets = Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"l_partkey")).as("items"))
+      .localCheckpoint() // one fact scan feeds pairs, item counts, and n
+    val nOrders = baskets.agg(count(lit(1)).as("nn"))
+    val itemCounts = baskets
+      .select(explode($"items").as("p"))
+      .groupBy($"p").agg(count(lit(1)).as("c"))
+    val pairs = baskets
+      .select(explode(expr(
+        "flatten(transform(items, (x, i) -> " +
+          "transform(slice(items, i + 2, size(items)), " +
+          "y -> struct(x AS a, y AS b))))")).as("pr"))
+      .groupBy($"pr.a".as("a"), $"pr.b".as("b"))
+      .agg(count(lit(1)).as("pc"))
+      .filter($"pc" >= AssocMinPairCount)
+    pairs
+      .join(itemCounts.select($"p".as("a"), $"c".as("ca")), "a")
+      .join(itemCounts.select($"p".as("b"), $"c".as("cb")), "b")
+      .crossJoin(broadcast(nOrders))
+      .select($"a".as("part_a"), $"b".as("part_b"), $"pc".as("pair_cnt"),
+        round($"pc" / $"nn".cast("double"), 6).as("support"),
+        round($"pc" / $"ca".cast("double"), 6).as("conf_ab"),
+        round($"pc" / $"cb".cast("double"), 6).as("conf_ba"),
+        round(($"pc" * $"nn".cast("double"))
+          / ($"ca" * $"cb".cast("double")), 6).as("lift"))
+      .orderBy($"lift".desc, $"pair_cnt".desc, $"part_a", $"part_b")
+      .limit(AssocTopK)
+  }
 }
