@@ -29,13 +29,24 @@ object Decay {
   val DefaultRate: Double = 0.1
   val DefaultHalfLife: Double = 60.0
 
+  /** Fractional epoch seconds of a timestamp column, microseconds preserved.
+    *
+    * Version-robust formulation: Spark 4.1's analyzer rejects the direct
+    * `TIMESTAMP_NTZ → DOUBLE` cast older runtimes coerced, so we go through
+    * `timestamp_ltz` (identity for LTZ inputs; NTZ is interpreted in the
+    * session TZ, which the engine pins to UTC — no semantic change) and
+    * `unix_micros`. NOT `unix_timestamp`, which truncates to whole seconds
+    * and would shift every decay weight. */
+  def epochSeconds(ts: Column): Column =
+    unix_micros(ts.cast("timestamp_ltz")).cast("double") / lit(1e6)
+
   /** `exp(-rate * (asOf - ts) / halfLife)`, timestamps in epoch seconds
-    * (fractional seconds preserved: timestamp→double cast keeps microseconds).
+    * (fractional seconds preserved via [[epochSeconds]]).
     */
   def decayWeight(ts: Column, asOf: Column,
                   rate: Double = DefaultRate,
                   halfLife: Double = DefaultHalfLife): Column =
-    exp(lit(-rate) * (asOf.cast("double") - ts.cast("double")) / lit(halfLife))
+    exp(lit(-rate) * (epochSeconds(asOf) - epochSeconds(ts)) / lit(halfLife))
 
   /** Positive→+1, Negative→-1, else 0 (edw_stream.py:92-96), case-insensitive. */
   def sentimentScore(label: Column): Column =

@@ -155,29 +155,73 @@ object GraphQueries {
       .orderBy($"node")
   }
 
+  /** Degree-oriented edges over a deduplicated undirected edge list
+    * `(a, b)` with `a < b`: each edge points from its lower-rank to its
+    * higher-rank endpoint under rank = (degree, id), carrying the
+    * destination's rank so wedges can be ordered without a re-join.
+    *
+    * This is the node-iterator orientation (Schank & Wagner 2005; also
+    * Suri & Vassilvitskii's MR-triangle bound): out-degree under degree
+    * orientation is O(√|E|) on ANY graph, so the wedge join below
+    * generates O(|E|^{3/2}) candidates worst-case instead of the
+    * Σ deg(v)² blow-up id-orientation suffers on skewed (power-law)
+    * graphs, where one low-id hub fans out quadratically. */
+  private[graft] def orientEdges(und: DataFrame): DataFrame = {
+    val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // und has a < b by id, so on equal degrees the (deg, id) tie-break
+    // keeps the id orientation — every edge still oriented exactly once
+    val aLower = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    und
+      .join(deg.select(col("node").as("na"), col("deg").as("da")), col("a") === col("na"))
+      .join(deg.select(col("node").as("nb"), col("deg").as("db")), col("b") === col("nb"))
+      .select(
+        when(aLower, col("a")).otherwise(col("b")).as("u"),
+        when(aLower, col("b")).otherwise(col("a")).as("v"),
+        when(aLower, col("db")).otherwise(col("da")).as("vdeg"))
+  }
+
+  /** Rank-ordered open wedges of the degree-oriented graph: `(a, v, w)`
+    * with both `a→v` and `a→w` oriented edges and rank(v) < rank(w) —
+    * each candidate triangle generated exactly once, fan-out bounded by
+    * the oriented out-degree (≤ O(√|E|)). Exposed for the skew spec. */
+  private[graft] def orientedWedges(e: DataFrame): DataFrame = {
+    val vLower = col("x.vdeg") < col("y.vdeg") ||
+      (col("x.vdeg") === col("y.vdeg") && col("x.v") < col("y.v"))
+    e.as("x").join(e.as("y"), col("x.u") === col("y.u") && vLower)
+      .select(col("x.u").as("a"), col("x.v").as("v"), col("y.v").as("w"))
+  }
+
+  /** Per-node triangle counts over a deduplicated undirected edge list —
+    * the degree-oriented core shared by [[triangles]] and the skew spec.
+    * A triangle's lowest-rank corner owns its single wedge; the closing
+    * edge v–w appears in the oriented list as rank-ascending (v, w), so
+    * one equi-join confirms it and each triangle credits its 3 corners. */
+  private[graft] def triangleCounts(und: DataFrame): DataFrame = {
+    val e = orientEdges(und).localCheckpoint()
+    val tri = orientedWedges(e).join(
+      e.select(col("u").as("cu"), col("v").as("cv")),
+      col("v") === col("cu") && col("w") === col("cv"))
+      .select(col("a"), col("v"), col("w"))
+    tri.select(explode(array(col("a"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Per-nation triangle participation in the undirected trade graph —
     * the clustering signal (a node in many triangles sits in a densely
-    * interconnected trading cluster; zero triangles marks a pure
-    * spoke). Triangles enumerate once each via the id-oriented wedge
-    * join (a < b < c); each found triangle credits its three corners.
+    * interconnected trading cluster; zero triangles marks a pure spoke).
     *
-    * Scale shape: two shuffle joins keyed on node ids over the
-    * DEDUPLICATED undirected edge list (|E| ≤ nations², tiny here; at
-    * web scale the same plan holds with degree orientation bounding the
-    * wedge fan-out — the standard node-iterator bound). All counts
-    * exact longs; nations in no triangle surface with 0. */
+    * Scale shape: two shuffle joins over the DEDUPLICATED undirected
+    * edge list, wedge fan-out bounded by DEGREE orientation (see
+    * [[orientEdges]]) — the plan survives power-law skew, where the
+    * previous id-oriented wedge join was quadratic in a hub's degree.
+    * All counts exact longs; nations in no triangle surface with 0. */
   def triangles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val und = tradeEdges(spark, dir)
       .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
-      .filter($"a" =!= $"b").distinct().localCheckpoint()
-    val wedges = und.as("x").join(und.as("y"), col("x.b") === col("y.a"))
-      .select(col("x.a").as("a"), col("x.b").as("b"), col("y.b").as("c"))
-    val tri = wedges.join(und.select($"a".as("ca"), $"b".as("cb")),
-      $"a" === $"ca" && $"c" === $"cb")
-      .select($"a", $"b", $"c")
-    val perNode = tri.select(explode(array($"a", $"b", $"c")).as("node"))
-      .groupBy($"node").agg(count(lit(1)).as("n_triangles"))
+      .filter($"a" =!= $"b").distinct()
+    val perNode = triangleCounts(und)
     Tables.nation(spark, dir)
       .select($"n_nationkey".as("node"), $"n_name")
       .join(perNode, Seq("node"), "left")

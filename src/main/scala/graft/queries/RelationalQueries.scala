@@ -230,9 +230,9 @@ object RelationalQueries {
     val v = ev.filter($"event_type" === "view")
       .select($"user_id".as("v_user"), $"ts".as("view_ts"),
         $"value".as("view_value"))
-      .withColumn("vbin", floor($"view_ts".cast("double") / 3600).cast("long"))
+      .withColumn("vbin", floor(graft.functions.Decay.epochSeconds($"view_ts") / 3600).cast("long"))
     val pb = p
-      .withColumn("pbin", floor($"ts".cast("double") / 3600).cast("long"))
+      .withColumn("pbin", floor(graft.functions.Decay.epochSeconds($"ts") / 3600).cast("long"))
       .withColumn("bin", explode(array($"pbin", $"pbin" - 1)))
     val agg = pb.join(v, $"user_id" === $"v_user" && $"bin" === $"vbin" &&
         $"view_ts" >= $"ts" - expr("INTERVAL 1 HOUR") && $"view_ts" <= $"ts")

@@ -43,9 +43,17 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(spark, dir, "events")
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      // Spark 4.1 surfaces parquet TIMESTAMP(isAdjustedToUTC=false) as
+      // TIMESTAMP_NTZ, whose numeric casts the analyzer rejects; normalize to
+      // LTZ at the source. The session TZ is pinned to UTC engine-wide, so the
+      // instant (and every oracle hash) is unchanged.
+      case TimestampNTZType =>
+        df.withColumn("ts", df.col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -170,28 +170,36 @@ class CurationSpec extends SparkSpec {
     // vocab = 1 zeroes the entropy normalizer ln(vocab) and the Zipf
     // denominator k·sxx − sx²; both engines must agree on NULL (the
     // oracle's CASE mirrors the when() guards). Pin the Spark side here.
-    val dir = java.nio.file.Files.createTempDirectory("graft-degenerate").toString
-    Seq(
-      (1L, "foo foo foo foo", "en", "mono", 15L),
-      (2L, "foo foo", "en", "mono", 7L),
-      (3L, "the quick brown fox the lazy dog the end", "en", "normal", 40L))
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val ent = CorpusQueries.sourceEntropy(spark, dir).collect()
-      .map(r => r.getString(0) -> r).toMap
-    val mono = ent("mono")
-    assert(mono.getLong(2) == 1, "mono source must have vocab 1")
-    assert(mono.getDouble(3) == 0.0, "entropy of a one-word source is 0")
-    assert(mono.isNullAt(4), "norm_entropy must be NULL at vocab=1, not NaN")
-    val norm = ent("normal")
-    assert(!norm.isNullAt(4) && norm.getDouble(4) > 0 && norm.getDouble(4) <= 1.0)
-    val zipf = CorpusQueries.zipfProfile(spark, dir).collect()
-      .map(r => r.getString(0) -> r).toMap
-    val zm = zipf("mono")
-    assert(zm.getLong(1) == 1, "one distinct word -> one regression point")
-    assert(zm.isNullAt(2) && zm.isNullAt(3),
-      "slope/intercept must be NULL at k=1, not NaN")
-    assert(!zipf("normal").isNullAt(2))
+    val dirPath = java.nio.file.Files.createTempDirectory("graft-degenerate")
+    val dir = dirPath.toString
+    try {
+      Seq(
+        (1L, "foo foo foo foo", "en", "mono", 15L),
+        (2L, "foo foo", "en", "mono", 7L),
+        (3L, "the quick brown fox the lazy dog the end", "en", "normal", 40L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val ent = CorpusQueries.sourceEntropy(spark, dir).collect()
+        .map(r => r.getString(0) -> r).toMap
+      val mono = ent("mono")
+      assert(mono.getLong(2) == 1, "mono source must have vocab 1")
+      assert(mono.getDouble(3) == 0.0, "entropy of a one-word source is 0")
+      assert(mono.isNullAt(4), "norm_entropy must be NULL at vocab=1, not NaN")
+      val norm = ent("normal")
+      assert(!norm.isNullAt(4) && norm.getDouble(4) > 0 && norm.getDouble(4) <= 1.0)
+      val zipf = CorpusQueries.zipfProfile(spark, dir).collect()
+        .map(r => r.getString(0) -> r).toMap
+      val zm = zipf("mono")
+      assert(zm.getLong(1) == 1, "one distinct word -> one regression point")
+      assert(zm.isNullAt(2) && zm.isNullAt(3),
+        "slope/intercept must be NULL at k=1, not NaN")
+      assert(!zipf("normal").isNullAt(2))
+    } finally {
+      import java.nio.file.{Files, Path}
+      import scala.jdk.CollectionConverters._
+      val all = Files.walk(dirPath).iterator().asScala.toSeq
+      all.sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_: Path))
+    }
   }
 
   test("qualityLr: map-only plan — no shuffle in the scoring stage") {
