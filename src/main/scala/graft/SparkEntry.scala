@@ -727,9 +727,11 @@ object SparkEntry {
          round(avg(64 + (strlen(text)*13) % 513), 6) AS avg_height,
          round(avg(1 + strlen(text) % 3), 6) AS avg_channels
          FROM documents WHERE text IS NOT NULL GROUP BY 1 ORDER BY 1""",
-    // document payloads are UTF-8 text -> stub arithmetic; the 13 fixture
-    // rows are REAL decoded pixels, pinned to tools/make_fixtures.py's
-    // independent Python statistics (full-precision literals, rounded here)
+    // document payloads are UTF-8 text -> stub arithmetic; the 17 fixture
+    // rows are REAL decoded pixels, pinned to the independent Python
+    // statistics of tools/make_fixtures.py (PNG/BMP raw patterns) and
+    // tools/make_jpeg_fixtures.py (integer-IDCT decoder twin over the
+    // encoded bytes) — full-precision literals, rounded here
     "q_media_features" ->
       """SELECT doc_id, round(sqrt(list_dot_product(f, f)), 6) AS feature_norm
          FROM (SELECT doc_id, list_transform([7,11,13,17,19,23,29,31],
@@ -750,7 +752,11 @@ object SparkEntry {
            (-10, 0.5014627042462879),
            (-11, 0.6778441238588707),
            (-12, 0.43985155195259007),
-           (-13, 0.44158804331639234)) t(fid, fnorm)
+           (-13, 0.44158804331639234),
+           (-14, 0.4026280852101602),
+           (-15, 0.44180360986245915),
+           (-16, 0.42192972324550054),
+           (-17, 0.42999515501146446)) t(fid, fnorm)
          ORDER BY doc_id""",
     // every row is a committed binary fixture decoded to raw pixels by the
     // engine (PNG Inflater + defilter / BMP stride+BGR normalization); the
@@ -773,7 +779,11 @@ object SparkEntry {
            (-10, 8, 8, 1, 58.0,              0.5014627042462879),
            (-11, 8, 8, 3, 34.96875,          0.6778441238588707),
            (-12, 7, 5, 3, 127.97142857142858, 0.43985155195259007),
-           (-13, 10, 4, 3, 125.925,          0.44158804331639234))
+           (-13, 10, 4, 3, 125.925,          0.44158804331639234),
+           (-14, 8, 8, 1, 126.046875,        0.4026280852101602),
+           (-15, 16, 8, 3, 126.4453125,      0.44180360986245915),
+           (-16, 18, 10, 3, 126.91666666666667, 0.42192972324550054),
+           (-17, 24, 8, 3, 126.953125,       0.42999515501146446))
            t(fid, w, h, ch, luma, fnorm)
          ORDER BY doc_id""",
     // every row: committed fixture decoded then nearest-neighbor-resampled
@@ -795,7 +805,11 @@ object SparkEntry {
            (-10, 1, 38.333333333333336),
            (-11, 3, 22.166666666666668),
            (-12, 3, 107.83333333333333),
-           (-13, 3, 114.83333333333333)) t(fid, ch, luma)
+           (-13, 3, 114.83333333333333),
+           (-14, 1, 133.33333333333334),
+           (-15, 3, 83.0),
+           (-16, 3, 120.33333333333333),
+           (-17, 3, 114.33333333333333)) t(fid, ch, luma)
          ORDER BY doc_id""",
     // frame profile mirrors frameSampleStub arithmetic on byte length
     "q_media_frames" ->

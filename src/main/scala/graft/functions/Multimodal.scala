@@ -10,20 +10,22 @@ import org.apache.spark.sql.functions._
   * Datasets (`mapPartitions` — the JVM analog of a vectorized batch UDF:
   * one iterator per partition, no per-row driver round-trips).
   *
-  * ==== STUB NOTICE (narrowed again, round 6 final) ====
+  * ==== STUB NOTICE (narrowed again, round 9) ====
   * The decode path is REAL end-to-end for PNG at bit depth 8 and 16
   * (Inflater + all five scanline filters, color types 0/2/4/6; 16-bit
-  * samples narrowed to their high byte, the spec's approximation) and for
-  * palette PNG (color type 3 at depths 1/2/4/8, PLTE lookup → RGB), and
-  * for BMP 24/32-bpp uncompressed, 8-bpp color-table, and 8-bpp BI_RLE8
+  * samples narrowed to their high byte, the spec's approximation), for
+  * palette PNG (color type 3 at depths 1/2/4/8, PLTE lookup → RGB), for
+  * BMP 24/32-bpp uncompressed, 8-bpp color-table, and 8-bpp BI_RLE8, and
+  * for BASELINE JPEG (SOF0/SOF1, greyscale + YCbCr at 4:4:4/4:2:2/4:2:0,
+  * restart markers; fixed-point integer IDCT — [[decodeJpeg]])
   * ([[decodePixels]] — pure-JVM, no codec library). Feature extraction
   * over decodable payloads is a REAL statistic (the 8-bin luminance
   * histogram, [[histFeature]]), and resize is a REAL nearest-neighbor
   * resample over decoded rasters ([[resizePixels]]). The deterministic
   * byte-length FAKES ([[decodeStub]]/[[featureStub]]/[[resizeStub]])
-  * remain only as the fallback for payloads outside those formats (JPEG,
-  * interlaced PNG, RLE4/bitfield BMP, the testdata's UTF-8 text
-  * payloads). AUDIO decode is REAL for RIFF/WAVE PCM at 8 and 16 bits
+  * remain only as the fallback for payloads outside those formats
+  * (progressive JPEG, interlaced PNG, RLE4/bitfield BMP, the testdata's
+  * UTF-8 text payloads). AUDIO decode is REAL for RIFF/WAVE PCM at 8 and 16 bits
   * ([[decodeWav]] — chunk walk with the odd-size pad rule, sign
   * extension, per-clip rms/peak/zero-cross statistics). VIDEO frame
   * sampling is REAL for animated GIF ([[decodeGifFrames]] — full LZW
@@ -158,6 +160,8 @@ object Multimodal {
     try {
       if (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P') decodePng(p)
       else if (p.length >= 54 && p(0) == 'B' && p(1) == 'M') decodeBmp(p)
+      else if (p.length >= 4 && (p(0) & 0xff) == 0xff &&
+        (p(1) & 0xff) == 0xd8) decodeJpeg(p)
       else None
     } catch { case _: Exception => None }
   }
@@ -498,7 +502,10 @@ object Multimodal {
     "png_grey.png", "png_rgb.png", "png_greya.png", "png_rgba.png",
     "bmp24.bmp", "bmp32.bmp", "bmp24_topdown.bmp",
     "png_pal8.png", "png_pal4.png", "png_grey16.png", "png_rgb16.png",
-    "bmp_pal8.bmp", "bmp_rle8.bmp")
+    "bmp_pal8.bmp", "bmp_rle8.bmp",
+    // round 9: baseline JPEG (tools/make_jpeg_fixtures.py — encoder +
+    // independent integer-IDCT decoder twin pin the expected statistics)
+    "jpeg_grey.jpg", "jpeg_444.jpg", "jpeg_420.jpg", "jpeg_rst.jpg")
 
   /** The fixture catalog as a media table: a CONSTANT-size frame (7 rows,
     * ~1 KB total, independent of scale factor) loaded from classpath
@@ -563,6 +570,336 @@ object Multimodal {
       }
     })
   }
+
+  // ==================== JPEG (baseline sequential DCT) ====================
+
+  /** Fixed-point IDCT basis: `JpegCos(n)(k) = round(cos((2n+1)kπ/16)·2048
+    * / (k==0 ? √2 : 1))` — the α(k) normalization folded in. Hardcoded (not
+    * computed) so tools/make_jpeg_fixtures.py's independent Python decoder
+    * uses the IDENTICAL integers: decode parity is exact integer equality,
+    * never within-epsilon, and a cos()-rounding divergence between JVM and
+    * CPython can't produce off-by-one pixels. */
+  private val JpegCos: Array[Array[Int]] = Array(
+    Array(1448, 2009, 1892, 1703, 1448, 1138, 784, 400),
+    Array(1448, 1703, 784, -400, -1448, -2009, -1892, -1138),
+    Array(1448, 1138, -784, -2009, -1448, 400, 1892, 1703),
+    Array(1448, 400, -1892, -1138, 1448, 1703, -784, -2009),
+    Array(1448, -400, -1892, 1138, 1448, -1703, -784, 2009),
+    Array(1448, -1138, -784, 2009, -1448, -400, 1892, -1703),
+    Array(1448, -1703, 784, 400, -1448, 2009, -1892, 1138),
+    Array(1448, -2009, 1892, -1703, 1448, -1138, 784, -400))
+
+  /** Zigzag scan order → natural (row-major) block position (JPEG §A.3.6). */
+  private val JpegZigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Canonical Huffman table (JPEG Annex C): first-code/last-code per
+    * length + value pointer — decode walks one bit at a time. */
+  private final class JpegHuff(counts: Array[Int], vals: Array[Byte]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0
+      var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += counts(l - 1); k += counts(l - 1)
+        maxCode(l) = if (counts(l - 1) > 0) code - 1 else -1
+        code <<= 1
+        l += 1
+      }
+    }
+    def decode(br: JpegBits): Int = {
+      var code = 0
+      var l = 1
+      while (l <= 16) {
+        code = (code << 1) | br.bit()
+        if (maxCode(l) >= 0 && code <= maxCode(l))
+          return vals(valPtr(l) + code - minCode(l)) & 0xff
+        l += 1
+      }
+      throw new IllegalArgumentException("bad huffman code")
+    }
+  }
+
+  /** MSB-first bit reader over entropy-coded segments with the 0xFF00
+    * byte-stuffing rule; any other marker mid-data is malformed (restart
+    * markers are consumed explicitly by [[decodeJpeg]]'s MCU loop). */
+  private final class JpegBits(p: Array[Byte], var pos: Int) {
+    private var cur = 0
+    private var nbits = 0
+    def bit(): Int = {
+      if (nbits == 0) {
+        if (pos >= p.length) throw new IllegalArgumentException("eof")
+        var b = p(pos) & 0xff; pos += 1
+        if (b == 0xff) {
+          if (pos >= p.length) throw new IllegalArgumentException("eof")
+          val m = p(pos) & 0xff
+          if (m == 0x00) pos += 1 // stuffed literal 0xFF
+          else throw new IllegalArgumentException("marker in entropy data")
+          b = 0xff
+        }
+        cur = b; nbits = 8
+      }
+      nbits -= 1
+      (cur >> nbits) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    /** Byte-align and consume the expected RSTn marker. */
+    def restart(n: Int): Unit = {
+      nbits = 0
+      if (pos + 2 > p.length || (p(pos) & 0xff) != 0xff ||
+          (p(pos + 1) & 0xff) != (0xd0 + n))
+        throw new IllegalArgumentException("missing restart marker")
+      pos += 2
+    }
+  }
+
+  /** JPEG §F.2.2.1 EXTEND: map a RECEIVE'd magnitude to its signed value. */
+  private def jpegExtend(v: Int, t: Int): Int =
+    if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  private case class JpegComp(id: Int, h: Int, v: Int, tq: Int,
+                              var dcTbl: Int = 0, var acTbl: Int = 0)
+
+  /** REAL baseline JPEG decode (ITU-T T.81 baseline sequential DCT, the
+    * overwhelmingly dominant JPEG variant in web corpora) — pure JVM, no
+    * codec library:
+    *
+    *  - marker walk: DQT (8- and 16-bit tables), DHT (canonical Annex-C
+    *    Huffman), SOF0/SOF1 (8-bit precision, 1 or 3 components, sampling
+    *    factors 1–2 → 4:4:4 / 4:2:2 / 4:2:0), DRI + RSTn restart
+    *    intervals, APPn/COM skipped;
+    *  - entropy decode per MCU: DC prediction + EXTEND, AC run/size with
+    *    ZRL and EOB, dequantization through the zigzag map;
+    *  - fixed-point integer IDCT ([[JpegCos]], descale `(Σ + 2²³) >> 24`
+    *    then +128) — bit-reproducible on any platform and replayed
+    *    integer-for-integer by the Python twin that pins the fixtures;
+    *  - chroma upsampling by sample replication (`x·h/hmax` floor — the
+    *    same mapping [[resizePixels]] uses), integer YCbCr→RGB
+    *    (libjpeg's 16-bit fixed-point constants).
+    *
+    * Progressive (SOF2), arithmetic coding, 12-bit precision, and sampling
+    * factors > 2 return None — the caller keeps the stub fallback, so an
+    * exotic payload can never kill a 100-TB pass. */
+  def decodeJpeg(p: Array[Byte]): Option[PixelImage] = try {
+    if (p.length < 4 || (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8)
+      return None
+    val qt = new Array[Array[Int]](4)
+    val dcH = new Array[JpegHuff](4)
+    val acH = new Array[JpegHuff](4)
+    var comps: Array[JpegComp] = null
+    var width = 0; var height = 0
+    var dri = 0
+    var pos = 2
+    var scanAt = -1
+    while (scanAt < 0) {
+      if (pos + 4 > p.length) return None
+      if ((p(pos) & 0xff) != 0xff) return None
+      val m = p(pos + 1) & 0xff
+      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) { pos += 2 }
+      else {
+        val len = ((p(pos + 2) & 0xff) << 8) | (p(pos + 3) & 0xff)
+        val body = pos + 4
+        if (len < 2 || body + len - 2 > p.length) return None
+        m match {
+          case 0xdb => // DQT: one or more (Pq<<4|Tq, 64 entries) tables
+            var o = body
+            while (o < body + len - 2) {
+              val pq = (p(o) & 0xff) >> 4; val tq = p(o) & 0x0f
+              if (tq > 3 || pq > 1) return None
+              val t = new Array[Int](64)
+              var i = 0
+              while (i < 64) {
+                t(JpegZigzag(i)) =
+                  if (pq == 0) p(o + 1 + i) & 0xff
+                  else ((p(o + 1 + 2 * i) & 0xff) << 8) | (p(o + 2 + 2 * i) & 0xff)
+                i += 1
+              }
+              qt(tq) = t
+              o += 1 + (if (pq == 0) 64 else 128)
+            }
+          case 0xc4 => // DHT: one or more (Tc<<4|Th, counts[16], vals) tables
+            var o = body
+            while (o < body + len - 2) {
+              val tc = (p(o) & 0xff) >> 4; val th = p(o) & 0x0f
+              if (tc > 1 || th > 3) return None
+              val counts = Array.tabulate(16)(i => p(o + 1 + i) & 0xff)
+              val n = counts.sum
+              val vals = java.util.Arrays.copyOfRange(p, o + 17, o + 17 + n)
+              val huff = new JpegHuff(counts, vals)
+              if (tc == 0) dcH(th) = huff else acH(th) = huff
+              o += 17 + n
+            }
+          case 0xc0 | 0xc1 => // SOF0/1: baseline / extended sequential
+            if ((p(body) & 0xff) != 8) return None // 8-bit precision only
+            height = ((p(body + 1) & 0xff) << 8) | (p(body + 2) & 0xff)
+            width = ((p(body + 3) & 0xff) << 8) | (p(body + 4) & 0xff)
+            val nc = p(body + 5) & 0xff
+            if (width <= 0 || height <= 0 || (nc != 1 && nc != 3)) return None
+            comps = Array.tabulate(nc) { i =>
+              val o = body + 6 + 3 * i
+              val c = JpegComp(p(o) & 0xff, (p(o + 1) & 0xff) >> 4,
+                p(o + 1) & 0x0f, p(o + 2) & 0xff)
+              if (c.h < 1 || c.h > 2 || c.v < 1 || c.v > 2 || c.tq > 3)
+                return None
+              c
+            }
+          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+               0xcd | 0xce | 0xcf =>
+            return None // progressive / hierarchical / arithmetic
+          case 0xdd => // DRI
+            dri = ((p(body) & 0xff) << 8) | (p(body + 1) & 0xff)
+          case 0xda => // SOS: bind huffman tables per scan component
+            if (comps == null) return None
+            val ns = p(body) & 0xff
+            if (ns != comps.length) return None // single interleaved scan
+            var i = 0
+            while (i < ns) {
+              val cid = p(body + 1 + 2 * i) & 0xff
+              val tt = p(body + 2 + 2 * i) & 0xff
+              val c = comps.find(_.id == cid).getOrElse(return None)
+              c.dcTbl = tt >> 4; c.acTbl = tt & 0x0f
+              i += 1
+            }
+            scanAt = body + 1 + 2 * ns + 3 // skip Ss/Se/AhAl
+          case _ => () // APPn / COM / anything skippable
+        }
+        if (scanAt < 0) pos = body + len - 2
+      }
+    }
+    val hmax = comps.map(_.h).max; val vmax = comps.map(_.v).max
+    val mcuW = 8 * hmax; val mcuH = 8 * vmax
+    val mcusX = (width + mcuW - 1) / mcuW
+    val mcusY = (height + mcuH - 1) / mcuH
+    // per-component plane at its own resolution, MCU-padded
+    val planeW = comps.map(c => mcusX * c.h * 8)
+    val planeH = comps.map(c => mcusY * c.v * 8)
+    val planes = comps.indices.map(i =>
+      new Array[Byte](planeW(i) * planeH(i))).toArray
+    comps.foreach(c => if (qt(c.tq) == null) return None)
+    comps.foreach(c =>
+      if (dcH(c.dcTbl) == null || acH(c.acTbl) == null) return None)
+    val br = new JpegBits(p, scanAt)
+    val pred = new Array[Int](comps.length)
+    val coef = new Array[Int](64)
+    var mcu = 0
+    var rstN = 0
+    val nMcus = mcusX * mcusY
+    while (mcu < nMcus) {
+      if (dri > 0 && mcu > 0 && mcu % dri == 0) {
+        br.restart(rstN)
+        rstN = (rstN + 1) & 7
+        java.util.Arrays.fill(pred, 0)
+      }
+      val mx = mcu % mcusX; val my = mcu / mcusX
+      var ci = 0
+      while (ci < comps.length) {
+        val c = comps(ci)
+        val q = qt(c.tq)
+        var by = 0
+        while (by < c.v) {
+          var bx = 0
+          while (bx < c.h) {
+            java.util.Arrays.fill(coef, 0)
+            val t = dcH(c.dcTbl).decode(br)
+            if (t > 11) throw new IllegalArgumentException("dc size")
+            pred(ci) += jpegExtend(br.receive(t), t)
+            coef(0) = pred(ci) * q(0)
+            var k = 1
+            var eob = false
+            while (k < 64 && !eob) {
+              val rs = acH(c.acTbl).decode(br)
+              val r = rs >> 4; val s = rs & 0x0f
+              if (s == 0) {
+                if (r == 15) k += 16 // ZRL
+                else eob = true
+              } else {
+                k += r
+                if (k > 63) throw new IllegalArgumentException("ac overrun")
+                val z = JpegZigzag(k)
+                coef(z) = jpegExtend(br.receive(s), s) * q(z)
+                k += 1
+              }
+            }
+            // fixed-point IDCT + level shift into the component plane
+            val px0 = (mx * c.h + bx) * 8
+            val py0 = (my * c.v + by) * 8
+            val plane = planes(ci)
+            val pw = planeW(ci)
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                var sum = 0L
+                var v = 0
+                while (v < 64) {
+                  val f = coef(v)
+                  if (f != 0)
+                    sum += f.toLong * JpegCos(xx)(v & 7) * JpegCos(yy)(v >> 3)
+                  v += 1
+                }
+                val s = (((sum + (1L << 23)) >> 24) + 128).toInt
+                plane((py0 + yy) * pw + px0 + xx) =
+                  (if (s < 0) 0 else if (s > 255) 255 else s).toByte
+                xx += 1
+              }
+              yy += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        ci += 1
+      }
+      mcu += 1
+    }
+    // assemble output: replication upsample + integer YCbCr→RGB
+    if (comps.length == 1) {
+      val out = new Array[Byte](width * height)
+      val pw = planeW(0)
+      var y = 0
+      while (y < height) {
+        System.arraycopy(planes(0), y * pw, out, y * width, width)
+        y += 1
+      }
+      Some(PixelImage(width, height, 1, out))
+    } else {
+      def clamp(v: Int): Byte =
+        (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+      val out = new Array[Byte](width * height * 3)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          def sample(ci: Int): Int = {
+            val c = comps(ci)
+            val sx = x * c.h / hmax; val sy = y * c.v / vmax
+            planes(ci)(sy * planeW(ci) + sx) & 0xff
+          }
+          val yv = sample(0)
+          val cb = sample(1) - 128
+          val cr = sample(2) - 128
+          val d = (y * width + x) * 3
+          out(d) = clamp(yv + ((91881 * cr + 32768) >> 16))
+          out(d + 1) = clamp(yv - ((22554 * cb + 46802 * cr + 32768) >> 16))
+          out(d + 2) = clamp(yv + ((116130 * cb + 32768) >> 16))
+          x += 1
+        }
+        y += 1
+      }
+      Some(PixelImage(width, height, 3, out))
+    }
+  } catch { case _: Exception => None }
 
   // ======================= AUDIO (WAV / RIFF PCM) =======================
 

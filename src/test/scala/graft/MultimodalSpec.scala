@@ -147,6 +147,42 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.featureStub(r).feature.toSeq)
   }
 
+  test("pixel decode: baseline JPEG fixtures match the independent " +
+      "make_jpeg_fixtures.py integer-IDCT decoder twin exactly") {
+    // expected values are the Python twin's replay over the encoded bytes
+    // (same fixed-point IDCT basis / descale / upsample / YCbCr ints) —
+    // exact equality, never within-epsilon
+    def pin(name: String, w: Int, h: Int, ch: Int, lumaMean: Double,
+            featNorm: Double): Unit = {
+      val img = Multimodal.decodePixels(fixture(name)).get
+      assert(img.width == w && img.height == h && img.channels == ch,
+        s"$name dims ${img.width}x${img.height}x${img.channels}")
+      val n = w * h
+      val lm = (0 until n).map(Multimodal.luma(img, _)).sum.toDouble / n
+      assert(lm == lumaMean, s"$name luma_mean $lm != $lumaMean")
+      val f = Multimodal.histFeature(img)
+      val norm = math.sqrt(f.map(v => v * v).sum)
+      assert(norm == featNorm, s"$name feature_norm $norm != $featNorm")
+    }
+    pin("jpeg_grey.jpg", 8, 8, 1, 126.046875, 0.4026280852101602)
+    pin("jpeg_444.jpg", 16, 8, 3, 126.4453125, 0.44180360986245915)
+    pin("jpeg_420.jpg", 18, 10, 3, 126.91666666666667, 0.42192972324550054)
+    pin("jpeg_rst.jpg", 24, 8, 3, 126.953125, 0.42999515501146446)
+  }
+
+  test("pixel decode: progressive / truncated JPEG falls back, never throws") {
+    val good = fixture("jpeg_444.jpg")
+    // flip SOF0 (FFC0) to SOF2 (FFC2): progressive is declared out of scope
+    val prog = good.clone()
+    val sofAt = prog.indices.dropRight(1)
+      .find(i => (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    assert(Multimodal.decodePixels(prog).isEmpty)
+    // entropy data cut mid-scan: must return None, not throw or hang
+    assert(Multimodal.decodePixels(good.take(good.length - 40)).isEmpty)
+    assert(Multimodal.decodePixels(good.take(20)).isEmpty)
+  }
+
   test("real features: luminance histogram matches the independent " +
       "make_fixtures.py statistics") {
     val img = Multimodal.decodePixels(fixture("png_rgb.png")).get

@@ -1,0 +1,24 @@
+#!/bin/bash
+# sf100 probe (decade 3): documents/embeddings/events only — a full sf100
+# relational tier (~600M lineitem) exceeds sandbox wall-clock (VERDICT r6);
+# the graph family's scale evidence stays at sf10.
+# Runs the 16 doc/embedding queries (13 standing + the r6 directive's
+# q_dedup_components / q_dedup_corpus / q_embed_dup_capped) plus the
+# events-based r6 analytics with bounded outputs (q_ks_drift, q_funnel,
+# q_cohort_retention, q_gini_users, q_psi_drift).
+set -x
+cd /root/repo
+export SPARK_GRAFT_CPUS=24
+CP="/opt/spark/jars/*:target/scala-2.13/classes"
+QUERIES="q_ann_ivf q_ann_lsh q_bm25_top q_dedup_exact q_dedup_incr q_dup_ngrams q_jaccard_prefix q_kmeans_centroids q_knn_cosine q_minhash_dedup q_quality_lr q_simhash_pairs q_unigram_lm q_dedup_components q_dedup_corpus q_embed_dup_capped q_ks_drift q_funnel q_cohort_retention q_gini_users q_psi_drift"
+java -cp "$CP" graft.ScaleUp testdata_local/sf10 testdata_local/sf100 10 documents,embeddings,events 2>&1 | grep -E "scaleup|Error" | tail -3
+echo "=== scaleup done $(date) ==="
+java -cp "$CP" graft.Verify testdata_local/sf100 /tmp/out_sf100 $QUERIES 2>&1 | grep -E "^\[verify\]" | tail -8
+echo "=== verify done $(date) ==="
+python3 tools/check.py testdata_local/sf100 /tmp/out_sf100 CORRECTNESS_sf100.json 2>&1 | tail -5
+echo "=== check done $(date) ==="
+SPARK_GRAFT_SF_DIR=testdata_local/sf100 SPARK_GRAFT_BENCH_PASSES=2 \
+  SPARK_GRAFT_BENCH_ONLY=$(echo $QUERIES | tr ' ' ',') \
+  SPARK_GRAFT_BENCH_OUT=/tmp/bench_sf100.json \
+  java -cp "$CP" graft.Bench 2>&1 | grep -o '{"metric".*}' | head -1 > BENCH_sf100_tmp.json
+echo "=== DONE sf100 $(date) ==="
