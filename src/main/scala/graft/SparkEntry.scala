@@ -190,12 +190,15 @@ object SparkEntry {
 
   /** Exact 3-shingle Jaccard pairs at threshold 0.8 (CTE body `jp`) —
     * shared by the inverted-index, prefix-filtered, MinHash-LSH, and
-    * edit-distance oracles. */
+    * edit-distance oracles. Multi-referenced CTEs over corpus-sized frames
+    * carry MATERIALIZED (r9): DuckDB otherwise inlines each reference and
+    * recomputes the shingle explosion per use — at the ScaleUp tiers that
+    * recompute is the difference between seconds and an OOM-killed check. */
   private val JaccardCte =
     """WITH toks AS (SELECT doc_id,
            list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0) AS t
          FROM documents),
-       shing AS (SELECT doc_id,
+       shing AS MATERIALIZED (SELECT doc_id,
            unnest(list_distinct(list_transform(range(1, greatest(len(t)-2, 0)+1),
              i -> array_to_string(t[i:i+2], ' ')))) AS s
          FROM toks),
@@ -203,7 +206,7 @@ object SparkEntry {
        common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
          FROM shing a JOIN shing b ON a.s = b.s AND a.doc_id < b.doc_id
          GROUP BY 1, 2),
-       jp AS (SELECT doc_a, doc_b, round(c*1.0/(x.n + y.n - c), 6) AS jaccard
+       jp AS MATERIALIZED (SELECT doc_a, doc_b, round(c*1.0/(x.n + y.n - c), 6) AS jaccard
          FROM common JOIN cnt x ON doc_a = x.doc_id JOIN cnt y ON doc_b = y.doc_id
          WHERE c*1.0/(x.n + y.n - c) >= 0.8)"""
 
@@ -215,7 +218,7 @@ object SparkEntry {
     * 6-dp mean grid; empty cells keep their previous centroid) — shared by
     * the q_kmeans_centroids profile and the q_semantic_dedup assignment. */
   private val KmeansCte =
-    """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+    """WITH emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS vn
            FROM embeddings),
          c0 AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < 16),
@@ -260,7 +263,7 @@ object SparkEntry {
   /** The directed weighted trade graph + node CTEs shared by the
     * q_pagerank / q_hits / q_triangles oracles. */
   private val TradeGraphCte =
-    """edges AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+    """edges AS MATERIALIZED (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
            count(*) AS w
          FROM lineitem l
          JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -315,11 +318,11 @@ object SparkEntry {
            list_transform(CAST(embedding AS DOUBLE[]),
              x -> CAST(floor(x * 100000.0 + 0.5) AS BIGINT)) AS q
          FROM embeddings),
-       x AS (SELECT vec_id, generate_subscripts(q, 1) - 1 AS i, unnest(q) AS xi FROM e),
-       gm AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.xi * b.xi) AS BIGINT) AS g_fx
+       x AS MATERIALIZED (SELECT vec_id, generate_subscripts(q, 1) - 1 AS i, unnest(q) AS xi FROM e),
+       gm AS MATERIALIZED (SELECT a.i AS i, b.i AS j, CAST(sum(a.xi * b.xi) AS BIGINT) AS g_fx
          FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i
          GROUP BY 1, 2),
-       fullg AS (SELECT i, j, CAST(g_fx AS DOUBLE) / (100000.0 * 100000.0) AS g
+       fullg AS MATERIALIZED (SELECT i, j, CAST(g_fx AS DOUBLE) / (100000.0 * 100000.0) AS g
          FROM gm
          UNION ALL
          SELECT j AS i, i AS j, CAST(g_fx AS DOUBLE) / (100000.0 * 100000.0) AS g
@@ -1624,7 +1627,7 @@ object SparkEntry {
       """WITH toks AS (SELECT doc_id,
            list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0) AS t
          FROM documents),
-       shing AS (SELECT doc_id,
+       shing AS MATERIALIZED (SELECT doc_id,
            unnest(list_distinct(list_transform(range(1, greatest(len(t)-2, 0)+1),
              i -> array_to_string(t[i:i+2], ' ')))) AS s
          FROM toks),
@@ -1633,7 +1636,7 @@ object SparkEntry {
          FROM shing a JOIN shing b ON a.s = b.s
            AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
          GROUP BY 1, 2),
-       jp AS (SELECT doc_a, doc_b, round(c*1.0/(x.n + y.n - c), 6) AS jaccard
+       jp AS MATERIALIZED (SELECT doc_a, doc_b, round(c*1.0/(x.n + y.n - c), 6) AS jaccard
          FROM common JOIN cnt x ON doc_a = x.doc_id JOIN cnt y ON doc_b = y.doc_id
          WHERE c*1.0/(x.n + y.n - c) >= 0.8),
        best AS (SELECT doc_b AS batch_id, doc_a AS matched_id, jaccard,
@@ -1915,7 +1918,7 @@ object SparkEntry {
     // undirected trade graph; each triangle credits its three corners
     "q_triangles" ->
       s"""WITH $TradeGraphCte,
-       und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
          FROM edges WHERE src <> dst),
        tri AS (SELECT x.a, x.b, y.b AS c
          FROM und x JOIN und y ON x.b = y.a
