@@ -1824,11 +1824,15 @@ object SparkEntry {
          JOIN bcnt USING (w1, w2)
          JOIN (SELECT w AS w1, cw AS c1 FROM uni) USING (w1)
          JOIN (SELECT w AS w2, cw AS c2 FROM uni) USING (w2)
-         CROSS JOIN n GROUP BY 1)
-       SELECT d.doc_id, sc.n_bigrams,
-         round(CAST(sc.nll AS DOUBLE) / sc.n_bigrams, 6) AS xent,
-         round(exp(round(CAST(sc.nll AS DOUBLE) / sc.n_bigrams, 6)), 2) AS ppl
-       FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+         CROSS JOIN n GROUP BY 1),
+       scm AS (SELECT doc_id, n_bigrams,
+           (2 * CAST(nll * 1000000 AS BIGINT) + n_bigrams)
+             // (2 * n_bigrams) AS xm
+         FROM sc)
+       SELECT d.doc_id, scm.n_bigrams,
+         CAST(xm AS DOUBLE) / 1000000.0 AS xent,
+         round(exp(CAST(xm AS DOUBLE) / 1000000.0), 2) AS ppl
+       FROM documents d LEFT JOIN scm ON d.doc_id = scm.doc_id
        ORDER BY d.doc_id""",
     "q_pagerank" -> PagerankOracle,
     "q_embed_pca" -> PcaOracle,

@@ -754,10 +754,20 @@ object CorpusQueries {
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum(round(-log($"p"), 6).cast("decimal(28,6)")).as("nll"))
+    // xent = nll/n rounded HALF-UP on the EXACT decimal — in integer
+    // micro-units, (2N + n) div (2n), never through a double divide.
+    // round(nll/n, 6) on the double quotient is engine-ambiguous whenever
+    // the true quotient lands exactly on a 5e-7 midpoint (nll is a 6-dp
+    // DECIMAL, so N/n midpoints are structurally common): Spark rounds the
+    // binary expansion (just below the midpoint) down while DuckDB's
+    // scaled-multiply crosses to the midpoint and rounds up — the sf1
+    // q_bigram_lm hash break (doc 3271: 51.755613/14).
     docs.select($"doc_id").join(scored, Seq("doc_id"), "left")
+      .withColumn("nm", ($"nll" * lit(1000000)).cast("decimal(28,0)").cast("long"))
+      .withColumn("xm", expr("(2 * nm + n_bigrams) div (2 * n_bigrams)"))
       .select($"doc_id", $"n_bigrams",
-        round($"nll".cast("double") / $"n_bigrams", 6).as("xent"),
-        round(exp(round($"nll".cast("double") / $"n_bigrams", 6)), 2).as("ppl"))
+        ($"xm".cast("double") / 1e6).as("xent"),
+        round(exp($"xm".cast("double") / 1e6), 2).as("ppl"))
       .orderBy($"doc_id")
   }
 }
