@@ -991,17 +991,27 @@ object SparkEntry {
     // engines by an ulp (hit by sum_charge at the 10× tier); a scale-2 sum
     // casts exactly until ~9e13.
     "q_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      """WITH g AS (SELECT l_returnflag, l_linestatus,
+         sum(CAST(l_quantity AS DECIMAL(12,2))) AS sq,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sp,
+         sum(CAST(l_discount AS DECIMAL(12,2))) AS sd,
          CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_disc_price,
          CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2)) * CAST(1 + l_tax AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_charge,
-         round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
-         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_price,
-         round(CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-         GROUP BY 1, 2 ORDER BY 1, 2""",
+         GROUP BY 1, 2)
+         SELECT l_returnflag, l_linestatus,
+         CAST(sq AS DOUBLE) AS sum_qty,
+         CAST(sp AS DOUBLE) AS sum_base_price,
+         sum_disc_price, sum_charge,
+         CAST((2 * CAST(sq * 1000000 AS HUGEINT) + count_order)
+           // (2 * count_order) AS DOUBLE) / 1000000.0 AS avg_qty,
+         CAST((2 * CAST(sp * 1000000 AS HUGEINT) + count_order)
+           // (2 * count_order) AS DOUBLE) / 1000000.0 AS avg_price,
+         CAST((2 * CAST(sd * 1000000 AS HUGEINT) + count_order)
+           // (2 * count_order) AS DOUBLE) / 1000000.0 AS avg_disc,
+         count_order
+         FROM g ORDER BY 1, 2""",
     "q_pricing_exact" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
@@ -1507,15 +1517,19 @@ object SparkEntry {
              + (min(CASE WHEN cum >= ceil(pos67) + 1 THEN ppl END)
                 - min(CASE WHEN cum >= floor(pos67) + 1 THEN ppl END))
                * (pos67 - floor(pos67)), 6) AS p67
-         FROM cum c JOIN rk r USING (lang) GROUP BY 1, pos33, pos67)
-       SELECT sc.lang,
+         FROM cum c JOIN rk r USING (lang) GROUP BY 1, pos33, pos67),
+       sel AS (SELECT sc.lang,
          CASE WHEN ppl <= p33 THEN 'head'
               WHEN ppl <= p67 THEN 'middle' ELSE 'tail' END AS bucket,
          count(*) AS n_docs,
-         round(CAST(sum(CAST(ppl AS DECIMAL(18,2))) AS DOUBLE)
-           / count(*), 6) AS avg_ppl,
+         sum(CAST(ppl AS DECIMAL(18,2))) AS spp,
          CAST(sum(n_tokens) AS BIGINT) AS n_tokens
-       FROM sc JOIN cuts USING (lang) GROUP BY 1, 2 ORDER BY 1, 2""",
+       FROM sc JOIN cuts USING (lang) GROUP BY 1, 2)
+       SELECT lang, bucket, n_docs,
+         CAST((2 * CAST(spp * 1000000 AS HUGEINT) + n_docs)
+           // (2 * n_docs) AS DOUBLE) / 1000000.0 AS avg_ppl,
+         n_tokens
+       FROM sel ORDER BY 1, 2""",
     // DSIR log importance ratio over md5-bucketed word-unigram features
     // (1024 buckets, add-1 smoothing), target = the 'en' slice; identical
     // 32-bit md5-prefix bucketing on both sides

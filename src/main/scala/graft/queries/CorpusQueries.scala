@@ -295,9 +295,13 @@ object CorpusQueries {
           .otherwise(lit("tail")))
       .groupBy($"lang", $"bucket")
       .agg(count(lit(1)).as("n_docs"),
-        round(sum($"ppl".cast("decimal(18,2)")).cast("double") /
-          count(lit(1)).cast("double"), 6).as("avg_ppl"),
+        sum($"ppl".cast("decimal(18,2)")).as("spp"),
         sum($"n_tokens").as("n_tokens"))
+      // exact integer half-up mean — the q_bigram_lm midpoint class
+      .withColumn("sppm", ($"spp" * lit(1000000)).cast("decimal(38,0)"))
+      .select($"lang", $"bucket", $"n_docs",
+        (expr("(2*sppm + n_docs) div (2*n_docs)").cast("double") / 1e6).as("avg_ppl"),
+        $"n_tokens")
       .orderBy($"lang", $"bucket")
   }
 

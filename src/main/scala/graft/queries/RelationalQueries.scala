@@ -36,20 +36,34 @@ object RelationalQueries {
     // exactly representable until sums reach ~9e13.
     def dec(c: org.apache.spark.sql.Column) = dec2(c)
     val n = count(lit(1))
+    // averages round HALF-UP on the EXACT decimal in integer micro-units
+    // ((2N + n) div (2n)) — round(sum/n, 6) through a double quotient is
+    // engine-ambiguous whenever the true quotient lands exactly on a 5e-7
+    // midpoint, which a cents-grid numerator over a count makes
+    // structurally possible (the q_bigram_lm class, SURVEY §6.3)
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(dec(col("l_quantity"))).cast("double"), 6).as("sum_qty"),
-        round(sum(dec(col("l_extendedprice"))).cast("double"), 6).as("sum_base_price"),
+        sum(dec(col("l_quantity"))).as("sq"),
+        sum(dec(col("l_extendedprice"))).as("sp"),
         round(round(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))), 2)
           .cast("double"), 6).as("sum_disc_price"),
         round(round(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))
           * dec(lit(1) + col("l_tax"))), 2).cast("double"), 6).as("sum_charge"),
-        round(sum(dec(col("l_quantity"))).cast("double") / n, 6).as("avg_qty"),
-        round(sum(dec(col("l_extendedprice"))).cast("double") / n, 6).as("avg_price"),
-        round(sum(dec(col("l_discount"))).cast("double") / n, 6).as("avg_disc"),
+        sum(dec(col("l_discount"))).as("sd"),
         n.as("count_order"))
+      .withColumn("sqm", (col("sq") * lit(1000000)).cast("decimal(38,0)"))
+      .withColumn("spm", (col("sp") * lit(1000000)).cast("decimal(38,0)"))
+      .withColumn("sdm", (col("sd") * lit(1000000)).cast("decimal(38,0)"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        round(col("sq").cast("double"), 6).as("sum_qty"),
+        round(col("sp").cast("double"), 6).as("sum_base_price"),
+        col("sum_disc_price"), col("sum_charge"),
+        (expr("(2*sqm + count_order) div (2*count_order)").cast("double") / 1e6).as("avg_qty"),
+        (expr("(2*spm + count_order) div (2*count_order)").cast("double") / 1e6).as("avg_price"),
+        (expr("(2*sdm + count_order) div (2*count_order)").cast("double") / 1e6).as("avg_disc"),
+        col("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
 
