@@ -759,7 +759,14 @@ object SparkEntry {
            (-14, 0.4026280852101602),
            (-15, 0.44180360986245915),
            (-16, 0.42192972324550054),
-           (-17, 0.42999515501146446)) t(fid, fnorm)
+           (-17, 0.42999515501146446),
+           (-18, 0.4115613150544919),
+           (-19, 0.4367243330856382),
+           (-20, 0.5014627042462879),
+           (-21, 0.44170356667829447),
+           (-22, 0.42130748865881795),
+           (-23, 0.4346134936801766),
+           (-24, 0.45069390943299864)) t(fid, fnorm)
          ORDER BY doc_id""",
     // every row is a committed binary fixture decoded to raw pixels by the
     // engine (PNG Inflater + defilter / BMP stride+BGR normalization); the
@@ -786,7 +793,14 @@ object SparkEntry {
            (-14, 8, 8, 1, 126.046875,        0.4026280852101602),
            (-15, 16, 8, 3, 126.4453125,      0.44180360986245915),
            (-16, 18, 10, 3, 126.91666666666667, 0.42192972324550054),
-           (-17, 24, 8, 3, 126.953125,       0.42999515501146446))
+           (-17, 24, 8, 3, 126.953125,       0.42999515501146446),
+           (-18, 10, 9, 3, 122.36666666666666, 0.4115613150544919),
+           (-19, 9, 7, 3, 118.61904761904762, 0.4367243330856382),
+           (-20, 8, 8, 1, 58.0,              0.5014627042462879),
+           (-21, 7, 5, 3, 115.91428571428571, 0.44170356667829447),
+           (-22, 10, 4, 3, 110.0,            0.42130748865881795),
+           (-23, 6, 5, 3, 96.26666666666667, 0.4346134936801766),
+           (-24, 4, 4, 4, 110.0,             0.45069390943299864))
            t(fid, w, h, ch, luma, fnorm)
          ORDER BY doc_id""",
     // every row: committed fixture decoded then nearest-neighbor-resampled
@@ -812,7 +826,14 @@ object SparkEntry {
            (-14, 1, 133.33333333333334),
            (-15, 3, 83.0),
            (-16, 3, 120.33333333333333),
-           (-17, 3, 114.33333333333333)) t(fid, ch, luma)
+           (-17, 3, 114.33333333333333),
+           (-18, 3, 114.0),
+           (-19, 3, 90.5),
+           (-20, 1, 38.333333333333336),
+           (-21, 3, 117.33333333333333),
+           (-22, 3, 73.83333333333333),
+           (-23, 3, 77.0),
+           (-24, 4, 83.33333333333333)) t(fid, ch, luma)
          ORDER BY doc_id""",
     // frame profile mirrors frameSampleStub arithmetic on byte length
     "q_media_frames" ->

@@ -13,9 +13,12 @@ import org.apache.spark.sql.functions._
   * ==== STUB NOTICE (narrowed again, round 9) ====
   * The decode path is REAL end-to-end for PNG at bit depth 8 and 16
   * (Inflater + all five scanline filters, color types 0/2/4/6; 16-bit
-  * samples narrowed to their high byte, the spec's approximation), for
+  * samples narrowed to their high byte, the spec's approximation;
+  * sequential AND Adam7-interlaced — per-pass defilter + scatter), for
   * palette PNG (color type 3 at depths 1/2/4/8, PLTE lookup → RGB), for
-  * BMP 24/32-bpp uncompressed, 8-bpp color-table, and 8-bpp BI_RLE8, and
+  * BMP 24/32-bpp uncompressed, 8/4-bpp color-table (incl. BI_RLE8 and
+  * BI_RLE4), 16/32-bpp BI_BITFIELDS (mask decomposition + floor rescale)
+  * and 16-bpp default 5-5-5, and
   * for BASELINE JPEG (SOF0/SOF1, greyscale + YCbCr at 4:4:4/4:2:2/4:2:0,
   * restart markers; fixed-point integer IDCT — [[decodeJpeg]])
   * ([[decodePixels]] — pure-JVM, no codec library). Feature extraction
@@ -24,7 +27,7 @@ import org.apache.spark.sql.functions._
   * resample over decoded rasters ([[resizePixels]]). The deterministic
   * byte-length FAKES ([[decodeStub]]/[[featureStub]]/[[resizeStub]])
   * remain only as the fallback for payloads outside those formats
-  * (progressive JPEG, interlaced PNG, RLE4/bitfield BMP, the testdata's
+  * (progressive JPEG, 1/2-bpp BMP, the testdata's
   * UTF-8 text payloads). AUDIO decode is REAL for RIFF/WAVE PCM at 8 and 16 bits
   * ([[decodeWav]] — chunk walk with the odd-size pad rule, sign
   * extension, per-clip rms/peak/zero-cross statistics). VIDEO frame
@@ -166,63 +169,16 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
-  private def decodePng(p: Array[Byte]): Option[PixelImage] = {
-    if (!(p.length >= 33 &&
-        (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G' &&
-        p(4) == 0x0d && p(5) == 0x0a && p(6) == 0x1a && p(7) == 0x0a &&
-        p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R'))
-      return None
-    val w = be32(p, 16); val h = be32(p, 20)
-    val bitDepth = p(24) & 0xff
-    val colorType = p(25) & 0xff
-    // samples per pixel IN THE ENCODED STREAM (palette = 1 index sample)
-    val rawCh = colorType match {
-      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
-      case _ => return None
-    }
-    val depthOk = colorType match {
-      case 3 => bitDepth == 1 || bitDepth == 2 || bitDepth == 4 || bitDepth == 8
-      case _ => bitDepth == 8 || bitDepth == 16
-    }
-    // compression=0, filter=0, interlace=0 are the only spec'd values we
-    // decode; Adam7 interlacing falls back
-    if (w <= 0 || h <= 0 || !depthOk || p(26) != 0 || p(27) != 0 ||
-        p(28) != 0) return None
-    // walk chunks, concatenating IDAT payloads and capturing PLTE
-    val idat = new java.io.ByteArrayOutputStream()
-    var plte: Array[Byte] = null
-    var off = 8
-    var done = false
-    while (!done && off + 8 <= p.length) {
-      val len = be32(p, off)
-      val typ = new String(p, off + 4, 4, "US-ASCII")
-      if (len < 0 || off + 12 + len > p.length) return None
-      if (typ == "IDAT") idat.write(p, off + 8, len)
-      if (typ == "PLTE") plte = java.util.Arrays.copyOfRange(p, off + 8, off + 8 + len)
-      if (typ == "IEND") done = true
-      off += 12 + len // len + type + data + crc
-    }
-    val bitsPerPixel = rawCh * bitDepth
-    // filtering operates on bytes; sub-byte depths use a 1-byte step (spec §6)
-    val bpp = math.max(1, bitsPerPixel / 8)
-    val rowBytes = (w * bitsPerPixel + 7) / 8
-    val raw = new Array[Byte](h * (1 + rowBytes))
-    val inf = new java.util.zip.Inflater()
-    inf.setInput(idat.toByteArray)
-    var got = 0
-    while (got < raw.length && !inf.finished()) {
-      val n = inf.inflate(raw, got, raw.length - got)
-      if (n == 0 && inf.needsInput()) return None // truncated stream
-      got += n
-    }
-    inf.end()
-    if (got < raw.length) return None
-    // reverse per-scanline filters (PNG spec §6)
-    val out = new Array[Byte](h * rowBytes)
+  /** Reverse PNG scanline filters (spec §6) over `nRows` rows of
+    * `rowBytes` bytes starting at `start` in `raw` (each row prefixed by
+    * its filter-type byte). None on an invalid filter type. */
+  private def pngDefilter(raw: Array[Byte], start: Int, nRows: Int,
+                          rowBytes: Int, bpp: Int): Option[Array[Byte]] = {
+    val out = new Array[Byte](nRows * rowBytes)
     var y = 0
-    while (y < h) {
-      val ft = raw(y * (1 + rowBytes)) & 0xff
-      val src = y * (1 + rowBytes) + 1
+    while (y < nRows) {
+      val ft = raw(start + y * (1 + rowBytes)) & 0xff
+      val src = start + y * (1 + rowBytes) + 1
       val dst = y * rowBytes
       var i = 0
       while (i < rowBytes) {
@@ -247,6 +203,125 @@ object Multimodal {
         i += 1
       }
       y += 1
+    }
+    Some(out)
+  }
+
+  private def decodePng(p: Array[Byte]): Option[PixelImage] = {
+    if (!(p.length >= 33 &&
+        (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G' &&
+        p(4) == 0x0d && p(5) == 0x0a && p(6) == 0x1a && p(7) == 0x0a &&
+        p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R'))
+      return None
+    val w = be32(p, 16); val h = be32(p, 20)
+    val bitDepth = p(24) & 0xff
+    val colorType = p(25) & 0xff
+    // samples per pixel IN THE ENCODED STREAM (palette = 1 index sample)
+    val rawCh = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      case _ => return None
+    }
+    val depthOk = colorType match {
+      case 3 => bitDepth == 1 || bitDepth == 2 || bitDepth == 4 || bitDepth == 8
+      case _ => bitDepth == 8 || bitDepth == 16
+    }
+    // compression=0, filter=0; interlace 0 (sequential) or 1 (Adam7)
+    val interlace = p(28) & 0xff
+    if (w <= 0 || h <= 0 || !depthOk || p(26) != 0 || p(27) != 0 ||
+        interlace > 1) return None
+    // walk chunks, concatenating IDAT payloads and capturing PLTE
+    val idat = new java.io.ByteArrayOutputStream()
+    var plte: Array[Byte] = null
+    var off = 8
+    var done = false
+    while (!done && off + 8 <= p.length) {
+      val len = be32(p, off)
+      val typ = new String(p, off + 4, 4, "US-ASCII")
+      if (len < 0 || off + 12 + len > p.length) return None
+      if (typ == "IDAT") idat.write(p, off + 8, len)
+      if (typ == "PLTE") plte = java.util.Arrays.copyOfRange(p, off + 8, off + 8 + len)
+      if (typ == "IEND") done = true
+      off += 12 + len // len + type + data + crc
+    }
+    val bitsPerPixel = rawCh * bitDepth
+    // filtering operates on bytes; sub-byte depths use a 1-byte step (spec §6)
+    val bpp = math.max(1, bitsPerPixel / 8)
+    val rowBytes = (w * bitsPerPixel + 7) / 8
+    // Adam7 pass geometry (spec §8.2); sequential = one full-size pass.
+    // Each pass is an independent sub-image: its own scanline filters
+    // (context resets at the pass boundary) and its own row byte width.
+    val passes =
+      if (interlace == 0) Array((0, 0, 1, 1))
+      else Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val passDims = passes.map { case (x0, y0, dx, dy) =>
+      ((if (w > x0) (w - x0 + dx - 1) / dx else 0),
+        (if (h > y0) (h - y0 + dy - 1) / dy else 0))
+    }
+    val rawLen = passDims.map { case (pw, ph) =>
+      if (pw <= 0 || ph <= 0) 0L
+      else ph.toLong * (1 + (pw.toLong * bitsPerPixel + 7) / 8)
+    }.sum
+    if (rawLen <= 0 || rawLen > Int.MaxValue) return None
+    val raw = new Array[Byte](rawLen.toInt)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var got = 0
+    while (got < raw.length && !inf.finished()) {
+      val n = inf.inflate(raw, got, raw.length - got)
+      if (n == 0 && inf.needsInput()) return None // truncated stream
+      got += n
+    }
+    inf.end()
+    if (got < raw.length) return None
+    // defilter each pass, then scatter its pixels into the sequential
+    // full-image layout (empty passes contribute no bytes, spec §8.2)
+    val out = new Array[Byte](h * rowBytes)
+    var rawOff = 0
+    var pi = 0
+    while (pi < passes.length) {
+      val (x0, y0, dx, dy) = passes(pi)
+      val (pw, ph) = passDims(pi)
+      if (pw > 0 && ph > 0) {
+        val prb = (pw * bitsPerPixel + 7) / 8
+        val dec = pngDefilter(raw, rawOff, ph, prb, bpp).getOrElse(return None)
+        rawOff += ph * (1 + prb)
+        if (interlace == 0) {
+          System.arraycopy(dec, 0, out, 0, dec.length)
+        } else if (bitsPerPixel >= 8) {
+          val pb = bitsPerPixel / 8
+          var j = 0
+          while (j < ph) {
+            var i = 0
+            while (i < pw) {
+              System.arraycopy(dec, j * prb + i * pb, out,
+                (y0 + j * dy) * rowBytes + (x0 + i * dx) * pb, pb)
+              i += 1
+            }
+            j += 1
+          }
+        } else {
+          // sub-byte palette indices: extract from the pass row (MSB-first)
+          // and re-pack at the target x position
+          val mask = (1 << bitDepth) - 1
+          var j = 0
+          while (j < ph) {
+            val ty = y0 + j * dy
+            var i = 0
+            while (i < pw) {
+              val sp = i * bitDepth
+              val v = ((dec(j * prb + (sp >> 3)) & 0xff) >>
+                (8 - bitDepth - (sp & 7))) & mask
+              val tp = (x0 + i * dx) * bitDepth
+              val o = ty * rowBytes + (tp >> 3)
+              out(o) = (out(o) | (v << (8 - bitDepth - (tp & 7)))).toByte
+              i += 1
+            }
+            j += 1
+          }
+        }
+      }
+      pi += 1
     }
     // widen the defiltered byte stream into 8-bit interleaved samples
     if (colorType == 3) {
@@ -294,8 +369,16 @@ object Multimodal {
     val h = math.abs(rawH)
     if (w <= 0 || h == 0) return None
     val dataOff = le32(p, 10)
+    if ((bpp == 16 || bpp == 32) && compression == 3)
+      return decodeBmpBitfields(p, w, h, topDown, bpp, readMasks = true,
+        dataOff)
+    if (bpp == 16 && compression == 0) // default 5-5-5 fields
+      return decodeBmpBitfields(p, w, h, topDown, bpp, readMasks = false,
+        dataOff)
+    if (bpp == 4)
+      return decodeBmp4(p, w, h, topDown, compression, dataOff)
     if (bpp == 24 || bpp == 32) {
-      if (compression != 0) return None // BI_RGB only (no bitfields)
+      if (compression != 0) return None // BI_RGB only here
       val nch = bpp / 8
       val stride = (w * nch + 3) & ~3
       if (dataOff < 54 || dataOff.toLong + stride.toLong * h > p.length)
@@ -390,6 +473,139 @@ object Multimodal {
       i += 1
     }
     Some(PixelImage(w, h, 3, out))
+  }
+
+  /** 4-bpp BMP (round 9): color-table lookup → RGB; BI_RGB (packed
+    * nibbles, high nibble first, padded stride) or BI_RLE4 (compression
+    * 2 — encoded runs alternate the value byte's two nibbles; absolute
+    * mode packs nibbles and word-aligns; EOL/delta/EOF escapes as RLE8;
+    * delta-skipped pixels stay index 0). */
+  private def decodeBmp4(p: Array[Byte], w: Int, h: Int, topDown: Boolean,
+                         compression: Int, dataOff: Int): Option[PixelImage] = {
+    if (compression != 0 && compression != 2) return None
+    if (compression == 2 && topDown) return None // RLE is bottom-up only
+    val hdrSize = le32(p, 14)
+    val clrUsed = le32(p, 46)
+    val nColors = if (clrUsed == 0) 16 else clrUsed
+    val tbl = 14 + hdrSize
+    if (nColors < 1 || nColors > 16 ||
+        tbl.toLong + 4L * nColors > p.length) return None
+    val idx = new Array[Byte](w * h)
+    if (compression == 0) {
+      val stride = ((w + 1) / 2 + 3) & ~3
+      if (dataOff.toLong + stride.toLong * h > p.length) return None
+      var y = 0
+      while (y < h) {
+        val srcRow = dataOff + (if (topDown) y else h - 1 - y) * stride
+        var x = 0
+        while (x < w) {
+          val b = p(srcRow + (x >> 1)) & 0xff
+          idx(y * w + x) = (if ((x & 1) == 0) b >> 4 else b & 0x0f).toByte
+          x += 1
+        }
+        y += 1
+      }
+    } else {
+      var pos = dataOff
+      var x = 0
+      var yBot = 0
+      var eof = false
+      while (!eof) {
+        if (pos + 2 > p.length) return None
+        val b1 = p(pos) & 0xff; val b2 = p(pos + 1) & 0xff
+        pos += 2
+        if (b1 > 0) { // encoded run: b1 pixels alternating b2's nibbles
+          var k = 0
+          while (k < b1) {
+            val v = if ((k & 1) == 0) b2 >> 4 else b2 & 0x0f
+            if (x < w && yBot < h) idx((h - 1 - yBot) * w + x) = v.toByte
+            x += 1; k += 1
+          }
+        } else b2 match {
+          case 0 => x = 0; yBot += 1                      // end of line
+          case 1 => eof = true                            // end of bitmap
+          case 2 =>                                       // delta jump
+            if (pos + 2 > p.length) return None
+            x += p(pos) & 0xff; yBot += p(pos + 1) & 0xff
+            pos += 2
+          case n =>                                       // absolute mode
+            val nb = ((n + 1) / 2 + 1) & ~1 // packed nibbles, word-aligned
+            if (pos + nb > p.length) return None
+            var k = 0
+            while (k < n) {
+              val b = p(pos + (k >> 1)) & 0xff
+              val v = if ((k & 1) == 0) b >> 4 else b & 0x0f
+              if (x < w && yBot < h) idx((h - 1 - yBot) * w + x) = v.toByte
+              x += 1; k += 1
+            }
+            pos += nb
+        }
+      }
+    }
+    val out = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < w * h) {
+      val e = idx(i) & 0xff
+      if (e >= nColors) return None
+      val s = tbl + 4 * e
+      out(i * 3) = p(s + 2); out(i * 3 + 1) = p(s + 1); out(i * 3 + 2) = p(s)
+      i += 1
+    }
+    Some(PixelImage(w, h, 3, out))
+  }
+
+  /** 16/32-bpp BMP with bit-field channel masks (round 9). BI_BITFIELDS
+    * (compression 3) reads the R/G/B masks at bytes 54-65 — the same
+    * absolute offsets whether they follow a 40-byte BITMAPINFOHEADER or
+    * sit inside a V2+/V4/V5 header extension — plus an alpha mask at 66
+    * when the header carries one (size ≥ 56); 16-bpp BI_RGB uses the
+    * default 5-5-5 masks. Each field scales to 8 bits by the exact
+    * integer map `v * 255 / maxval` (floor), the same arithmetic the
+    * fixture generator's independent implementation pins. */
+  private def decodeBmpBitfields(p: Array[Byte], w: Int, h: Int,
+                                 topDown: Boolean, bpp: Int,
+                                 readMasks: Boolean,
+                                 dataOff: Int): Option[PixelImage] = {
+    val hdrSize = le32(p, 14)
+    val (rm, gm, bm, am) =
+      if (!readMasks) (0x7C00, 0x03E0, 0x001F, 0)
+      else {
+        if (p.length < 66) return None
+        val a = if (hdrSize >= 56 && p.length >= 70) le32(p, 66) else 0
+        (le32(p, 54), le32(p, 58), le32(p, 62), a)
+      }
+    if (rm == 0 || gm == 0 || bm == 0) return None
+    if ((rm & gm) != 0 || (rm & bm) != 0 || (gm & bm) != 0 ||
+        ((rm | gm | bm) & am) != 0) return None
+    val masks = if (am != 0) Array(rm, gm, bm, am) else Array(rm, gm, bm)
+    val shifts = masks.map(java.lang.Integer.numberOfTrailingZeros)
+    val maxes = masks.indices.map(i => masks(i) >>> shifts(i)).toArray
+    if (maxes.exists(m => m < 1 || m > 255)) return None // fields ≤ 8 bits
+    val nch = masks.length
+    val bytesPP = bpp / 8
+    val stride = (w * bytesPP + 3) & ~3
+    if (dataOff.toLong + stride.toLong * h > p.length) return None
+    val out = new Array[Byte](w * h * nch)
+    var y = 0
+    while (y < h) {
+      val srcRow = dataOff + (if (topDown) y else h - 1 - y) * stride
+      var x = 0
+      while (x < w) {
+        val rawV =
+          if (bpp == 16) le16(p, srcRow + x * 2)
+          else le32(p, srcRow + x * 4)
+        val d = (y * w + x) * nch
+        var c = 0
+        while (c < nch) {
+          val v = (rawV & masks(c)) >>> shifts(c)
+          out(d + c) = (v * 255 / maxes(c)).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Some(PixelImage(w, h, nch, out))
   }
 
   /** REAL nearest-neighbor resample over a decoded raster: source pixel =
@@ -505,7 +721,11 @@ object Multimodal {
     "bmp_pal8.bmp", "bmp_rle8.bmp",
     // round 9: baseline JPEG (tools/make_jpeg_fixtures.py — encoder +
     // independent integer-IDCT decoder twin pin the expected statistics)
-    "jpeg_grey.jpg", "jpeg_444.jpg", "jpeg_420.jpg", "jpeg_rst.jpg")
+    "jpeg_grey.jpg", "jpeg_444.jpg", "jpeg_420.jpg", "jpeg_rst.jpg",
+    // round 9b: Adam7 PNG, 4-bpp/RLE4 BMP, BI_BITFIELDS (make_fixtures.py
+    // FIXTURES2, doc_ids -18..-24)
+    "png_adam7_rgb.png", "png_adam7_pal4.png", "png_adam7_grey16.png",
+    "bmp_pal4.bmp", "bmp_rle4.bmp", "bmp16_565.bmp", "bmp32_bf.bmp")
 
   /** The fixture catalog as a media table: a CONSTANT-size frame (7 rows,
     * ~1 KB total, independent of scale factor) loaded from classpath

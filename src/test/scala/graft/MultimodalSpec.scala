@@ -170,6 +170,38 @@ class MultimodalSpec extends SparkSpec {
     pin("jpeg_rst.jpg", 24, 8, 3, 126.953125, 0.42999515501146446)
   }
 
+  test("pixel decode: Adam7 PNG, 4-bpp/RLE4 BMP and BI_BITFIELDS match " +
+      "make_fixtures.py's independent statistics exactly") {
+    def pin(name: String, w: Int, h: Int, ch: Int, lumaMean: Double,
+            featNorm: Double): Unit = {
+      val img = Multimodal.decodePixels(fixture(name)).get
+      assert(img.width == w && img.height == h && img.channels == ch,
+        s"$name dims ${img.width}x${img.height}x${img.channels}")
+      val n = w * h
+      val lm = (0 until n).map(Multimodal.luma(img, _)).sum.toDouble / n
+      assert(lm == lumaMean, s"$name luma_mean $lm != $lumaMean")
+      val f = Multimodal.histFeature(img)
+      val norm = math.sqrt(f.map(v => v * v).sum)
+      assert(norm == featNorm, s"$name feature_norm $norm != $featNorm")
+    }
+    pin("png_adam7_rgb.png", 10, 9, 3, 122.36666666666666, 0.4115613150544919)
+    pin("png_adam7_pal4.png", 9, 7, 3, 118.61904761904762, 0.4367243330856382)
+    pin("png_adam7_grey16.png", 8, 8, 1, 58.0, 0.5014627042462879)
+    pin("bmp_pal4.bmp", 7, 5, 3, 115.91428571428571, 0.44170356667829447)
+    pin("bmp_rle4.bmp", 10, 4, 3, 110.0, 0.42130748865881795)
+    pin("bmp16_565.bmp", 6, 5, 3, 96.26666666666667, 0.4346134936801766)
+    pin("bmp32_bf.bmp", 4, 4, 4, 110.0, 0.45069390943299864)
+    // interlace is a pure transmission reordering: the Adam7 16-bit grey
+    // fixture must decode pixel-identical to its sequential twin (same
+    // pattern, same dims), and bitfield ARGB8888 to its BI_RGB twin
+    val a = Multimodal.decodePixels(fixture("png_adam7_grey16.png")).get
+    val s = Multimodal.decodePixels(fixture("png_grey16.png")).get
+    assert(a.pixels.toSeq == s.pixels.toSeq)
+    val bf = Multimodal.decodePixels(fixture("bmp32_bf.bmp")).get
+    val rgb = Multimodal.decodePixels(fixture("bmp32.bmp")).get
+    assert(bf.pixels.toSeq == rgb.pixels.toSeq)
+  }
+
   test("pixel decode: progressive / truncated JPEG falls back, never throws") {
     val good = fixture("jpeg_444.jpg")
     // flip SOF0 (FFC0) to SOF2 (FFC2): progressive is declared out of scope
