@@ -766,7 +766,10 @@ object SparkEntry {
            (-21, 0.44170356667829447),
            (-22, 0.42130748865881795),
            (-23, 0.4346134936801766),
-           (-24, 0.45069390943299864)) t(fid, fnorm)
+           (-24, 0.45069390943299864),
+           (-25, 0.4026280852101602),
+           (-26, 0.44180360986245915),
+           (-27, 0.42192972324550054)) t(fid, fnorm)
          ORDER BY doc_id""",
     // every row is a committed binary fixture decoded to raw pixels by the
     // engine (PNG Inflater + defilter / BMP stride+BGR normalization); the
@@ -800,7 +803,10 @@ object SparkEntry {
            (-21, 7, 5, 3, 115.91428571428571, 0.44170356667829447),
            (-22, 10, 4, 3, 110.0,            0.42130748865881795),
            (-23, 6, 5, 3, 96.26666666666667, 0.4346134936801766),
-           (-24, 4, 4, 4, 110.0,             0.45069390943299864))
+           (-24, 4, 4, 4, 110.0,             0.45069390943299864),
+           (-25, 8, 8, 1, 126.046875,        0.4026280852101602),
+           (-26, 16, 8, 3, 126.4453125,      0.44180360986245915),
+           (-27, 18, 10, 3, 126.91666666666667, 0.42192972324550054))
            t(fid, w, h, ch, luma, fnorm)
          ORDER BY doc_id""",
     // every row: committed fixture decoded then nearest-neighbor-resampled
@@ -833,7 +839,10 @@ object SparkEntry {
            (-21, 3, 117.33333333333333),
            (-22, 3, 73.83333333333333),
            (-23, 3, 77.0),
-           (-24, 4, 83.33333333333333)) t(fid, ch, luma)
+           (-24, 4, 83.33333333333333),
+           (-25, 1, 133.33333333333334),
+           (-26, 3, 83.0),
+           (-27, 3, 120.33333333333333)) t(fid, ch, luma)
          ORDER BY doc_id""",
     // frame profile mirrors frameSampleStub arithmetic on byte length
     "q_media_frames" ->

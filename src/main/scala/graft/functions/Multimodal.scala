@@ -19,16 +19,19 @@ import org.apache.spark.sql.functions._
   * BMP 24/32-bpp uncompressed, 8/4-bpp color-table (incl. BI_RLE8 and
   * BI_RLE4), 16/32-bpp BI_BITFIELDS (mask decomposition + floor rescale)
   * and 16-bpp default 5-5-5, and
-  * for BASELINE JPEG (SOF0/SOF1, greyscale + YCbCr at 4:4:4/4:2:2/4:2:0,
-  * restart markers; fixed-point integer IDCT — [[decodeJpeg]])
+  * for JPEG — BASELINE (SOF0/SOF1, greyscale + YCbCr at
+  * 4:4:4/4:2:2/4:2:0, restart markers; fixed-point integer IDCT —
+  * [[decodeJpeg]]) AND PROGRESSIVE (SOF2 Huffman: spectral selection +
+  * successive approximation, DC/AC first and refinement scans, EOB runs —
+  * [[decodeJpegProgressive]])
   * ([[decodePixels]] — pure-JVM, no codec library). Feature extraction
   * over decodable payloads is a REAL statistic (the 8-bin luminance
   * histogram, [[histFeature]]), and resize is a REAL nearest-neighbor
   * resample over decoded rasters ([[resizePixels]]). The deterministic
   * byte-length FAKES ([[decodeStub]]/[[featureStub]]/[[resizeStub]])
   * remain only as the fallback for payloads outside those formats
-  * (progressive JPEG, 1/2-bpp BMP, the testdata's
-  * UTF-8 text payloads). AUDIO decode is REAL for RIFF/WAVE PCM at 8 and 16 bits
+  * (arithmetic-coded/hierarchical/12-bit JPEG, 1/2-bpp BMP, the
+  * testdata's UTF-8 text payloads). AUDIO decode is REAL for RIFF/WAVE PCM at 8 and 16 bits
   * ([[decodeWav]] — chunk walk with the odd-size pad rule, sign
   * extension, per-clip rms/peak/zero-cross statistics). VIDEO frame
   * sampling is REAL for animated GIF ([[decodeGifFrames]] — full LZW
@@ -142,13 +145,14 @@ object Multimodal {
 
   /** REAL pixel decode (round-5 VERDICT #2 — no codec library, pure JVM):
     *
-    *  - **PNG** (spec: RFC 2083 / W3C PNG): non-interlaced; color types
+    *  - **PNG** (spec: RFC 2083 / W3C PNG): sequential and Adam7; color types
     *    0/2/4/6 at bit depth 8 and 16 (16-bit samples narrow to their high
     *    byte), palette type 3 at depths 1/2/4/8 (MSB-first index unpack +
     *    PLTE lookup → RGB). IDAT chunks are concatenated, inflated with
     *    `java.util.zip.Inflater` (zlib stream, as the spec mandates), and
     *    every scanline's filter (None/Sub/Up/Average/Paeth) is reversed.
-    *    Adam7 interlacing falls back to the stub.
+    *    Adam7 interlacing is decoded per-pass (defilter within the pass's
+    *    reduced image, then scatter into the full raster).
     *  - **BMP**: BITMAPINFOHEADER-family. BI_RGB 24/32 bpp, 8-bpp with a
     *    color table, and 8-bpp BI_RLE8 (run/absolute/EOL/delta/EOF).
     *    Rows are stride-padded to 4 bytes and stored bottom-up unless the
@@ -725,7 +729,10 @@ object Multimodal {
     // round 9b: Adam7 PNG, 4-bpp/RLE4 BMP, BI_BITFIELDS (make_fixtures.py
     // FIXTURES2, doc_ids -18..-24)
     "png_adam7_rgb.png", "png_adam7_pal4.png", "png_adam7_grey16.png",
-    "bmp_pal4.bmp", "bmp_rle4.bmp", "bmp16_565.bmp", "bmp32_bf.bmp")
+    "bmp_pal4.bmp", "bmp_rle4.bmp", "bmp16_565.bmp", "bmp32_bf.bmp",
+    // round 9b: progressive JPEG (doc_ids -25..-27) — each decodes
+    // pixel-identical to its baseline twin by construction
+    "jpeg_prog_grey.jpg", "jpeg_prog444.jpg", "jpeg_prog420.jpg")
 
   /** The fixture catalog as a media table: a CONSTANT-size frame (7 rows,
     * ~1 KB total, independent of scale factor) loaded from classpath
@@ -974,9 +981,11 @@ object Multimodal {
                 return None
               c
             }
-          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+          case 0xc2 =>
+            return decodeJpegProgressive(p) // progressive (Huffman)
+          case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
                0xcd | 0xce | 0xcf =>
-            return None // progressive / hierarchical / arithmetic
+            return None // hierarchical / arithmetic / lossless
           case 0xdd => // DRI
             dri = ((p(body) & 0xff) << 8) | (p(body + 1) & 0xff)
           case 0xda => // SOS: bind huffman tables per scan component
@@ -1052,29 +1061,8 @@ object Multimodal {
               }
             }
             // fixed-point IDCT + level shift into the component plane
-            val px0 = (mx * c.h + bx) * 8
-            val py0 = (my * c.v + by) * 8
-            val plane = planes(ci)
-            val pw = planeW(ci)
-            var yy = 0
-            while (yy < 8) {
-              var xx = 0
-              while (xx < 8) {
-                var sum = 0L
-                var v = 0
-                while (v < 64) {
-                  val f = coef(v)
-                  if (f != 0)
-                    sum += f.toLong * JpegCos(xx)(v & 7) * JpegCos(yy)(v >> 3)
-                  v += 1
-                }
-                val s = (((sum + (1L << 23)) >> 24) + 128).toInt
-                plane((py0 + yy) * pw + px0 + xx) =
-                  (if (s < 0) 0 else if (s > 255) 255 else s).toByte
-                xx += 1
-              }
-              yy += 1
-            }
+            jpegIdctBlock(coef, planes(ci), planeW(ci),
+              (mx * c.h + bx) * 8, (my * c.v + by) * 8)
             bx += 1
           }
           by += 1
@@ -1083,7 +1071,337 @@ object Multimodal {
       }
       mcu += 1
     }
-    // assemble output: replication upsample + integer YCbCr→RGB
+    Some(jpegAssemble(comps, planes, planeW, width, height, hmax, vmax))
+  } catch { case _: Exception => None }
+
+  /** REAL progressive JPEG decode (ITU-T T.81 Annex G, Huffman — round 9b,
+    * closing the last JPEG stub): a multi-scan marker walk accumulates RAW
+    * (still-quantized) coefficients per component, then dequantizes and
+    * IDCTs once at EOI.
+    *
+    *  - DC scans (interleaved or single-component): first pass codes
+    *    arithmetic-shifted predictions (`dc >> Al`), refinement passes one
+    *    raw bit per block OR-ed at bit Al;
+    *  - AC first scans (spectral band Ss..Se, always single-component):
+    *    run/size coding with EOB-run symbols (EOBn = n extension bits);
+    *  - AC refinement: newly-nonzero coefficients arrive as ±(1<<Al) with
+    *    a sign bit, history coefficients consume positional correction
+    *    bits (libjpeg jdphuff shape), EOB runs carry correction bits for
+    *    every remaining nonzero in the band;
+    *  - non-interleaved scans walk the component's OWN ceil(dim/8) block
+    *    grid, not the MCU-padded interleaved grid — the classic
+    *    progressive-geometry trap at 4:2:0;
+    *  - DHT/DQT/DRI may be redefined between scans; restart markers reset
+    *    DC predictions AND the EOB run.
+    *
+    * Memory: one Int per coefficient (~4 B/sample) per payload, bounded and
+    * partition-local — the decode stays a per-row mapPartitions operation
+    * at corpus scale. Malformed streams throw → None (stub fallback). */
+  private def decodeJpegProgressive(p: Array[Byte]): Option[PixelImage] = try {
+    val qt = new Array[Array[Int]](4)
+    val dcH = new Array[JpegHuff](4)
+    val acH = new Array[JpegHuff](4)
+    var comps: Array[JpegComp] = null
+    var coef: Array[Array[Int]] = null // per comp: nBlocks*64 raw coefs
+    var width = 0; var height = 0
+    var dri = 0
+    var mcusX = 0; var mcusY = 0
+    var hmax = 0; var vmax = 0
+    var bwFull: Array[Int] = null; var bhFull: Array[Int] = null
+    var bwNI: Array[Int] = null; var bhNI: Array[Int] = null
+
+    def decodeScan(scomps: Array[Int], ss: Int, se: Int, ah: Int, al: Int,
+                   dataAt: Int): Int = {
+      require(al <= 13 && ah <= 13, "bad successive approximation")
+      if (ss == 0) require(se == 0, "DC scan must have Se=0")
+      else require(scomps.length == 1 && se >= ss && se <= 63, "bad AC band")
+      scomps.foreach { ci =>
+        val c = comps(ci)
+        if (ss == 0 && ah == 0) require(dcH(c.dcTbl) != null, "missing DC tbl")
+        if (ss > 0) require(acH(c.acTbl) != null, "missing AC tbl")
+      }
+      val br = new JpegBits(p, dataAt)
+      val preds = new Array[Int](comps.length)
+      var eobrun = 0
+      var rst = 0
+      val interleaved = scomps.length > 1
+
+      def decodeDc(ci: Int, bix: Int): Unit = {
+        val blk = coef(ci); val base = bix * 64
+        if (ah == 0) {
+          val t = dcH(comps(ci).dcTbl).decode(br)
+          if (t > 15) throw new IllegalArgumentException("dc size")
+          preds(ci) += jpegExtend(br.receive(t), t)
+          blk(base) = preds(ci) << al
+        } else if (br.bit() == 1) blk(base) |= 1 << al
+      }
+
+      def decodeAc(ci: Int, bix: Int): Unit = {
+        val blk = coef(ci); val base = bix * 64
+        val ac = acH(comps(ci).acTbl)
+        if (ah == 0) { // first pass for this band
+          if (eobrun > 0) { eobrun -= 1; return }
+          var k = ss
+          while (k <= se) {
+            val rs = ac.decode(br)
+            val r = rs >> 4; val s = rs & 0x0f
+            if (s == 0) {
+              if (r == 15) k += 16 // ZRL
+              else {
+                eobrun = (1 << r) - 1
+                if (r > 0) eobrun += br.receive(r)
+                return
+              }
+            } else {
+              k += r
+              if (k > se) throw new IllegalArgumentException("ac overrun")
+              blk(base + JpegZigzag(k)) = jpegExtend(br.receive(s), s) << al
+              k += 1
+            }
+          }
+        } else { // refinement
+          val p1 = 1 << al; val m1 = -(1 << al)
+          var k = ss
+          if (eobrun == 0) {
+            var break = false
+            while (k <= se && !break) {
+              val rs = ac.decode(br)
+              var r = rs >> 4; val s = rs & 0x0f
+              var newval = 0
+              if (s != 0) {
+                if (s != 1) throw new IllegalArgumentException("refine size")
+                newval = if (br.bit() == 1) p1 else m1
+              } else if (r != 15) {
+                eobrun = 1 << r
+                if (r > 0) eobrun += br.receive(r)
+                break = true
+              }
+              if (!break) {
+                // advance over r zero-history coefs, correcting nonzero
+                // -history coefs passed over
+                var inner = true
+                while (k <= se && inner) {
+                  val z = base + JpegZigzag(k)
+                  if (blk(z) != 0) {
+                    if (br.bit() == 1 && (blk(z) & p1) == 0)
+                      blk(z) += (if (blk(z) >= 0) p1 else m1)
+                    k += 1
+                  } else {
+                    r -= 1
+                    if (r < 0) inner = false else k += 1
+                  }
+                }
+                if (newval != 0) {
+                  if (k > se) throw new IllegalArgumentException("refine pos")
+                  blk(base + JpegZigzag(k)) = newval
+                }
+                k += 1
+              }
+            }
+          }
+          if (eobrun > 0) {
+            while (k <= se) { // correction bits through the band remainder
+              val z = base + JpegZigzag(k)
+              if (blk(z) != 0) {
+                if (br.bit() == 1 && (blk(z) & p1) == 0)
+                  blk(z) += (if (blk(z) >= 0) p1 else m1)
+              }
+              k += 1
+            }
+            eobrun -= 1
+          }
+        }
+      }
+
+      val nUnits =
+        if (interleaved) mcusX * mcusY
+        else bwNI(scomps(0)) * bhNI(scomps(0))
+      var unit = 0
+      while (unit < nUnits) {
+        if (dri > 0 && unit > 0 && unit % dri == 0) {
+          br.restart(rst); rst = (rst + 1) & 7
+          java.util.Arrays.fill(preds, 0); eobrun = 0
+        }
+        if (interleaved) { // DC scans only (validated above: Ss=0)
+          val mx = unit % mcusX; val my = unit / mcusX
+          var si = 0
+          while (si < scomps.length) {
+            val ci = scomps(si); val c = comps(ci)
+            var by = 0
+            while (by < c.v) {
+              var bx = 0
+              while (bx < c.h) {
+                decodeDc(ci, (my * c.v + by) * bwFull(ci) + mx * c.h + bx)
+                bx += 1
+              }
+              by += 1
+            }
+            si += 1
+          }
+        } else {
+          val ci = scomps(0)
+          val bix = (unit / bwNI(ci)) * bwFull(ci) + unit % bwNI(ci)
+          if (ss == 0) decodeDc(ci, bix) else decodeAc(ci, bix)
+        }
+        unit += 1
+      }
+      // realign: abandon any partial byte, find the next marker
+      var q = br.pos
+      while (q + 1 < p.length &&
+          !((p(q) & 0xff) == 0xff && (p(q + 1) & 0xff) != 0x00)) q += 1
+      q
+    }
+
+    var pos = 2
+    var eoi = false
+    while (!eoi) {
+      if (pos + 2 > p.length) return None
+      if ((p(pos) & 0xff) != 0xff) return None
+      val m = p(pos + 1) & 0xff
+      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) { pos += 2 }
+      else if (m == 0xd9) { eoi = true }
+      else {
+        if (pos + 4 > p.length) return None
+        val len = ((p(pos + 2) & 0xff) << 8) | (p(pos + 3) & 0xff)
+        val body = pos + 4
+        if (len < 2 || body + len - 2 > p.length) return None
+        var sosAt = -1
+        m match {
+          case 0xdb => // DQT (tables may arrive/refresh between scans)
+            var o = body
+            while (o < body + len - 2) {
+              val pq = (p(o) & 0xff) >> 4; val tq = p(o) & 0x0f
+              if (tq > 3 || pq > 1) return None
+              val t = new Array[Int](64)
+              var i = 0
+              while (i < 64) {
+                t(JpegZigzag(i)) =
+                  if (pq == 0) p(o + 1 + i) & 0xff
+                  else ((p(o + 1 + 2 * i) & 0xff) << 8) | (p(o + 2 + 2 * i) & 0xff)
+                i += 1
+              }
+              qt(tq) = t
+              o += 1 + (if (pq == 0) 64 else 128)
+            }
+          case 0xc4 => // DHT
+            var o = body
+            while (o < body + len - 2) {
+              val tc = (p(o) & 0xff) >> 4; val th = p(o) & 0x0f
+              if (tc > 1 || th > 3) return None
+              val counts = Array.tabulate(16)(i => p(o + 1 + i) & 0xff)
+              val n = counts.sum
+              val vals = java.util.Arrays.copyOfRange(p, o + 17, o + 17 + n)
+              val huff = new JpegHuff(counts, vals)
+              if (tc == 0) dcH(th) = huff else acH(th) = huff
+              o += 17 + n
+            }
+          case 0xc2 => // SOF2
+            if (comps != null) return None
+            if ((p(body) & 0xff) != 8) return None
+            height = ((p(body + 1) & 0xff) << 8) | (p(body + 2) & 0xff)
+            width = ((p(body + 3) & 0xff) << 8) | (p(body + 4) & 0xff)
+            val nc = p(body + 5) & 0xff
+            if (width <= 0 || height <= 0 || (nc != 1 && nc != 3)) return None
+            comps = Array.tabulate(nc) { i =>
+              val o = body + 6 + 3 * i
+              val c = JpegComp(p(o) & 0xff, (p(o + 1) & 0xff) >> 4,
+                p(o + 1) & 0x0f, p(o + 2) & 0xff)
+              if (c.h < 1 || c.h > 2 || c.v < 1 || c.v > 2 || c.tq > 3)
+                return None
+              c
+            }
+            hmax = comps.map(_.h).max; vmax = comps.map(_.v).max
+            mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+            mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+            bwFull = comps.map(c => mcusX * c.h)
+            bhFull = comps.map(c => mcusY * c.v)
+            bwNI = comps.map(c => ((width * c.h + hmax - 1) / hmax + 7) / 8)
+            bhNI = comps.map(c => ((height * c.v + vmax - 1) / vmax + 7) / 8)
+            coef = comps.indices.map(i =>
+              new Array[Int](bwFull(i) * bhFull(i) * 64)).toArray
+          case 0xc0 | 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+               0xcb | 0xcd | 0xce | 0xcf =>
+            return None // a second, different SOF is malformed
+          case 0xdd => dri = ((p(body) & 0xff) << 8) | (p(body + 1) & 0xff)
+          case 0xda =>
+            if (comps == null) return None
+            val ns = p(body) & 0xff
+            if (ns < 1 || ns > comps.length) return None
+            val scomps = new Array[Int](ns)
+            var i = 0
+            while (i < ns) {
+              val cid = p(body + 1 + 2 * i) & 0xff
+              val tt = p(body + 2 + 2 * i) & 0xff
+              val ci = comps.indexWhere(_.id == cid)
+              if (ci < 0) return None
+              comps(ci).dcTbl = tt >> 4; comps(ci).acTbl = tt & 0x0f
+              scomps(i) = ci
+              i += 1
+            }
+            val ss = p(body + 1 + 2 * ns) & 0xff
+            val se = p(body + 2 + 2 * ns) & 0xff
+            val ahAl = p(body + 3 + 2 * ns) & 0xff
+            sosAt = decodeScan(scomps, ss, se, ahAl >> 4, ahAl & 0x0f,
+              body + 4 + 2 * ns)
+          case _ => () // APPn / COM
+        }
+        pos = if (sosAt >= 0) sosAt else body + len - 2
+      }
+    }
+    if (comps == null) return None
+    comps.foreach(c => if (qt(c.tq) == null) return None)
+    // dequantize + IDCT every block, then assemble as in the baseline path
+    val planeW = comps.indices.map(i => bwFull(i) * 8)
+    val planes = comps.indices.map(i =>
+      new Array[Byte](bwFull(i) * 8 * bhFull(i) * 8)).toArray
+    val dq = new Array[Int](64)
+    var ci = 0
+    while (ci < comps.length) {
+      val q = qt(comps(ci).tq)
+      val blocks = coef(ci)
+      val bw = bwFull(ci)
+      var bix = 0
+      while (bix < bw * bhFull(ci)) {
+        var v = 0
+        while (v < 64) { dq(v) = blocks(bix * 64 + v) * q(v); v += 1 }
+        jpegIdctBlock(dq, planes(ci), bw * 8, (bix % bw) * 8, (bix / bw) * 8)
+        bix += 1
+      }
+      ci += 1
+    }
+    Some(jpegAssemble(comps, planes, planeW, width, height, hmax, vmax))
+  } catch { case _: Exception => None }
+
+  /** Fixed-point IDCT of one dequantized 8×8 block (natural order) +128
+    * level shift into the component plane at (px0, py0). */
+  private def jpegIdctBlock(coef: Array[Int], plane: Array[Byte], pw: Int,
+                            px0: Int, py0: Int): Unit = {
+    var yy = 0
+    while (yy < 8) {
+      var xx = 0
+      while (xx < 8) {
+        var sum = 0L
+        var v = 0
+        while (v < 64) {
+          val f = coef(v)
+          if (f != 0)
+            sum += f.toLong * JpegCos(xx)(v & 7) * JpegCos(yy)(v >> 3)
+          v += 1
+        }
+        val s = (((sum + (1L << 23)) >> 24) + 128).toInt
+        plane((py0 + yy) * pw + px0 + xx) =
+          (if (s < 0) 0 else if (s > 255) 255 else s).toByte
+        xx += 1
+      }
+      yy += 1
+    }
+  }
+
+  /** Assemble decoded component planes: replication upsample + integer
+    * YCbCr→RGB (libjpeg fixed-point constants), or plane copy for grey. */
+  private def jpegAssemble(comps: Array[JpegComp], planes: Array[Array[Byte]],
+                           planeW: Seq[Int], width: Int, height: Int,
+                           hmax: Int, vmax: Int): PixelImage = {
     if (comps.length == 1) {
       val out = new Array[Byte](width * height)
       val pw = planeW(0)
@@ -1092,7 +1410,7 @@ object Multimodal {
         System.arraycopy(planes(0), y * pw, out, y * width, width)
         y += 1
       }
-      Some(PixelImage(width, height, 1, out))
+      PixelImage(width, height, 1, out)
     } else {
       def clamp(v: Int): Byte =
         (if (v < 0) 0 else if (v > 255) 255 else v).toByte
@@ -1117,9 +1435,9 @@ object Multimodal {
         }
         y += 1
       }
-      Some(PixelImage(width, height, 3, out))
+      PixelImage(width, height, 3, out)
     }
-  } catch { case _: Exception => None }
+  }
 
   // ======================= AUDIO (WAV / RIFF PCM) =======================
 

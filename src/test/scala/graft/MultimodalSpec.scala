@@ -202,9 +202,27 @@ class MultimodalSpec extends SparkSpec {
     assert(bf.pixels.toSeq == rgb.pixels.toSeq)
   }
 
-  test("pixel decode: progressive / truncated JPEG falls back, never throws") {
+  test("pixel decode: progressive JPEG fixtures decode and are pixel-" +
+      "identical to their baseline twins (same pattern, same quant)") {
+    // progressive transmission is a pure reordering of the same quantized
+    // coefficients — the decoded rasters must match the baseline fixtures
+    // byte-for-byte, and the twin-pinned stats follow
+    for ((prog, base) <- Seq(("jpeg_prog_grey.jpg", "jpeg_grey.jpg"),
+                             ("jpeg_prog444.jpg", "jpeg_444.jpg"),
+                             ("jpeg_prog420.jpg", "jpeg_420.jpg"))) {
+      val pi = Multimodal.decodePixels(fixture(prog))
+      val bi = Multimodal.decodePixels(fixture(base))
+      assert(pi.isDefined, s"$prog did not decode")
+      assert(pi.get.width == bi.get.width && pi.get.height == bi.get.height &&
+        pi.get.channels == bi.get.channels, s"$prog dims")
+      assert(pi.get.pixels.toSeq == bi.get.pixels.toSeq, s"$prog pixels")
+    }
+  }
+
+  test("pixel decode: malformed / truncated JPEG falls back, never throws") {
     val good = fixture("jpeg_444.jpg")
-    // flip SOF0 (FFC0) to SOF2 (FFC2): progressive is declared out of scope
+    // flip SOF0 (FFC0) to SOF2 (FFC2): the stream then carries a baseline
+    // scan header (Ss=0, Se=63) that is invalid for progressive — reject
     val prog = good.clone()
     val sofAt = prog.indices.dropRight(1)
       .find(i => (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
@@ -213,6 +231,9 @@ class MultimodalSpec extends SparkSpec {
     // entropy data cut mid-scan: must return None, not throw or hang
     assert(Multimodal.decodePixels(good.take(good.length - 40)).isEmpty)
     assert(Multimodal.decodePixels(good.take(20)).isEmpty)
+    // a truncated PROGRESSIVE stream must also fall back cleanly
+    val pgood = fixture("jpeg_prog444.jpg")
+    assert(Multimodal.decodePixels(pgood.take(pgood.length - 40)).isEmpty)
   }
 
   test("real features: luminance histogram matches the independent " +
