@@ -866,11 +866,14 @@ object SparkEntry {
            (-104, 22050, 1, 16, 40, 1.8140589569160999, 0.018423275127541387, 0.03125, 34))
            t(fid, sr, ch, b, nf, dur, r, pk, zc)
          ORDER BY doc_id""",
-    // every row: a frame sampled (3 evenly spaced) from a committed
-    // animated-GIF fixture, decoded by the engine's real LZW path;
-    // expected values from make_av_fixtures.py's independent raw-pattern
-    // implementation (the GIF streams themselves are round-trip-checked
-    // by an independent spec-derived LZW decoder at generation time)
+    // every row: a frame sampled (3 evenly spaced) from a committed clip
+    // fixture — animated GIF (incl. an interlace-flagged one, -205) via
+    // the engine's real LZW + four-pass de-interlace, or MJPEG-in-AVI
+    // (-206) via the RIFF container walk + the engine's own JPEG decoder;
+    // expected values from make_av_fixtures.py / make_video_fixtures.py's
+    // independent raw-pattern / decoder-twin implementations (GIF streams
+    // round-trip-checked by an independent spec-derived LZW decoder at
+    // generation time)
     "q_media_video" ->
       """SELECT CAST(fid AS BIGINT) AS doc_id, CAST(ix AS INTEGER) AS frame_ix,
            CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
@@ -885,7 +888,13 @@ object SparkEntry {
            (-203, 2, 5, 4, 131.35),
            (-204, 0, 12, 3, 127.97222222222223),
            (-204, 1, 12, 3, 135.36111111111111),
-           (-204, 2, 12, 3, 136.38888888888889))
+           (-204, 2, 12, 3, 136.38888888888889),
+           (-205, 0, 9, 13, 121.78632478632478),
+           (-205, 1, 9, 13, 114.41880341880342),
+           (-205, 2, 9, 13, 121.56410256410257),
+           (-206, 0, 16, 8, 126.4453125),
+           (-206, 1, 16, 8, 125.28125),
+           (-206, 2, 16, 8, 129.9921875))
            t(fid, ix, w, h, luma)
          ORDER BY doc_id, frame_ix""",
     "q_daily_full_outer" ->

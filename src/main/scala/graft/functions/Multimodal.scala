@@ -36,10 +36,13 @@ import org.apache.spark.sql.functions._
   * extension, per-clip rms/peak/zero-cross statistics). VIDEO frame
   * sampling is REAL for animated GIF ([[decodeGifFrames]] — full LZW
   * decompression with variable code widths and the KwKwK case, global
-  * and local color tables, extension skipping; evenly-spaced frame
-  * selection in [[sampleGifFrames]]); non-GIF payloads fall back to the
-  * byte-split stub, and a true video codec (H.264 etc.) remains out of
-  * scope. The Spark-side contract — schema,
+  * and local color tables, extension skipping, four-pass de-interlace)
+  * AND for Motion-JPEG in AVI ([[decodeAviFrames]] — RIFF chunk-tree
+  * walk incl. LIST('rec ') interleave groups, each `##dc`/`##db` frame
+  * through the engine's own JPEG decoder); evenly-spaced frame
+  * selection in [[sampleVideoFrames]]. Payloads in neither container
+  * fall back to the byte-split stub, and inter-frame-predictive codecs
+  * (H.264 etc.) remain out of scope. The Spark-side contract — schema,
   * encoders, partitioning, batch iteration shape — is real throughout;
   * MultimodalSpec drives the committed binary fixtures through the same
   * mapPartitions path the registered queries use, and q_media_pixels /
@@ -785,7 +788,7 @@ object Multimodal {
   def framesAll(media: Dataset[MediaRecord], n: Int): Dataset[FrameInfo] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { r =>
-      sampleGifFrames(r.payload, n) match {
+      sampleVideoFrames(r.payload, n) match {
         case Some(frames) =>
           val f0 = frames.head
           FrameInfo(r.doc_id, frames.length,
@@ -1614,7 +1617,8 @@ object Multimodal {
     * palette lookup → an RGB [[PixelImage]] per frame (each frame
     * rendered standalone at its own dimensions; disposal/composition and
     * transparency are out of scope and documented so). Interlaced frames
-    * and malformed streams return None — callers keep the stub fallback. */
+    * are de-interlaced via the spec's four-pass row scatter (appendix E);
+    * malformed streams return None — callers keep the stub fallback. */
   def decodeGifFrames(p: Array[Byte]): Option[IndexedSeq[PixelImage]] = try {
     if (p.length < 14 || p(0) != 'G' || p(1) != 'I' || p(2) != 'F' ||
         p(3) != '8' || !(p(4) == '7' || p(4) == '9') || p(5) != 'a')
@@ -1643,7 +1647,7 @@ object Multimodal {
           val h = le16(p, pos + 7)
           val ip = p(pos + 9) & 0xff
           pos += 10
-          if ((ip & 0x40) != 0) return None // interlaced: out of scope
+          val interlaced = (ip & 0x40) != 0
           var pal = gct
           if ((ip & 0x80) != 0) {
             val n = 1 << ((ip & 7) + 1)
@@ -1656,10 +1660,27 @@ object Multimodal {
           val bb = new java.io.ByteArrayOutputStream()
           var n = p(pos) & 0xff; pos += 1
           while (n != 0) { bb.write(p, pos, n); pos += n; n = p(pos) & 0xff; pos += 1 }
-          val idx = lzwDecode(bb.toByteArray, minCode, w * h) match {
+          val seqIdx = lzwDecode(bb.toByteArray, minCode, w * h) match {
             case Some(a) => a
             case None => return None
           }
+          // GIF89a appendix E: interlaced frames store rows in four
+          // passes (rows 0,8,16…; 4,12…; 2,6…; 1,3,5…). De-interlace by
+          // scattering each stored row to its display position.
+          val idx =
+            if (!interlaced) seqIdx
+            else {
+              val out2 = new Array[Byte](w * h)
+              var sy = 0
+              for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+                var dy = start
+                while (dy < h) {
+                  System.arraycopy(seqIdx, sy * w, out2, dy * w, w)
+                  sy += 1; dy += step
+                }
+              }
+              out2
+            }
           val out = new Array[Byte](w * h * 3)
           var i = 0
           while (i < w * h) {
@@ -1678,9 +1699,89 @@ object Multimodal {
     if (buf.isEmpty) None else Some(buf.toIndexedSeq)
   } catch { case _: Exception => None }
 
-  /** REAL frame sampling over a decoded GIF: all frames when the clip has
-    * ≤ n, else the n evenly-spaced frames at indices ⌊i·f/n⌋ (exact
-    * integer arithmetic — the oracle's Python twin replays it). */
+  /** REAL Motion-JPEG-in-AVI decode (specs: Microsoft RIFF/AVI 1.0
+    * container layout + ITU-T T.81 for the frame payloads) — pure JVM:
+    * walks the RIFF chunk tree (`RIFF('AVI ' LIST('hdrl' …) LIST('movi'
+    * …))`, word-aligned chunks), collects the video-data chunks inside
+    * `movi` (fourcc `##dc`/`##db`, compressed/uncompressed DIB naming —
+    * MJPEG payloads are JFIF streams either way; frames may also sit one
+    * LIST('rec ') deeper, the interleave grouping the spec allows), and
+    * hands each payload to the engine's own JPEG decoder ([[decodeJpeg]] /
+    * [[decodeJpegProgressive]] via [[decodePixels]]). Headers (`avih`,
+    * `strh`/`strf`) are validated for presence but frame geometry is
+    * taken from each decoded JPEG — per the MJPEG convention every frame
+    * is a standalone JFIF image. None on anything malformed. */
+  def decodeAviFrames(p: Array[Byte]): Option[IndexedSeq[PixelImage]] = try {
+    if (p.length < 24 || p(0) != 'R' || p(1) != 'I' || p(2) != 'F' ||
+        p(3) != 'F' || p(8) != 'A' || p(9) != 'V' || p(10) != 'I' ||
+        p(11) != ' ') return None
+    val riffEnd = math.min(p.length, 8 + le32(p, 4))
+    val buf = scala.collection.mutable.ArrayBuffer.empty[PixelImage]
+    var sawHdrl = false
+
+    def fourcc(i: Int): String =
+      new String(p, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    // collect ##dc/##db frame chunks within [from, to); rec lists recurse
+    def walkFrames(from: Int, to: Int): Boolean = { // false = malformed
+      var pos = from
+      while (pos + 8 <= to) {
+        val fc = fourcc(pos)
+        val sz = le32(p, pos + 4)
+        if (sz < 0 || pos + 8 + sz > to) return false
+        if (fc == "LIST" && sz >= 4 && fourcc(pos + 8) == "rec ") {
+          if (!walkFrames(pos + 12, pos + 8 + sz)) return false
+        } else if (fc.length == 4 && fc(0).isDigit && fc(1).isDigit &&
+                   (fc.substring(2) == "dc" || fc.substring(2) == "db")) {
+          val frame = java.util.Arrays.copyOfRange(p, pos + 8, pos + 8 + sz)
+          decodePixels(frame) match {
+            case Some(img) => buf += img
+            case None => return false // a video chunk that isn't JPEG
+          }
+        } // else: audio chunks (##wb), idx1 inside rec, etc. — skip
+        pos += 8 + sz + (sz & 1) // RIFF word alignment
+      }
+      true
+    }
+
+    var pos = 12
+    while (pos + 8 <= riffEnd) {
+      val fc = fourcc(pos)
+      val sz = le32(p, pos + 4)
+      if (sz < 0 || pos + 8 + sz > riffEnd) return None
+      if (fc == "LIST" && sz >= 4) {
+        fourcc(pos + 8) match {
+          case "hdrl" => sawHdrl = true
+          case "movi" => if (!walkFrames(pos + 12, pos + 8 + sz)) return None
+          case _ => // INFO etc.
+        }
+      } // top-level idx1 / JUNK: skip
+      pos += 8 + sz + (sz & 1)
+    }
+    if (!sawHdrl || buf.isEmpty) None else Some(buf.toIndexedSeq)
+  } catch { case _: Exception => None }
+
+  /** Container-dispatching video decode: animated GIF or MJPEG-in-AVI. */
+  def decodeVideoFrames(p: Array[Byte]): Option[IndexedSeq[PixelImage]] =
+    if (p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F')
+      decodeGifFrames(p)
+    else if (p.length >= 12 && p(0) == 'R' && p(1) == 'I') decodeAviFrames(p)
+    else None
+
+  /** REAL frame sampling over a decoded clip (GIF or MJPEG-AVI): all
+    * frames when the clip has ≤ n, else the n evenly-spaced frames at
+    * indices ⌊i·f/n⌋ (exact integer arithmetic — the oracle's Python twin
+    * replays it). */
+  def sampleVideoFrames(p: Array[Byte],
+                        n: Int): Option[IndexedSeq[PixelImage]] =
+    if (n <= 0) None
+    else decodeVideoFrames(p).map { fs =>
+      if (fs.length <= n) fs
+      else IndexedSeq.tabulate(n)(i => fs(i * fs.length / n))
+    }
+
+  /** GIF-only sampling (kept for compatibility; [[sampleVideoFrames]] is
+    * the registered path and adds the AVI container). */
   def sampleGifFrames(p: Array[Byte],
                       n: Int): Option[IndexedSeq[PixelImage]] =
     if (n <= 0) None
@@ -1694,15 +1795,15 @@ object Multimodal {
   case class VideoFrameStats(doc_id: Long, frame_ix: Int, width: Int,
                              height: Int, luma_sum: Long, n_pixels: Int)
 
-  /** Partition-batched GIF decode → evenly-sampled frames → per-frame
-    * luminance statistics; payloads that do not GIF-decode are dropped
-    * (q_media_video runs on the fixture catalog, where every payload
-    * decodes). Frames themselves never leave executors. */
+  /** Partition-batched clip decode (GIF or MJPEG-AVI) → evenly-sampled
+    * frames → per-frame luminance statistics; payloads that do not decode
+    * are dropped (q_media_video runs on the fixture catalog, where every
+    * payload decodes). Frames themselves never leave executors. */
   def videoFrameStatsAll(media: Dataset[MediaRecord],
                          n: Int): Dataset[VideoFrameStats] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { r =>
-      sampleGifFrames(r.payload, n).toSeq.flatMap { frames =>
+      sampleVideoFrames(r.payload, n).toSeq.flatMap { frames =>
         frames.zipWithIndex.map { case (img, ix) =>
           val np = img.width * img.height
           var s = 0L; var i = 0
@@ -1720,9 +1821,11 @@ object Multimodal {
     "wav16_mono.wav", "wav16_stereo.wav", "wav8_mono.wav",
     "wav16_chunks.wav")
 
-  /** The committed video (GIF) fixtures; doc_id = −(200+pos+1). */
+  /** The committed video fixtures (animated GIF incl. an interlaced one,
+    * and an MJPEG AVI); doc_id = −(200+pos+1). */
   val VideoFixtureNames: Seq[String] = Seq(
-    "gif_anim.gif", "gif_single.gif", "gif_lct.gif", "gif_wide.gif")
+    "gif_anim.gif", "gif_single.gif", "gif_lct.gif", "gif_wide.gif",
+    "gif_interlaced.gif", "avi_mjpeg.avi")
 
   private def fixtureCatalog(spark: SparkSession, names: Seq[String],
                              base: Int,

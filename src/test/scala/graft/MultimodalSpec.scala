@@ -447,6 +447,50 @@ class MultimodalSpec extends SparkSpec {
     assert(anim.length == 4)
   }
 
+  test("gif decode: interlace-flagged frames are de-interlaced to display " +
+    "row order (four-pass scatter)") {
+    val frames =
+      Multimodal.decodeGifFrames(fixtureBytes("gif_interlaced.gif")).get
+    assert(frames.length == 3)
+    assert(frames.forall(f => f.width == 9 && f.height == 13 && f.channels == 3))
+    def lumaMean(img: Multimodal.PixelImage): Double = {
+      val n = img.width * img.height
+      (0 until n).map(Multimodal.luma(img, _)).sum.toDouble / n
+    }
+    // expected values from make_video_fixtures.py over the DISPLAY-order
+    // pattern — ignoring the interlace flag would permute rows and shift
+    // per-frame lumas (patterns carry an x*y*f cross term)
+    assert(lumaMean(frames(0)) == 121.78632478632478)
+    assert(lumaMean(frames(1)) == 114.41880341880342)
+    assert(lumaMean(frames(2)) == 121.56410256410257)
+  }
+
+  test("avi decode: MJPEG frames found through hdrl/movi/rec walk and " +
+    "decoded by the engine's JPEG path; audio chunks skipped") {
+    val frames = Multimodal.decodeAviFrames(fixtureBytes("avi_mjpeg.avi")).get
+    assert(frames.length == 5)
+    assert(frames.forall(f => f.width == 16 && f.height == 8 && f.channels == 3))
+    def lumaMean(img: Multimodal.PixelImage): Double = {
+      val n = img.width * img.height
+      (0 until n).map(Multimodal.luma(img, _)).sum.toDouble / n
+    }
+    // decoder-twin values (make_video_fixtures.py): frames 0,1 and the
+    // rec'-nested frame 3
+    assert(lumaMean(frames(0)) == 126.4453125)
+    assert(lumaMean(frames(1)) == 125.28125)
+    assert(lumaMean(frames(3)) == 129.9921875)
+  }
+
+  test("avi decode: malformed containers return None") {
+    val good = fixtureBytes("avi_mjpeg.avi")
+    assert(Multimodal.decodeAviFrames(good.take(60)).isEmpty)   // truncated
+    assert(Multimodal.decodeAviFrames("RIFFxxxxAVI but no".getBytes).isEmpty)
+    assert(Multimodal.decodeAviFrames("plain text".getBytes).isEmpty)
+    // video sampler dispatches on container magic
+    assert(Multimodal.sampleVideoFrames(good, 3).get.length == 3)
+    assert(Multimodal.sampleVideoFrames(good, 9).get.length == 5)
+  }
+
   test("framesAll: REAL frame profile for GIF payloads, stub for text") {
     val media = Multimodal.fixtureVideo(spark)
     val rows = Multimodal.framesAll(media, 4).collect()
@@ -468,7 +512,7 @@ class MultimodalSpec extends SparkSpec {
     assert(a.count() == 4)
     val v = Multimodal.videoFrameStatsAll(
       Multimodal.fixtureVideo(spark).repartition(3), 3)
-    assert(v.count() == 10)
+    assert(v.count() == 16) // 10 GIF + 3 interlaced-GIF + 3 AVI rows
   }
 
   test("dataset plumbing: binary payloads decode per-partition, rows preserved") {
