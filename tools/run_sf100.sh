@@ -4,13 +4,18 @@
 # the graph family's scale evidence stays at sf10.
 # Runs the 16 doc/embedding queries (13 standing + the r6 directive's
 # q_dedup_components / q_dedup_corpus / q_embed_dup_capped) plus the
-# events-based r6 analytics with bounded outputs (q_ks_drift, q_funnel,
-# q_cohort_retention, q_gini_users, q_psi_drift).
+# events/documents-based r6 analytics with bounded or linear outputs
+# (q_ks_drift, q_funnel, q_cohort_retention, q_gini_users, q_psi_drift,
+# q_media_frames, q_media_meta). Excluded with reasons: q_pagerank /
+# q_hits / q_triangles read the unscaled nation/orders graph (absent
+# from the docs-only tier); q_scd2_intervals emits one row per
+# event-type run (~80M rows at this tier) — its 10x evidence is the
+# full-registry sf10 sweep.
 set -x
 cd /root/repo
 export SPARK_GRAFT_CPUS=24
 CP="/opt/spark/jars/*:target/scala-2.13/classes"
-QUERIES="q_ann_ivf q_ann_lsh q_bm25_top q_dedup_exact q_dedup_incr q_dup_ngrams q_jaccard_prefix q_kmeans_centroids q_knn_cosine q_minhash_dedup q_quality_lr q_simhash_pairs q_unigram_lm q_dedup_components q_dedup_corpus q_embed_dup_capped q_ks_drift q_funnel q_cohort_retention q_gini_users q_psi_drift"
+QUERIES="q_ann_ivf q_ann_lsh q_bm25_top q_dedup_exact q_dedup_incr q_dup_ngrams q_jaccard_prefix q_kmeans_centroids q_knn_cosine q_minhash_dedup q_quality_lr q_simhash_pairs q_unigram_lm q_dedup_components q_dedup_corpus q_embed_dup_capped q_ks_drift q_funnel q_cohort_retention q_gini_users q_psi_drift q_media_frames q_media_meta"
 java -cp "$CP" graft.ScaleUp testdata_local/sf10 testdata_local/sf100 10 documents,embeddings,events 2>&1 | grep -E "scaleup|Error" | tail -3
 echo "=== scaleup done $(date) ==="
 java -cp "$CP" graft.Verify testdata_local/sf100 /tmp/out_sf100 $QUERIES 2>&1 | grep -E "^\[verify\]" | tail -8
