@@ -58,6 +58,9 @@ object SparkEntry {
     "q_embed_dup"      -> ((s, d) => SimilarityQueries.embedDupPairs(s, d)),
     "q_embed_dup_capped" -> ((s, d) => SimilarityQueries.embedDupCapped(s, d)),
     "q_ann_ivf"        -> ((s, d) => SimilarityQueries.annIvf(s, d)),
+    "q_pq_codebooks"   -> ((s, d) => SimilarityQueries.pqCodebooks(s, d)),
+    "q_pq_codes"       -> ((s, d) => SimilarityQueries.pqCodes(s, d)),
+    "q_ann_pq"         -> ((s, d) => SimilarityQueries.annPq(s, d)),
     "q_label_centroids" -> ((s, d) => SimilarityQueries.labelCentroids(s, d)),
     "q_kmeans_centroids" -> ((s, d) => SimilarityQueries.kmeansProfile(s, d)),
     "q_subword_stats"  -> ((s, d) => TextQueries.subwordStats(s, d)),
@@ -246,6 +249,59 @@ object SparkEntry {
          c2 AS (SELECT c1.cid, coalesce(n2.cv, c1.cv) AS cv FROM c1
            LEFT JOIN (SELECT cid, list(m ORDER BY i) AS cv FROM m2 GROUP BY 1) n2
            USING (cid))"""
+
+  /** Shared WITH-prefix of the PQ oracle family — the DuckDB replay of
+    * [[graft.queries.SimilarityQueries.kmeansL2]]: the embedding frame,
+    * all four sub-codebook fits (two L2 Lloyd rounds each from
+    * lowest-vec_id seeds; argmin-d² assignment with tie → lowest cid;
+    * 6-dp mean grid; empty cells keep their previous centroid) and the
+    * final full-catalog code assignment per subspace. d² =
+    * (‖v‖² − 2·v·c) + ‖c‖² with every dot a sequential fold matching the
+    * engine's codegen association, so centroids AND codes replay
+    * bit-for-bit. */
+  private val PqCte: String = {
+    // each subspace needs rounds 1..2 for the fit plus a round-3
+    // assignment (x/s only) against the final codebook k*_2
+    def sub(j: Int): String = {
+      val lo = j * SimilarityQueries.PqSubDim + 1
+      val hi = (j + 1) * SimilarityQueries.PqSubDim
+      def lloyd(r: Int, prev: String): String =
+        s"""x${j}_$r AS (SELECT e.vec_id, e.sv, c.cid,
+               (e.vn2 - 2*list_dot_product(e.sv, c.cv)) + list_dot_product(c.cv, c.cv) AS d2
+             FROM e${j}n e CROSS JOIN $prev c),
+           s${j}_$r AS (SELECT vec_id, sv, cid, d2 FROM (
+               SELECT vec_id, sv, cid, d2,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+               FROM x${j}_$r) WHERE rn = 1),
+           m${j}_$r AS (SELECT cid, i, round(avg(sv[i]), 6) AS m
+             FROM s${j}_$r, range(1, ${SimilarityQueries.PqSubDim + 1}) t(i) GROUP BY 1, 2),
+           k${j}_$r AS (SELECT k.cid, coalesce(n.cv, k.cv) AS cv FROM $prev k
+             LEFT JOIN (SELECT cid, list(m ORDER BY i) AS cv FROM m${j}_$r GROUP BY 1) n
+             USING (cid))"""
+      s"""e${j}n AS MATERIALIZED (SELECT vec_id, v[$lo:$hi] AS sv,
+             list_dot_product(v[$lo:$hi], v[$lo:$hi]) AS vn2 FROM pqemb),
+         k${j}_0 AS (SELECT vec_id AS cid, sv AS cv FROM e${j}n
+             WHERE vec_id < ${SimilarityQueries.PqK}),
+         ${lloyd(1, s"k${j}_0")},
+         ${lloyd(2, s"k${j}_1")},
+         x${j}_3 AS (SELECT e.vec_id, c.cid,
+             (e.vn2 - 2*list_dot_product(e.sv, c.cv)) + list_dot_product(c.cv, c.cv) AS d2
+           FROM e${j}n e CROSS JOIN k${j}_2 c),
+         f$j AS (SELECT vec_id, $j AS sub, cid AS code, d2 FROM (
+             SELECT vec_id, cid, d2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+             FROM x${j}_3) WHERE rn = 1)"""
+    }
+    """WITH pqemb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+       """ + (0 until SimilarityQueries.PqSub).map(sub).mkString(",\n       ") +
+      s""",
+       pqcb AS (${(0 until SimilarityQueries.PqSub)
+        .map(j => s"SELECT $j AS sub, cid, cv FROM k${j}_2")
+        .mkString(" UNION ALL ")}),
+       pqcodes AS (${(0 until SimilarityQueries.PqSub)
+        .map(j => s"SELECT * FROM f$j").mkString(" UNION ALL ")})"""
+  }
 
   /** The sign-LSH bucket id as SQL (VERDICT r4 #5): the 4 hyperplanes are
     * deterministic compile-time constants (Similarity.Planes, seeded RNG),
@@ -1022,6 +1078,35 @@ object SparkEntry {
          SELECT query_id, neighbor_id, cosine,
                 row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
          FROM j QUALIFY rank <= 3 ORDER BY query_id, rank"""),
+    // PQ family (Jégou et al. 2011): all four sub-codebook fits replay as
+    // the PqCte unrolled Lloyd rounds — centroid components, codes and
+    // ADC ranks must all match bit-for-bit
+    "q_pq_codebooks" ->
+      (PqCte +
+        s""" SELECT sub, cid, i - 1 AS dim, cv[i] AS mean_val
+         FROM pqcb, range(1, ${SimilarityQueries.PqSubDim + 1}) t(i)
+         ORDER BY sub, cid, dim"""),
+    "q_pq_codes" ->
+      (PqCte +
+        """ SELECT vec_id, sub, code, round(d2, 6) AS dist2
+         FROM pqcodes WHERE vec_id < 100 ORDER BY vec_id, sub"""),
+    "q_ann_pq" ->
+      (PqCte +
+        """, lut AS (SELECT e.query_id, e.sub, c.cid,
+             CAST(round((e.qn2 - 2*list_dot_product(e.qv, c.cv))
+                        + list_dot_product(c.cv, c.cv), 6) AS DECIMAL(18,6)) AS qd2
+           FROM (""" +
+        (0 until SimilarityQueries.PqSub).map { j =>
+          s"""SELECT vec_id AS query_id, $j AS sub, sv AS qv, vn2 AS qn2
+              FROM e${j}n WHERE vec_id < 10"""
+        }.mkString(" UNION ALL ") +
+        """) e JOIN pqcb c USING (sub)),
+         adc AS (SELECT l.query_id, c.vec_id AS neighbor_id, sum(l.qd2) AS adc
+           FROM pqcodes c JOIN lut l ON l.sub = c.sub AND l.cid = c.code
+           WHERE c.vec_id != l.query_id GROUP BY 1, 2)
+         SELECT query_id, neighbor_id, round(CAST(adc AS DOUBLE), 6) AS adc_dist,
+                row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank
+         FROM adc QUALIFY rank <= 3 ORDER BY query_id, rank"""),
     // DECIMAL accumulation on both sides: order-independent exact sums, so
     // Spark's partial-merge order and DuckDB's parallel fold agree at ANY
     // SF (doubles diverge in the 6th decimal past ~10^5 rows). Product

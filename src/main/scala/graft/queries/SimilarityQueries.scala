@@ -790,4 +790,152 @@ object SimilarityQueries {
         $"b.vec_id".as("vec_b"), round($"cos", 6).as("cosine"))
       .orderBy($"vec_a", $"vec_b")
   }
+
+  // ---------------------------------------------------------------------
+  // Product quantization (Jégou, Douze & Schmid 2011, "Product
+  // Quantization for Nearest Neighbor Search", IEEE TPAMI) — the
+  // billion-scale ANN compression standard (FAISS IVF-PQ shape): the
+  // 64-dim space splits into PqSub=4 disjoint 16-dim subspaces, each
+  // fitted with its own PqK=16-centroid L2 k-means codebook, so every
+  // vector compresses to 4 bytes of codes and query distance is
+  // approximated by Asymmetric Distance Computation (ADC): a per-query
+  // 4×16 lookup table of exact query-subvector→centroid distances,
+  // summed per candidate via its codes. At 100 TB the catalog is scanned
+  // as codes only (16 B/vec incl. id), the lookup tables broadcast, and
+  // the only shuffle is the (query, candidate) partial+final sum.
+  // ---------------------------------------------------------------------
+
+  /** Number of PQ subspaces (m in the paper). */
+  val PqSub = 4
+  /** Dims per subspace: 64 / PqSub. */
+  val PqSubDim = 16
+  /** Centroids per sub-codebook (k*): 4-bit codes. */
+  val PqK = 16
+
+  /** Squared-L2 Lloyd iterations over a (vec_id, v) frame — the PQ
+    * sub-codebook fitter. Same doctrine as the cosine [[kmeansCentroids]]
+    * (lowest-vec_id seeds, argmin assignment with tie → lowest cid as a
+    * min_by partial+final aggregate, 6-dp mean grid, empty cells keep the
+    * previous centroid, localCheckpoint keeps the k-row plan constant),
+    * but with the metric PQ requires: d² = (‖v‖² − 2·v·c) + ‖c‖², every
+    * term a sequential-fold dot both engines evaluate identically, so the
+    * whole fit replays bit-for-bit in the DuckDB oracle's unrolled CTEs.
+    * Returns (cid, cv, cn2). */
+  private[graft] def kmeansL2(sub: DataFrame, k: Int, iters: Int): DataFrame = {
+    import sub.sparkSession.implicits._
+    var cents = sub.filter($"vec_id" < k)
+      .select($"vec_id".as("cid"), $"v".as("cv"),
+        Similarity.dot($"v", $"v").as("cn2"))
+      .localCheckpoint()
+    val base = sub.withColumn("vn2", Similarity.dot($"v", $"v"))
+    for (_ <- 0 until iters) {
+      val assigned = base.crossJoin(broadcast(cents))
+        .withColumn("d2",
+          ($"vn2" - lit(2.0) * Similarity.dot($"v", $"cv")) + $"cn2")
+        .groupBy($"vec_id")
+        .agg(min_by(struct($"cid", $"v"), struct($"d2", $"cid")).as("best"))
+        .select($"best.cid".as("cid"), $"best.v".as("v"))
+      val means = assigned
+        .select($"cid", posexplode($"v").as(Seq("dim", "x")))
+        .groupBy($"cid", $"dim").agg(round(avg($"x"), 6).as("m"))
+        .groupBy($"cid")
+        .agg(transform(array_sort(collect_list(struct($"dim", $"m"))),
+          s => s.getField("m")).as("cv"))
+      cents = cents.as("old")
+        .join(means.as("nw"), Seq("cid"), "left")
+        .select($"cid", coalesce($"nw.cv", $"old.cv").as("cv"))
+        .withColumn("cn2", Similarity.dot($"cv", $"cv"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** The four fitted sub-codebooks as one (sub, cid, cv, cn2) frame plus
+    * the full-catalog code assignment (vec_id, sub, code, d2): each
+    * subspace slices its 16 dims map-side, fits [[kmeansL2]], and assigns
+    * via a broadcast 16-row crossJoin + min_by argmin — the per-vector
+    * cost is 4 subspaces × 16 centroids of 16-dim dots, and no stage ever
+    * shuffles the vectors themselves. */
+  private def pqFit(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val perSub = (0 until PqSub).map { j =>
+      val sub = emb.select($"vec_id",
+        slice($"v", j * PqSubDim + 1, PqSubDim).as("v"))
+      val cb = kmeansL2(sub, PqK, KmeansIters)
+        .withColumn("sub", lit(j))
+      val codes = sub.withColumn("vn2", Similarity.dot($"v", $"v"))
+        .crossJoin(broadcast(cb.select($"cid", $"cv", $"cn2")))
+        .withColumn("d2",
+          ($"vn2" - lit(2.0) * Similarity.dot($"v", $"cv")) + $"cn2")
+        .groupBy($"vec_id")
+        .agg(min_by(struct($"cid", $"d2"), struct($"d2", $"cid")).as("best"))
+        .select($"vec_id", lit(j).as("sub"),
+          $"best.cid".as("code"), $"best.d2".as("d2"))
+      (cb, codes)
+    }
+    (perSub.map(_._1).reduce(_ unionByName _),
+      perSub.map(_._2).reduce(_ unionByName _))
+  }
+
+  /** q_pq_codebooks — the fitted PQ codebooks as a (sub, cid, dim,
+    * mean_val) profile, the ORACLE-CHECKED face of the trainer: DuckDB
+    * unrolls both Lloyd rounds per subspace (same seeds, argmin tiebreak
+    * and 6-dp grid) and must reproduce all 4×16×16 components
+    * bit-for-bit. */
+  def pqCodebooks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pqFit(spark, dir)._1
+      .select($"sub", $"cid", posexplode($"cv").as(Seq("dim", "mean_val")))
+      .orderBy($"sub", $"cid", $"dim")
+  }
+
+  /** q_pq_codes — the 4-byte PQ code of each probe vector (vec_id < 100,
+    * the bounded-output convention of q_embed_norm) with its quantization
+    * error d². The full catalog is encoded; the probe filter only bounds
+    * Verify output. */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pqFit(spark, dir)._2
+      .filter($"vec_id" < 100)
+      .select($"vec_id", $"sub", $"code", round($"d2", 6).as("dist2"))
+      .orderBy($"vec_id", $"sub")
+  }
+
+  /** q_ann_pq — ADC approximate nearest neighbors: for each query
+    * (vec_id < 10) precompute the exact query-subvector→centroid d² table
+    * (PqSub × PqK rows, 6-dp-quantized into DECIMAL so the 4-term
+    * per-candidate fold is order-exact), broadcast it, scan the code
+    * catalog once joining on (sub, code), and sum per (query, candidate).
+    * Top-3 per query, tie → lowest neighbor_id. This is the PQ paper's
+    * ADC (eq. 13) in partial+final aggregate form — the codes never
+    * shuffle more than their (query, candidate) partial sums. */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (cb, codes) = pqFit(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val qsub = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"),
+        explode(array((0 until PqSub).map(j => struct(lit(j).as("sub"),
+          slice($"v", j * PqSubDim + 1, PqSubDim).as("qv"))): _*)).as("s"))
+      .select($"query_id", $"s.sub".as("sub"), $"s.qv".as("qv"))
+      .withColumn("qn2", Similarity.dot($"qv", $"qv"))
+    val lut = qsub.join(broadcast(cb), Seq("sub"))
+      .select($"query_id", $"sub", $"cid",
+        round(($"qn2" - lit(2.0) * Similarity.dot($"qv", $"cv")) + $"cn2", 6)
+          .cast("decimal(18,6)").as("qd2"))
+    val adc = codes.join(broadcast(lut),
+        codes("sub") === lut("sub") && codes("code") === lut("cid") &&
+          codes("vec_id") =!= lut("query_id"))
+      .groupBy($"query_id", codes("vec_id").as("neighbor_id"))
+      .agg(sum($"qd2").as("adc"))
+    val w = Window.partitionBy($"query_id").orderBy($"adc", $"neighbor_id")
+    adc.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"query_id", $"neighbor_id",
+        round($"adc".cast("double"), 6).as("adc_dist"), $"rank")
+      .orderBy($"query_id", $"rank")
+  }
 }

@@ -201,4 +201,55 @@ class SimilaritySpec extends SparkSpec {
       assert(c <= knnTop(q) + 1e-9, s"ann top-1 for $q beats brute force")
     }
   }
+
+  test("PQ: codebook shape, code range, deterministic fit (sf0.001)") {
+    val cb = SimilarityQueries.pqCodebooks(sql, sf).collect()
+    // PqSub codebooks × PqK centroids × PqSubDim dims, every component on
+    // the 6-dp grid (or a raw seed component for never-updated cells)
+    assert(cb.length ==
+      SimilarityQueries.PqSub * SimilarityQueries.PqK * SimilarityQueries.PqSubDim)
+    assert(cb.map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).distinct.length == cb.length)
+    val again = SimilarityQueries.pqCodebooks(sql, sf).collect()
+    assert(cb.map(_.toString).sameElements(again.map(_.toString)), "fit must be deterministic")
+    val codes = SimilarityQueries.pqCodes(sql, sf).collect()
+    assert(codes.nonEmpty && codes.length % SimilarityQueries.PqSub == 0)
+    codes.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) < SimilarityQueries.PqK, "code out of range")
+      assert(r.getDouble(3) >= 0.0, "quantization error is a squared distance")
+    }
+  }
+
+  test("PQ ADC: rank law and agreement with exact reconstruction distance") {
+    val adc = SimilarityQueries.annPq(sql, sf).collect()
+    val byQ = adc.groupBy(_.getLong(0))
+    byQ.foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(3)).sorted.sameElements(1 to rows.length))
+      // adc_dist non-decreasing in rank
+      val sorted = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b + 1e-9 })
+      assert(sorted.forall(_ >= 0.0), "ADC distance is a sum of squared distances")
+    }
+    // ADC distance for (q, c) must equal the sum of the per-subspace exact
+    // query→centroid d² terms under c's codes — recompute driver-side
+    val emb = graft.sources.Tables.embeddings(sql, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val cbm = SimilarityQueries.pqCodebooks(sql, sf).collect()
+      .groupBy(r => (r.getInt(0), r.getLong(1)))
+      .view.mapValues(_.sortBy(_.getInt(2)).map(_.getDouble(3))).toMap
+    val codes = SimilarityQueries.pqCodes(sql, sf).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2))).toMap
+    adc.filter(r => codes.contains(r.getLong(1))).foreach { r =>
+      val (q, c) = (r.getLong(0), r.getLong(1))
+      val expect = (0 until SimilarityQueries.PqSub).map { j =>
+        val qs = emb(q).slice(j * SimilarityQueries.PqSubDim, (j + 1) * SimilarityQueries.PqSubDim)
+        val cv = cbm((j, codes(c)(j)))
+        val d2 = qs.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum
+        BigDecimal(d2).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      assert((BigDecimal(r.getDouble(2)) - expect).abs <= BigDecimal("0.000004"),
+        s"ADC($q,$c)=${r.getDouble(2)} != driver replay $expect")
+    }
+  }
 }
