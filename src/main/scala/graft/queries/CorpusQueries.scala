@@ -715,6 +715,68 @@ object CorpusQueries {
       .limit(50)
   }
 
+  /** Merge iterations of the [[bpeTrain]] greedy loop. */
+  val BpeMerges = 8
+
+  /** Iterative BPE trainer (Sennrich et al. 2016) — [[BpeMerges]] greedy
+    * merge rounds, the full algorithm whose single representative step is
+    * [[bpePairs]]: each round counts adjacent symbol pairs over the
+    * CURRENT vocabulary segmentation (weighted by word frequency,
+    * overlapping positions counted per occurrence as in the reference
+    * implementation), merges the argmax pair (tie → lexicographically
+    * smallest), re-segments, and repeats. Output is the learned merge
+    * table — the artifact a tokenizer ships.
+    *
+    * Representation: a word's segmentation is its symbols each wrapped in
+    * angle brackets ("per" → "<p><e><r>"), so a merge is a plain
+    * left-to-right non-overlapping string replace of "<p><e>" with
+    * "<pe>" — symbol boundaries can never false-match (tokens are
+    * bracket-free; non-[a-z]+ tokens are excluded up front) and both
+    * engines' `replace` share the greedy scan BPE prescribes.
+    *
+    * Scale shape: the ONLY corpus-sized shuffle is the one token→vocab
+    * groupBy (Heaps' law: vocab ≪ corpus); each round then runs
+    * vocabulary-side — a pair explode (fan-out = word length), one
+    * partial+final pair count, a 1-row min_by argmax broadcast back, and
+    * a map-only replace — with localCheckpoint pinning the vocab plan
+    * constant across rounds (the dedupComponents/kmeans iteration
+    * doctrine). The DuckDB oracle unrolls all [[BpeMerges]] rounds as
+    * CTEs and must reproduce every merge and count exactly. */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = Tables.documents(spark, dir)
+      .select(explode(Text.tokenize($"text")).as("word"))
+      .filter($"word".rlike("^[a-z]+$"))
+      .groupBy($"word").agg(count(lit(1)).as("f"))
+    var vocab = words
+      .select(concat_ws("",
+        transform(split($"word", ""), c => concat(lit("<"), c, lit(">")))).as("seg"),
+        $"f")
+      .localCheckpoint()
+    val rounds = (1 to BpeMerges).map { it =>
+      val syms = vocab
+        .select($"seg", $"f",
+          split(expr("substring(seg, 2, length(seg) - 2)"), "><").as("sy"))
+        .filter(size($"sy") >= 2)
+      val best = syms
+        .select($"f", explode(expr(
+          "transform(sequence(1, size(sy) - 1)," +
+            " i -> concat('<', sy[i-1], '><', sy[i], '>'))")).as("pair"))
+        .groupBy($"pair").agg(sum($"f").as("n"))
+        .agg(min_by(struct($"pair", $"n"), struct(-$"n", $"pair")).as("b"))
+        .select($"b.pair".as("pair"),
+          expr("replace(b.pair, '><', '')").as("merged"), $"b.n".as("n"))
+        .localCheckpoint()
+      vocab = vocab.crossJoin(broadcast(best.select($"pair", $"merged")))
+        .select(expr("replace(seg, pair, merged)").as("seg"), $"f")
+        .localCheckpoint()
+      best.withColumn("it", lit(it))
+    }
+    rounds.reduce(_ unionByName _)
+      .select($"it", $"pair", $"merged", $"n")
+      .orderBy($"it")
+  }
+
   /** Interpolation weight of [[bigramLm]] on the bigram MLE; the
     * complement backs off to the unigram distribution. */
   val BigramLambda = 0.75

@@ -172,4 +172,53 @@ class CorpusSpec extends SparkSpec {
         org.apache.spark.sql.functions.col("c_custkey"))
     assert(joined.count() == plain.count())
   }
+
+  test("bpeTrain: merges match a driver-side reference BPE on a constructed corpus") {
+    val sql = SparkSpec.spark
+    import sql.implicits._
+    // independent greedy-BPE replay: same conventions (overlapping pair
+    // counts, argmax with (n desc, pair asc) on the bracket-wrapped
+    // representation, left-to-right non-overlapping replace)
+    def replay(vocab0: Map[String, Long], m: Int): Seq[(Int, String, String, Long)] = {
+      var vocab = vocab0.map { case (w, f) =>
+        w.map(c => s"<$c>").mkString -> f
+      }
+      (1 to m).map { it =>
+        val counts = scala.collection.mutable.Map.empty[String, Long]
+        vocab.foreach { case (seg, f) =>
+          val sy = seg.substring(1, seg.length - 1).split("><")
+          sy.indices.dropRight(1).foreach { i =>
+            val p = s"<${sy(i)}><${sy(i + 1)}>"
+            counts(p) = counts.getOrElse(p, 0L) + f
+          }
+        }
+        val (pair, n) = counts.toSeq.minBy { case (p, c) => (-c, p) }
+        val merged = pair.replace("><", "")
+        vocab = vocab.groupMapReduce(kv => kv._1.replace(pair, merged))(_._2)(_ + _)
+        (it, pair, merged, n)
+      }
+    }
+    val dirPath = java.nio.file.Files.createTempDirectory("graft-bpe")
+    try {
+      val docs = Seq(
+        (1L, "low low low low low lower lower", "en", "a", 10L),
+        (2L, "newest newest newest newest newest newest widest", "en", "a", 10L),
+        (3L, "widest widest newest lower low", "en", "a", 10L))
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dirPath/documents.parquet")
+      val words = docs.flatMap(_._2.split("\\s+")).groupMapReduce(identity)(_ => 1L)(_ + _)
+      val expect = replay(words, CorpusQueries.BpeMerges)
+      val got = CorpusQueries.bpeTrain(spark, dirPath.toString).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      assert(got == expect, s"engine merges\n  $got\nreference merges\n  $expect")
+      // argmax-count law: the merged count never increases round-over-round
+      val ns = got.map(_._4)
+      assert(ns.zip(ns.tail).forall { case (a, b) => b <= a })
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_: java.nio.file.Path))
+    }
+  }
 }
