@@ -120,6 +120,7 @@ object SparkEntry {
     "q_corpus_card"    -> ((s, d) => PipelineQueries.corpusCard(s, d)),
     "q_semantic_dedup" -> ((s, d) => SimilarityQueries.semanticDedup(s, d)),
     "q_salted_join"    -> ((s, d) => RelationalQueries.saltedJoin(s, d)),
+    "q_zorder_stats"   -> ((s, d) => RelationalQueries.zorderStats(s, d)),
     // --- round-4 additions: substring-level dedup, repetition profile,
     // --- unigram-LM scoring, per-stratum quantile gate, skip-grams,
     // --- deterministic HLL, int8 embedding quant, bucketed join ---
@@ -1718,6 +1719,18 @@ object SparkEntry {
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events e JOIN customer c ON e.user_id = c.c_custkey
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // Morton z-value replayed as explicit shift/and/or arithmetic — the
+    // bit interleave must match Sinks.zValue term for term
+    "q_zorder_stats" ->
+      (s"""WITH e AS (SELECT user_id % 256 AS x,
+             CAST(floor(value) AS BIGINT) % 256 AS y FROM events),
+         z AS (SELECT x, y, ${(0 until 8).map(i =>
+        s"(((x >> $i) & 1) << ${2 * i + 1}) | (((y >> $i) & 1) << ${2 * i})")
+        .mkString(" | ")} AS z FROM e)
+         SELECT z >> 8 AS bucket, count(*) AS n,
+           min(x) AS min_x, max(x) AS max_x,
+           min(y) AS min_y, max(y) AS max_y
+         FROM z GROUP BY 1 ORDER BY 1"""),
     // Okapi BM25 for the fixed 3-term query; every arithmetic step mirrors
     // RetrievalQueries.bm25Scored operand-for-operand (literal subexpressions
     // like (1.2 + 1.0) are kept unfolded so both engines round identically);

@@ -380,4 +380,27 @@ object RelationalQueries {
     spark.table(ot).hint("merge")
       .join(spark.table(ct), $"o_custkey" === $"c_custkey")
   }
+
+  /** Z-order clustering profile (q_zorder_stats): the Morton z-value of
+    * (user_id mod 256, ⌊value⌋ mod 256) — [[graft.sources.Sinks.zValue]],
+    * the OPTIMIZE ZORDER clustering key — bucketed by its high byte. Each
+    * bucket fixes the top 4 bits of BOTH dimensions, so its bounding box
+    * is provably ≤ 16×16: exactly the multi-dimension pruning z-order
+    * buys a 100-TB scan, made oracle-checkable (DuckDB replays the bit
+    * interleave as explicit shift/and arithmetic). One partial+final
+    * aggregate on the derived byte — no extra shuffle beyond the groupBy
+    * the profile semantics force. */
+  def zorderStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select(pmod($"user_id", lit(256L)).as("x"),
+        pmod(floor($"value").cast("long"), lit(256L)).as("y"))
+    e.withColumn("z", graft.sources.Sinks.zValue($"x", $"y", 8))
+      .withColumn("bucket", shiftright($"z", 8))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"),
+        min($"x").as("min_x"), max($"x").as("max_x"),
+        min($"y").as("min_y"), max($"y").as("max_y"))
+      .orderBy($"bucket")
+  }
 }
