@@ -147,6 +147,7 @@ object SparkEntry {
     "q_source_overlap"  -> ((s, d) => CorpusQueries.sourceOverlap(s, d)),
     "q_bpe_pairs"       -> ((s, d) => CorpusQueries.bpePairs(s, d)),
     "q_bpe_train"       -> ((s, d) => CorpusQueries.bpeTrain(s, d)),
+    "q_bpe_vocab"       -> ((s, d) => CorpusQueries.bpeVocab(s, d)),
     "q_quality_lr"      -> ((s, d) => PipelineQueries.qualityLr(s, d)),
     "q_source_entropy"  -> ((s, d) => CorpusQueries.sourceEntropy(s, d)),
     "q_zipf_profile"    -> ((s, d) => CorpusQueries.zipfProfile(s, d)),
@@ -312,7 +313,7 @@ object SparkEntry {
     * non-overlapping `replace` re-segmentation the engine runs. Both
     * engines share the bracket-wrapped symbol representation, so every
     * merge, count and intermediate vocabulary matches exactly. */
-  private val BpeTrainOracle: String = {
+  private val BpeCte: String = {
     val rounds = (1 to CorpusQueries.BpeMerges).map { k =>
       s"""p$k AS (SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM (
              SELECT f, unnest(list_transform(range(1, len(sy)),
@@ -322,23 +323,34 @@ object SparkEntry {
            GROUP BY 1),
          b$k AS (SELECT pair, replace(pair, '><', '') AS merged, n
              FROM p$k ORDER BY n DESC, pair LIMIT 1),
-         v$k AS (SELECT replace(v.seg, b.pair, b.merged) AS seg, v.f
+         v$k AS (SELECT v.word, replace(v.seg, b.pair, b.merged) AS seg, v.f
              FROM v${k - 1} v CROSS JOIN b$k b)"""
     }.mkString(",\n       ")
-    val union = (1 to CorpusQueries.BpeMerges)
-      .map(k => s"SELECT $k AS it, pair, merged, n FROM b$k")
-      .mkString(" UNION ALL ")
     raw"""WITH words AS (SELECT w AS word, count(*) AS f
            FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
                    q -> length(q) > 0)) AS w FROM documents)
            WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY 1),
-         v0 AS MATERIALIZED (SELECT concat('<',
+         v0 AS MATERIALIZED (SELECT word, concat('<',
              array_to_string(list_transform(range(1, length(word) + 1),
                i -> word[i]), '><'), '>') AS seg, f
            FROM words),
-       $rounds
+       $rounds"""
+  }
+
+  private val BpeTrainOracle: String = {
+    val union = (1 to CorpusQueries.BpeMerges)
+      .map(k => s"SELECT $k AS it, pair, merged, n FROM b$k")
+      .mkString(" UNION ALL ")
+    s"""$BpeCte
        SELECT it, pair, merged, n FROM ($union) ORDER BY it"""
   }
+
+  private val BpeVocabOracle: String =
+    s"""$BpeCte
+       SELECT word, f, seg,
+         CAST(len(string_split(seg[2:length(seg)-1], '><')) AS INTEGER) AS n_symbols
+       FROM v${CorpusQueries.BpeMerges}
+       ORDER BY f DESC, word LIMIT 50"""
 
   /** The sign-LSH bucket id as SQL (VERDICT r4 #5): the 4 hyperplanes are
     * deterministic compile-time constants (Similarity.Planes, seeded RNG),
@@ -1883,6 +1895,7 @@ object SparkEntry {
          SELECT pair, CAST(sum(f) AS BIGINT) AS n
          FROM pairs GROUP BY 1 ORDER BY n DESC, pair LIMIT 50""",
     "q_bpe_train" -> BpeTrainOracle,
+    "q_bpe_vocab" -> BpeVocabOracle,
     // LR quality filter: identical feature arithmetic (exact integer token
     // sums -> double division), z rounded to the 6-dp grid BEFORE exp so
     // both engines exponentiate the same value

@@ -744,18 +744,28 @@ object CorpusQueries {
     * CTEs and must reproduce every merge and count exactly. */
   def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    bpeLoop(spark, dir)._1
+      .select($"it", $"pair", $"merged", $"n")
+      .orderBy($"it")
+  }
+
+  /** The trained loop's two artifacts: the merge table and the final
+    * vocabulary segmentation (word, f, seg). */
+  private def bpeLoop(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
     val words = Tables.documents(spark, dir)
       .select(explode(Text.tokenize($"text")).as("word"))
       .filter($"word".rlike("^[a-z]+$"))
       .groupBy($"word").agg(count(lit(1)).as("f"))
     var vocab = words
-      .select(concat_ws("",
-        transform(split($"word", ""), c => concat(lit("<"), c, lit(">")))).as("seg"),
+      .select($"word",
+        concat_ws("",
+          transform(split($"word", ""), c => concat(lit("<"), c, lit(">")))).as("seg"),
         $"f")
       .localCheckpoint()
     val rounds = (1 to BpeMerges).map { it =>
       val syms = vocab
-        .select($"seg", $"f",
+        .select($"f",
           split(expr("substring(seg, 2, length(seg) - 2)"), "><").as("sy"))
         .filter(size($"sy") >= 2)
       val best = syms
@@ -768,13 +778,27 @@ object CorpusQueries {
           expr("replace(b.pair, '><', '')").as("merged"), $"b.n".as("n"))
         .localCheckpoint()
       vocab = vocab.crossJoin(broadcast(best.select($"pair", $"merged")))
-        .select(expr("replace(seg, pair, merged)").as("seg"), $"f")
+        .select($"word", expr("replace(seg, pair, merged)").as("seg"), $"f")
         .localCheckpoint()
       best.withColumn("it", lit(it))
     }
-    rounds.reduce(_ unionByName _)
-      .select($"it", $"pair", $"merged", $"n")
-      .orderBy($"it")
+    (rounds.reduce(_ unionByName _), vocab)
+  }
+
+  /** q_bpe_vocab — the ENCODE face of [[bpeTrain]]: the 50 most frequent
+    * words with their final subword segmentation after all [[BpeMerges]]
+    * merges, plus the symbol count (the compression the tokenizer
+    * achieved). This is exactly what applying the learned merge table to
+    * a corpus costs at scale: the loop's map-only replaces over the
+    * vocabulary, never the corpus. Top-50 by (f desc, word) is a
+    * TakeOrderedAndProject. */
+  def bpeVocab(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bpeLoop(spark, dir)._2
+      .select($"word", $"f", $"seg",
+        size(split(expr("substring(seg, 2, length(seg) - 2)"), "><")).as("n_symbols"))
+      .orderBy($"f".desc, $"word")
+      .limit(50)
   }
 
   /** Interpolation weight of [[bigramLm]] on the bigram MLE; the
