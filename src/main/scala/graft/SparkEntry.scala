@@ -162,6 +162,7 @@ object SparkEntry {
     "q_psi_drift"       -> ((s, d) => AnalyticQueries.psiDrift(s, d)),
     "q_gini_users"      -> ((s, d) => AnalyticQueries.giniUsers(s, d)),
     "q_funnel"          -> ((s, d) => AnalyticQueries.funnel(s, d)),
+    "q_event_transitions" -> ((s, d) => AnalyticQueries.eventTransitions(s, d)),
     "q_cohort_retention" -> ((s, d) => AnalyticQueries.cohortRetention(s, d)),
     "q_hits"            -> ((s, d) => GraphQueries.hits(s, d)),
     "q_triangles"       -> ((s, d) => GraphQueries.triangles(s, d)),
@@ -2103,6 +2104,17 @@ object SparkEntry {
            / (CAST(n_users AS DOUBLE) * CAST(total_events AS DOUBLE)), 6) AS gini
        FROM agg""",
     "q_funnel" -> FunnelOracle,
+    "q_event_transitions" ->
+      """WITH pr AS (SELECT user_id, event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+           FROM events),
+         c AS (SELECT from_type, to_type, count(*) AS n
+           FROM pr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+         SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+           round(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS p
+         FROM c JOIN t USING (from_type)
+         ORDER BY from_type, to_type""",
     // weekly cohorts: Monday-truncated first-event week; offsets are
     // exact integer epoch arithmetic; distinct actives per (cohort, week)
     "q_cohort_retention" ->

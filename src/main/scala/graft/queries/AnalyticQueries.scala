@@ -560,4 +560,31 @@ object AnalyticQueries {
       .orderBy($"lift".desc, $"pair_cnt".desc, $"part_a", $"part_b")
       .limit(AssocTopK)
   }
+
+  /** First-order Markov transition matrix of event types — the
+    * product-analytics companion of [[funnel]] (and the behavioral
+    * fingerprint bot-detection pipelines threshold on): for every pair of
+    * consecutive events in a user's time-ordered stream, count the
+    * (from_type → to_type) transition and normalize per source state.
+    *
+    * Scale shape: ONE hash partition by user_id + in-partition sort for
+    * the lead() — the sessionization/SCD2 shape, no global sort; the
+    * transition count then collapses map-side onto ≤ |types|² keys and
+    * the per-source totals frame (≤ |types| rows) broadcasts back.
+    * Counts exact longs; p is two longs per divide, 6-dp-rounded. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val counts = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+      .withColumn("to_type", lead($"event_type", 1).over(w))
+      .filter($"to_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"to_type")
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy($"from_type").agg(sum($"n").as("tot"))
+    counts.join(broadcast(totals), "from_type")
+      .select($"from_type", $"to_type", $"n",
+        round($"n".cast("double") / $"tot".cast("double"), 6).as("p"))
+      .orderBy($"from_type", $"to_type")
+  }
 }

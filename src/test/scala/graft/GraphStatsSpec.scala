@@ -199,4 +199,23 @@ class GraphStatsSpec extends SparkSpec {
       }
     }
   }
+
+  test("eventTransitions: row-stochastic matrix; pair total = events - users") {
+    val m = graft.queries.AnalyticQueries.eventTransitions(sql, sf).collect()
+    assert(m.nonEmpty)
+    // each source state's outgoing probabilities sum to 1 (6-dp rounding
+    // leaves at most |types|/2e6 of slack)
+    m.groupBy(_.getString(0)).foreach { case (ft, rows) =>
+      val s = rows.map(_.getDouble(3)).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"$ft outgoing p sums to $s")
+      val tot = rows.map(_.getLong(2)).sum
+      rows.foreach { r =>
+        assert(math.abs(r.getDouble(3) - r.getLong(2).toDouble / tot) < 1e-6)
+      }
+    }
+    // every user's k-event stream yields exactly k-1 transitions
+    val ev = graft.sources.Tables.events(sql, sf)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(m.map(_.getLong(2)).sum == expected)
+  }
 }
