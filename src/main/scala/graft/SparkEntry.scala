@@ -61,6 +61,8 @@ object SparkEntry {
     "q_pq_codebooks"   -> ((s, d) => SimilarityQueries.pqCodebooks(s, d)),
     "q_pq_codes"       -> ((s, d) => SimilarityQueries.pqCodes(s, d)),
     "q_ann_pq"         -> ((s, d) => SimilarityQueries.annPq(s, d)),
+    "q_ivfpq_codes"    -> ((s, d) => SimilarityQueries.ivfPqCodes(s, d)),
+    "q_ann_ivfpq"      -> ((s, d) => SimilarityQueries.annIvfPq(s, d)),
     "q_label_centroids" -> ((s, d) => SimilarityQueries.labelCentroids(s, d)),
     "q_kmeans_centroids" -> ((s, d) => SimilarityQueries.kmeansProfile(s, d)),
     "q_subword_stats"  -> ((s, d) => TextQueries.subwordStats(s, d)),
@@ -263,7 +265,11 @@ object SparkEntry {
     * (‖v‖² − 2·v·c) + ‖c‖² with every dot a sequential fold matching the
     * engine's codegen association, so centroids AND codes replay
     * bit-for-bit. */
-  private val PqCte: String = {
+  /** The four per-subspace L2 PQ fits + final code assignment as CTEs,
+    * sourced from any (vec_id, v DOUBLE[64]) CTE — shared by the plain-PQ
+    * and the IVFADC-residual oracles (each is a separate statement, so
+    * the generated names do not collide). */
+  private def pqSubFitCtes(src: String): String = {
     // each subspace needs rounds 1..2 for the fit plus a round-3
     // assignment (x/s only) against the final codebook k*_2
     def sub(j: Int): String = {
@@ -283,7 +289,7 @@ object SparkEntry {
              LEFT JOIN (SELECT cid, list(m ORDER BY i) AS cv FROM m${j}_$r GROUP BY 1) n
              USING (cid))"""
       s"""e${j}n AS MATERIALIZED (SELECT vec_id, v[$lo:$hi] AS sv,
-             list_dot_product(v[$lo:$hi], v[$lo:$hi]) AS vn2 FROM pqemb),
+             list_dot_product(v[$lo:$hi], v[$lo:$hi]) AS vn2 FROM $src),
          k${j}_0 AS (SELECT vec_id AS cid, sv AS cv FROM e${j}n
              WHERE vec_id < ${SimilarityQueries.PqK}),
          ${lloyd(1, s"k${j}_0")},
@@ -296,15 +302,57 @@ object SparkEntry {
                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
              FROM x${j}_3) WHERE rn = 1)"""
     }
-    """WITH pqemb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-           FROM embeddings),
-       """ + (0 until SimilarityQueries.PqSub).map(sub).mkString(",\n       ") +
+    (0 until SimilarityQueries.PqSub).map(sub).mkString(",\n       ") +
       s""",
        pqcb AS (${(0 until SimilarityQueries.PqSub)
         .map(j => s"SELECT $j AS sub, cid, cv FROM k${j}_2")
         .mkString(" UNION ALL ")}),
        pqcodes AS (${(0 until SimilarityQueries.PqSub)
         .map(j => s"SELECT * FROM f$j").mkString(" UNION ALL ")})"""
+  }
+
+  private val PqCte: String =
+    """WITH pqemb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+       """ + pqSubFitCtes("pqemb")
+
+  /** The IVFADC oracle's WITH-prefix: the 16-cell coarse L2 k-means over
+    * the full 64-dim space (two unrolled Lloyd rounds + final
+    * assignment), the per-vector residuals v − c(v), and the four
+    * residual PQ sub-fits via [[pqSubFitCtes]] — the full replay of
+    * [[graft.queries.SimilarityQueries.ivfPqFit]]. */
+  private val IvfPqCte: String = {
+    def lloyd(r: Int, prev: String): String =
+      s"""gx_$r AS (SELECT e.vec_id, e.v, c.cid,
+             (e.vn2 - 2*list_dot_product(e.v, c.cv)) + list_dot_product(c.cv, c.cv) AS d2
+           FROM emb64 e CROSS JOIN $prev c),
+         gs_$r AS (SELECT vec_id, v, cid, d2 FROM (
+             SELECT vec_id, v, cid, d2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+             FROM gx_$r) WHERE rn = 1),
+         gm_$r AS (SELECT cid, i, round(avg(v[i]), 6) AS m
+           FROM gs_$r, range(1, 65) t(i) GROUP BY 1, 2),
+         g_$r AS (SELECT k.cid, coalesce(n.cv, k.cv) AS cv FROM $prev k
+           LEFT JOIN (SELECT cid, list(m ORDER BY i) AS cv FROM gm_$r GROUP BY 1) n
+           USING (cid))"""
+    s"""WITH pqemb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+       emb64 AS (SELECT vec_id, v, list_dot_product(v, v) AS vn2 FROM pqemb),
+       g_0 AS (SELECT vec_id AS cid, v AS cv FROM emb64
+           WHERE vec_id < ${SimilarityQueries.PqK}),
+       ${lloyd(1, "g_0")},
+       ${lloyd(2, "g_1")},
+       gx_3 AS (SELECT e.vec_id, e.v, c.cid,
+           (e.vn2 - 2*list_dot_product(e.v, c.cv)) + list_dot_product(c.cv, c.cv) AS d2
+         FROM emb64 e CROSS JOIN g_2 c),
+       fa AS (SELECT vec_id, v, cid AS ccid FROM (
+           SELECT vec_id, v, cid, d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+           FROM gx_3) WHERE rn = 1),
+       resid AS MATERIALIZED (SELECT a.vec_id, a.ccid,
+           list_transform(range(1, 65), i -> a.v[i] - c.cv[i]) AS v
+         FROM fa a JOIN g_2 c ON a.ccid = c.cid),
+       ${pqSubFitCtes("resid")}"""
   }
 
   /** The iterative BPE trainer's [[graft.queries.CorpusQueries.BpeMerges]]
@@ -1153,6 +1201,33 @@ object SparkEntry {
         """) e JOIN pqcb c USING (sub)),
          adc AS (SELECT l.query_id, c.vec_id AS neighbor_id, sum(l.qd2) AS adc
            FROM pqcodes c JOIN lut l ON l.sub = c.sub AND l.cid = c.code
+           WHERE c.vec_id != l.query_id GROUP BY 1, 2)
+         SELECT query_id, neighbor_id, round(CAST(adc AS DOUBLE), 6) AS adc_dist,
+                row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank
+         FROM adc QUALIFY rank <= 3 ORDER BY query_id, rank"""),
+    // IVFADC: coarse cell + residual codes; lut terms come from the
+    // residual sub-frames (e{j}n over resid), candidates restricted to
+    // the query's inverted list (nprobe=1)
+    "q_ivfpq_codes" ->
+      (IvfPqCte +
+        """ SELECT c.vec_id, a.ccid, c.sub, c.code
+         FROM pqcodes c JOIN resid a USING (vec_id)
+         WHERE c.vec_id < 100 ORDER BY c.vec_id, c.sub"""),
+    "q_ann_ivfpq" ->
+      (IvfPqCte +
+        """, lut AS (""" +
+        (0 until SimilarityQueries.PqSub).map { j =>
+          s"""SELECT e.vec_id AS query_id, r.ccid AS qccid, $j AS sub, c.cid,
+              CAST(round((e.vn2 - 2*list_dot_product(e.sv, c.cv))
+                         + list_dot_product(c.cv, c.cv), 6) AS DECIMAL(18,6)) AS qd2
+            FROM e${j}n e JOIN resid r USING (vec_id) CROSS JOIN k${j}_2 c
+            WHERE e.vec_id < 10"""
+        }.mkString(" UNION ALL ") +
+        """),
+         adc AS (SELECT l.query_id, c.vec_id AS neighbor_id, sum(l.qd2) AS adc
+           FROM pqcodes c
+           JOIN resid a USING (vec_id)
+           JOIN lut l ON l.qccid = a.ccid AND l.sub = c.sub AND l.cid = c.code
            WHERE c.vec_id != l.query_id GROUP BY 1, 2)
          SELECT query_id, neighbor_id, round(CAST(adc AS DOUBLE), 6) AS adc_dist,
                 row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank

@@ -903,6 +903,112 @@ object SimilarityQueries {
       .orderBy($"vec_id", $"sub")
   }
 
+  /** IVFADC fit (Jégou et al. 2011 §IV — the residual composition FAISS
+    * ships as IVF16,PQ4): a COARSE 16-cell L2 k-means over the full
+    * 64-dim space partitions the catalog into inverted lists; each
+    * vector's RESIDUAL v − c(v) (what the coarse cell cannot explain) is
+    * then product-quantized by four per-subspace codebooks fitted on the
+    * residual distribution. Returns (cell assignment, residual
+    * codebooks, residual codes). Everything downstream of the fits is
+    * map-side: assignment and residuals are broadcast joins against the
+    * 16-row coarse frame, and the only shuffles are the per-vector
+    * min_by partials. */
+  private def ivfPqFit(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val coarse = kmeansL2(emb, PqK, KmeansIters)
+    val assigned = emb.withColumn("vn2", Similarity.dot($"v", $"v"))
+      .crossJoin(broadcast(coarse))
+      .withColumn("d2",
+        ($"vn2" - lit(2.0) * Similarity.dot($"v", $"cv")) + $"cn2")
+      .groupBy($"vec_id")
+      .agg(min_by(struct($"cid", $"v"), struct($"d2", $"cid")).as("best"))
+      .select($"vec_id", $"best.cid".as("ccid"), $"best.v".as("v"))
+    val resid = assigned
+      .join(broadcast(coarse.select($"cid".as("ccid"), $"cv")), Seq("ccid"))
+      .select($"vec_id", $"ccid",
+        zip_with($"v", $"cv", (a, b) => a - b).as("r"))
+      .localCheckpoint()
+    val perSub = (0 until PqSub).map { j =>
+      val sub = resid.select($"vec_id",
+        slice($"r", j * PqSubDim + 1, PqSubDim).as("v"))
+      val cb = kmeansL2(sub, PqK, KmeansIters).withColumn("sub", lit(j))
+      val codes = sub.withColumn("vn2", Similarity.dot($"v", $"v"))
+        .crossJoin(broadcast(cb.select($"cid", $"cv", $"cn2")))
+        .withColumn("d2",
+          ($"vn2" - lit(2.0) * Similarity.dot($"v", $"cv")) + $"cn2")
+        .groupBy($"vec_id")
+        .agg(min_by(struct($"cid", $"d2"), struct($"d2", $"cid")).as("best"))
+        .select($"vec_id", lit(j).as("sub"), $"best.cid".as("code"))
+      (cb, codes)
+    }
+    (coarse, resid.select($"vec_id", $"ccid"),
+      perSub.map(_._1).reduce(_ unionByName _),
+      perSub.map(_._2).reduce(_ unionByName _))
+  }
+
+  /** q_ivfpq_codes — the IVFADC compressed representation of each probe
+    * vector (vec_id < 100): its coarse cell plus the 4 residual codes —
+    * 5 small ints standing in for 64 doubles, the 100-TB catalog
+    * footprint. */
+  def ivfPqCodes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (_, cells, _, codes) = ivfPqFit(spark, dir)
+    codes.join(cells, Seq("vec_id"))
+      .filter($"vec_id" < 100)
+      .select($"vec_id", $"ccid", $"sub", $"code")
+      .orderBy($"vec_id", $"sub")
+  }
+
+  /** q_ann_ivfpq — IVFADC search (nprobe=1): each query (vec_id < 10)
+    * routes to its nearest coarse cell, builds the 4×16 exact lookup
+    * table of residual-query→centroid d² (6-dp DECIMAL grid), and ADC
+    * ranks ONLY that cell's inverted list — the codes of one cell are
+    * scanned, nothing else, which is precisely why IVFADC sustains
+    * billion-vector catalogs. Top-3 per query, tie → lowest id. */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val (coarse, cells, rcb, codes) = ivfPqFit(spark, dir)
+    // query-side routing + residual (the same broadcast shape as the fit)
+    val qres = emb.filter($"vec_id" < 10)
+      .withColumn("vn2", Similarity.dot($"v", $"v"))
+      .crossJoin(broadcast(coarse))
+      .withColumn("d2",
+        ($"vn2" - lit(2.0) * Similarity.dot($"v", $"cv")) + $"cn2")
+      .groupBy($"vec_id")
+      .agg(min_by(struct($"cid", $"v"), struct($"d2", $"cid")).as("best"))
+      .select($"vec_id".as("query_id"), $"best.cid".as("qccid"), $"best.v".as("v"))
+      .join(broadcast(coarse.select($"cid".as("qccid"), $"cv")), Seq("qccid"))
+      .select($"query_id", $"qccid",
+        zip_with($"v", $"cv", (a, b) => a - b).as("qr"))
+    val qsub = qres
+      .select($"query_id", $"qccid",
+        explode(array((0 until PqSub).map(j => struct(lit(j).as("sub"),
+          slice($"qr", j * PqSubDim + 1, PqSubDim).as("qv"))): _*)).as("s"))
+      .select($"query_id", $"qccid", $"s.sub".as("sub"), $"s.qv".as("qv"))
+      .withColumn("qn2", Similarity.dot($"qv", $"qv"))
+    val lut = qsub.join(broadcast(rcb), Seq("sub"))
+      .select($"query_id", $"qccid", $"sub", $"cid",
+        round(($"qn2" - lit(2.0) * Similarity.dot($"qv", $"cv")) + $"cn2", 6)
+          .cast("decimal(18,6)").as("qd2"))
+    val cand = codes.join(cells, Seq("vec_id"))
+    val adc = cand.join(broadcast(lut),
+        cand("ccid") === lut("qccid") && cand("sub") === lut("sub") &&
+          cand("code") === lut("cid") && cand("vec_id") =!= lut("query_id"))
+      .groupBy($"query_id", cand("vec_id").as("neighbor_id"))
+      .agg(sum($"qd2").as("adc"))
+    val w = Window.partitionBy($"query_id").orderBy($"adc", $"neighbor_id")
+    adc.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"query_id", $"neighbor_id",
+        round($"adc".cast("double"), 6).as("adc_dist"), $"rank")
+      .orderBy($"query_id", $"rank")
+  }
+
   /** q_ann_pq — ADC approximate nearest neighbors: for each query
     * (vec_id < 10) precompute the exact query-subvector→centroid d² table
     * (PqSub × PqK rows, 6-dp-quantized into DECIMAL so the 4-term

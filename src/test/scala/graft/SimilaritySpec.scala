@@ -219,6 +219,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVFADC: neighbors come from the query's inverted list; codes in range") {
+    val codes = SimilarityQueries.ivfPqCodes(sql, sf).collect()
+    assert(codes.nonEmpty && codes.length % SimilarityQueries.PqSub == 0)
+    codes.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) < SimilarityQueries.PqK, "coarse cell id")
+      assert(r.getLong(3) >= 0 && r.getLong(3) < SimilarityQueries.PqK, "residual code")
+    }
+    // every vector has exactly one cell and PqSub codes
+    codes.groupBy(_.getLong(0)).foreach { case (v, rows) =>
+      assert(rows.map(_.getLong(1)).distinct.length == 1, s"vec $v in 2 cells")
+      assert(rows.map(_.getInt(2)).sorted.sameElements(0 until SimilarityQueries.PqSub))
+    }
+    val cellOf = codes.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val adc = SimilarityQueries.annIvfPq(sql, sf).collect()
+    assert(adc.nonEmpty)
+    // nprobe=1: every reported neighbor shares the query's coarse cell
+    adc.filter(r => cellOf.contains(r.getLong(0)) && cellOf.contains(r.getLong(1)))
+      .foreach { r =>
+        assert(cellOf(r.getLong(0)) == cellOf(r.getLong(1)),
+          s"neighbor ${r.getLong(1)} outside query ${r.getLong(0)}'s cell")
+      }
+    adc.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(3)).sorted.sameElements(1 to rows.length))
+      val d = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(d.zip(d.tail).forall { case (a, b) => a <= b + 1e-9 })
+    }
+  }
+
   test("PQ ADC: rank law and agreement with exact reconstruction distance") {
     val adc = SimilarityQueries.annPq(sql, sf).collect()
     val byQ = adc.groupBy(_.getLong(0))
