@@ -44,6 +44,7 @@ object SparkEntry {
     "q_cms_grouped"    -> ((s, d) => SketchQueries.eventTypeUserCms(s, d)),
     "q_bloom_join"     -> ((s, d) => SketchQueries.bloomJoin(s, d)),
     "q_heavy_hitters"  -> ((s, d) => SketchQueries.heavyHitters(s, d)),
+    "q_kmv_overlap"    -> ((s, d) => SketchQueries.kmvOverlap(s, d)),
     "q_percentiles_approx" -> ((s, d) => AnalyticQueries.valuePercentilesApprox(s, d)),
     "q_neardup_editdist"   -> ((s, d) => SimilarityQueries.nearDupEditDistance(s, d)),
     "q_dedup_components"   -> ((s, d) => SimilarityQueries.dedupComponents(s, d)),
@@ -804,6 +805,48 @@ object SparkEntry {
          GROUP BY 1)
        SELECT keyword, CAST(m AS BIGINT) AS est_count FROM est
        ORDER BY keyword""",
+    // KMV/theta sketch replayed CONTENT-for-content: the 64 smallest
+    // distinct 60-bit md5 prefixes per type, θ = least of the three
+    // sketch thetas (2^60 when a sketch is not full), inclusion-rule
+    // estimates on the 3-dp grid, exact twins by construction
+    "q_kmv_overlap" ->
+      s"""WITH d AS (SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS u FROM events),
+         h AS (SELECT event_type, ('0x' || substr(md5(u), 1, 15))::BIGINT AS hv FROM d),
+         sk AS (SELECT event_type,
+             (list_sort(list(DISTINCT hv)))[1:${graft.functions.Sketches.KmvK}] AS ks,
+             count(*) AS exact_n
+           FROM h GROUP BY 1),
+         pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.ks AS ka, b.ks AS kb, a.exact_n AS na, b.exact_n AS nb,
+             list_sort(list_distinct(list_concat(a.ks, b.ks))) AS combined
+           FROM sk a JOIN sk b ON a.event_type < b.event_type),
+         th AS (SELECT *, least(
+             CASE WHEN len(ka) < ${graft.functions.Sketches.KmvK}
+                  THEN ${1L << 60} ELSE ka[${graft.functions.Sketches.KmvK}] END,
+             CASE WHEN len(kb) < ${graft.functions.Sketches.KmvK}
+                  THEN ${1L << 60} ELSE kb[${graft.functions.Sketches.KmvK}] END,
+             CASE WHEN len(combined) < ${graft.functions.Sketches.KmvK}
+                  THEN ${1L << 60} ELSE combined[${graft.functions.Sketches.KmvK}] END) AS theta
+           FROM pr),
+         est AS (SELECT type_a, type_b, na, nb, theta,
+             len(list_filter(combined, x -> x < theta)) AS nv,
+             len(list_filter(list_intersect(ka, kb), x -> x < theta)) AS ni
+           FROM th),
+         ex AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS ei
+           FROM d a JOIN d b ON a.u = b.u AND a.event_type < b.event_type
+           GROUP BY 1, 2)
+         SELECT e.type_a, e.type_b,
+           CASE WHEN theta = ${1L << 60} THEN CAST(nv AS DOUBLE)
+                ELSE round(CAST(nv AS DOUBLE) * CAST(${1L << 60} AS DOUBLE)
+                           / CAST(theta AS DOUBLE), 3) END AS kmv_union,
+           CASE WHEN theta = ${1L << 60} THEN CAST(ni AS DOUBLE)
+                ELSE round(CAST(ni AS DOUBLE) * CAST(${1L << 60} AS DOUBLE)
+                           / CAST(theta AS DOUBLE), 3) END AS kmv_inter,
+           CAST(na + nb - coalesce(ei, 0) AS BIGINT) AS exact_union,
+           CAST(coalesce(ei, 0) AS BIGINT) AS exact_inter
+         FROM est e LEFT JOIN ex ON e.type_a = ex.type_a AND e.type_b = ex.type_b
+         ORDER BY e.type_a, e.type_b""",
     // exact oracle valid because the corpus vocabulary fits the MG counter
     // budget (candidate set lossless); see SketchQueries.heavyHitters
     // heavy hitter = count above the MG support floor N/(k+1), k = 1024 —

@@ -295,10 +295,74 @@ object Sketches {
     * The lossy small-k regime is pinned separately in SketchSpec. */
   val MgCounters = 1024
 
+  // ----- KMV / theta sketch (distinct counting WITH set operations) -----
+
+  /** KMV sketch size: k=64 minima → ~12.5% relative standard error on
+    * cardinalities, and exact answers below 64 distinct values. */
+  val KmvK = 64
+
+  /** The 60-bit KMV rank of an item: the TOP 60 bits of its md5, i.e. the
+    * first 15 hex chars parsed base-16 — a formulation DuckDB replays
+    * verbatim as `('0x' || substr(md5(s), 1, 15))::UBIGINT`, so the
+    * sketch contents (not just the estimate) oracle exactly. */
+  def kmvHash(s: String): Long =
+    java.lang.Long.parseLong(
+      String.format("%032x", md5Int(s)).substring(0, 15), 16)
+
+  /** K-minimum-values distinct sketch (Bar-Yossef et al. 2002; the theta
+    * sketch of Dasgupta et al. 2016 with fixed θ = k-th minimum): the
+    * buffer is the k smallest DISTINCT hash values seen, kept sorted.
+    * Unlike FM/HLL this sketch supports SET OPERATIONS — union is a
+    * sorted merge, and intersections estimate via the inclusion rule
+    * |{h ∈ A∩B : h < θ_union}| / θ_union — which is what pairwise
+    * audience-overlap queries need at 100 TB where exact pairwise
+    * distinct joins are quadratic in segment count. Mergeable: merge =
+    * sorted distinct union trimmed to k, associative and commutative, so
+    * partial aggregation buffers combine in any order. */
+  class KmvAggregator(k: Int = KmvK)
+      extends Aggregator[String, Array[Long], Array[Long]] {
+    def zero: Array[Long] = Array.empty
+    def reduce(b: Array[Long], s: String): Array[Long] = {
+      val h = kmvHash(s)
+      val idx = java.util.Arrays.binarySearch(b, h)
+      if (idx >= 0) b // already present
+      else {
+        val ins = -idx - 1
+        if (ins >= k) b // beyond the k-th minimum — cannot enter
+        else {
+          val n = math.min(b.length + 1, k)
+          val out = new Array[Long](n)
+          System.arraycopy(b, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(b, ins, out, ins + 1, n - ins - 1)
+          out
+        }
+      }
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      val out = new Array[Long](math.min(a.length + b.length, k))
+      var (i, j, o) = (0, 0, 0)
+      while (o < out.length && (i < a.length || j < b.length)) {
+        val take =
+          if (i >= a.length) { val v = b(j); j += 1; v }
+          else if (j >= b.length) { val v = a(i); i += 1; v }
+          else if (a(i) < b(j)) { val v = a(i); i += 1; v }
+          else if (a(i) > b(j)) { val v = b(j); j += 1; v }
+          else { val v = a(i); i += 1; j += 1; v }
+        if (o == 0 || out(o - 1) != take) { out(o) = take; o += 1 }
+      }
+      if (o == out.length) out else java.util.Arrays.copyOf(out, o)
+    }
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
   /** Untyped (DataFrame) registrations: `cms($"tok")`, `fm($"text")`. */
   val cms = org.apache.spark.sql.functions.udaf(new CmsAggregator(), Encoders.STRING)
   val fm = org.apache.spark.sql.functions.udaf(new FmAggregator(), Encoders.STRING)
   val hll = org.apache.spark.sql.functions.udaf(new HllAggregator(), Encoders.STRING)
   val bloom = org.apache.spark.sql.functions.udaf(new BloomAggregator(), Encoders.STRING)
   val mg = org.apache.spark.sql.functions.udaf(new MisraGriesAggregator(), Encoders.STRING)
+  val kmv = org.apache.spark.sql.functions.udaf(new KmvAggregator(), Encoders.STRING)
 }

@@ -146,4 +146,56 @@ object SketchQueries {
       .orderBy($"n".desc, $"word")
       .limit(10)
   }
+
+  /** Exclusive upper bound of the 60-bit KMV hash space (2^60). */
+  private val KmvMax = 1L << 60
+
+  /** q_kmv_overlap — pairwise audience overlap between event types via the
+    * KMV/theta sketch ([[Sketches.KmvAggregator]]): per type, one
+    * mergeable k=64-minima sketch of the user set; per type pair, the
+    * union/intersection estimates by the theta inclusion rule with
+    * θ = least(θ_a, θ_b, k-th minimum of the merged sketch) and a
+    * not-yet-full sketch contributing θ = 2^60 (it IS its exact set).
+    * Exact twins ride along for calibration (cheap here; at 100 TB the
+    * sketch column is the point — S segments cost S sketches, not S²
+    * distinct joins, and sketches merge across any partitioning). The
+    * DuckDB oracle replays the SKETCH CONTENTS (k smallest distinct
+    * 60-bit md5 prefixes) and every estimate, not just the answer. */
+  def kmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = Sketches.KmvK
+    val d = Tables.events(spark, dir)
+      .select($"event_type", $"user_id".cast("string").as("u"))
+      .distinct()
+    val sk = d.groupBy($"event_type")
+      .agg(Sketches.kmv($"u").as("ks"), count(lit(1)).as("exact_n"))
+    def theta(ks: org.apache.spark.sql.Column) =
+      when(size(ks) < k, lit(KmvMax)).otherwise(element_at(ks, k))
+    val pairs = sk.as("a").join(sk.as("b"), $"a.event_type" < $"b.event_type")
+      .select($"a.event_type".as("type_a"), $"b.event_type".as("type_b"),
+        $"a.ks".as("ka"), $"b.ks".as("kb"),
+        $"a.exact_n".as("na"), $"b.exact_n".as("nb"))
+      .withColumn("combined", array_sort(array_union($"ka", $"kb")))
+      .withColumn("theta",
+        least(theta($"ka"), theta($"kb"), theta($"combined")))
+      .withColumn("nv", size(filter($"combined", h => h < $"theta")))
+      .withColumn("ni", size(filter(array_intersect($"ka", $"kb"), h => h < $"theta")))
+      .withColumn("kmv_union",
+        when($"theta" === KmvMax, $"nv".cast("double"))
+          .otherwise(round($"nv".cast("double") * lit(KmvMax.toDouble)
+            / $"theta".cast("double"), 3)))
+      .withColumn("kmv_inter",
+        when($"theta" === KmvMax, $"ni".cast("double"))
+          .otherwise(round($"ni".cast("double") * lit(KmvMax.toDouble)
+            / $"theta".cast("double"), 3)))
+    val exact = d.as("x").join(d.as("y"),
+        $"x.u" === $"y.u" && $"x.event_type" < $"y.event_type")
+      .groupBy($"x.event_type".as("type_a"), $"y.event_type".as("type_b"))
+      .agg(count(lit(1)).as("ei"))
+    pairs.join(exact, Seq("type_a", "type_b"), "left")
+      .select($"type_a", $"type_b", $"kmv_union", $"kmv_inter",
+        ($"na" + $"nb" - coalesce($"ei", lit(0L))).as("exact_union"),
+        coalesce($"ei", lit(0L)).as("exact_inter"))
+      .orderBy($"type_a", $"type_b")
+  }
 }

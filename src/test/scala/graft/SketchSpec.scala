@@ -136,4 +136,45 @@ class SketchSpec extends AnyFunSuite {
     assert(agg.finish(63) == (1L << 62)) // would wrap to negative unclamped
     assert(agg.finish(64) == (1L << 62)) // 1L << 64 == 1 unclamped
   }
+
+  test("KMV: sorted k-bounded buffer; merge == whole; dedup-proof; exact below k") {
+    val agg = new Sketches.KmvAggregator(8)
+    val items = (1 to 100).map(i => s"item-$i")
+    val whole = items.foldLeft(agg.zero)(agg.reduce)
+    assert(whole.length == 8)
+    assert(whole.sorted.sameElements(whole), "buffer stays sorted")
+    // the buffer is exactly the 8 smallest distinct hashes
+    val expect = items.map(Sketches.kmvHash).distinct.sorted.take(8)
+    assert(whole.sameElements(expect))
+    // merge of any split == whole; merge is commutative and idempotent
+    val (l, r) = items.splitAt(37)
+    val la = l.foldLeft(agg.zero)(agg.reduce)
+    val ra = r.foldLeft(agg.zero)(agg.reduce)
+    assert(agg.merge(la.clone(), ra.clone()).sameElements(whole))
+    assert(agg.merge(ra.clone(), la.clone()).sameElements(whole))
+    assert(agg.merge(whole.clone(), whole.clone()).sameElements(whole))
+    // duplicates never displace distinct minima
+    val dups = items ++ items.take(50)
+    assert(dups.foldLeft(agg.zero)(agg.reduce).sameElements(whole))
+    // below k the sketch IS the exact set
+    val few = (1 to 5).map(i => s"x$i")
+    val sm = few.foldLeft(agg.zero)(agg.reduce)
+    assert(sm.length == 5 && sm.sameElements(few.map(Sketches.kmvHash).sorted))
+  }
+
+  test("KMV overlap: estimates land near exact twins on the event corpus") {
+    val sql = SparkSpec.spark
+    val rows = graft.queries.SketchQueries.kmvOverlap(sql, SparkSpec.Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (eu, ei) = (r.getLong(4), r.getLong(5))
+      val (ku, ki) = (r.getDouble(2), r.getDouble(3))
+      assert(ei <= eu, "intersection bounded by union")
+      // k=64 → ~12.5% RSE; allow 4 sigma plus the small-count floor
+      assert(math.abs(ku - eu) <= math.max(0.5 * eu, 8.0),
+        s"${r.getString(0)}~${r.getString(1)}: kmv_union $ku vs exact $eu")
+      assert(math.abs(ki - ei) <= math.max(0.5 * ei, 8.0),
+        s"${r.getString(0)}~${r.getString(1)}: kmv_inter $ki vs exact $ei")
+    }
+  }
 }
