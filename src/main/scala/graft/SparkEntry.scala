@@ -81,6 +81,7 @@ object SparkEntry {
     "q_media_features" -> ((s, d) => MultimodalQueries.mediaFeatures(s, d)),
     "q_media_pixels"   -> ((s, d) => MultimodalQueries.mediaPixels(s, d)),
     "q_media_resize"   -> ((s, d) => MultimodalQueries.mediaResize(s, d)),
+    "q_media_reencode" -> ((s, d) => MultimodalQueries.mediaReencode(s, d)),
     "q_media_frames"   -> ((s, d) => MultimodalQueries.mediaFrames(s, d)),
     "q_media_audio"    -> ((s, d) => MultimodalQueries.mediaAudio(s, d)),
     "q_media_video"    -> ((s, d) => MultimodalQueries.mediaVideo(s, d)),
@@ -1005,6 +1006,46 @@ object SparkEntry {
            (-26, 16, 8, 3, 126.4453125,      0.44180360986245915),
            (-27, 18, 10, 3, 126.91666666666667, 0.42192972324550054))
            t(fid, w, h, ch, luma, fnorm)
+         ORDER BY doc_id""",
+    // round-trip identity: the engine re-encodes with its own PNG writer
+    // (stored deflate -> closed-form length) and decodes its own output;
+    // luma must equal the independent original-decode stats
+    "q_media_reencode" ->
+      """SELECT CAST(fid AS BIGINT) AS doc_id, CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height, CAST(ch AS INTEGER) AS channels,
+           CAST(63 + h * (1 + w * ch)
+                + 5 * CAST(ceil((h * (1 + w * ch)) / 65535.0) AS BIGINT)
+             AS BIGINT) AS png_len,
+           round(luma, 6) AS luma_mean
+         FROM (VALUES
+           (-1, 8, 8, 1, 125.0),
+           (-2, 8, 8, 3, 127.234375),
+           (-3, 8, 8, 2, 125.0),
+           (-4, 8, 8, 4, 127.234375),
+           (-5, 5, 6, 3, 118.86666666666666),
+           (-6, 4, 4, 4, 110.0),
+           (-7, 5, 6, 3, 118.86666666666666),
+           (-8, 8, 8, 3, 124.71875),
+           (-9, 6, 5, 3, 120.46666666666667),
+           (-10, 8, 8, 1, 58.0),
+           (-11, 8, 8, 3, 34.96875),
+           (-12, 7, 5, 3, 127.97142857142858),
+           (-13, 10, 4, 3, 125.925),
+           (-14, 8, 8, 1, 126.046875),
+           (-15, 16, 8, 3, 126.4453125),
+           (-16, 18, 10, 3, 126.91666666666667),
+           (-17, 24, 8, 3, 126.953125),
+           (-18, 10, 9, 3, 122.36666666666666),
+           (-19, 9, 7, 3, 118.61904761904762),
+           (-20, 8, 8, 1, 58.0),
+           (-21, 7, 5, 3, 115.91428571428571),
+           (-22, 10, 4, 3, 110.0),
+           (-23, 6, 5, 3, 96.26666666666667),
+           (-24, 4, 4, 4, 110.0),
+           (-25, 8, 8, 1, 126.046875),
+           (-26, 16, 8, 3, 126.4453125),
+           (-27, 18, 10, 3, 126.91666666666667))
+           t(fid, w, h, ch, luma)
          ORDER BY doc_id""",
     // every row: committed fixture decoded then nearest-neighbor-resampled
     // to 3x2 by the engine; expected means replayed by make_fixtures.py's

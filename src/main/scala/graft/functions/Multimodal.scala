@@ -615,6 +615,95 @@ object Multimodal {
     Some(PixelImage(w, h, nch, out))
   }
 
+  /** REAL PNG encoder (r9) — the write-back half of the multimodal
+    * pipeline (decode → transform → re-encode): bit depth 8, filter 0 on
+    * every scanline, channels 1/2/3/4 → color types 0/4/2/6, and the
+    * zlib stream as STORED (uncompressed) deflate blocks. Stored blocks
+    * make the output BYTE-DETERMINISTIC — no dependence on any zlib
+    * implementation's compression choices — so the encoded LENGTH is the
+    * closed form 63 + n_raw + 5·⌈n_raw/65535⌉ (n_raw = h·(1+w·c)) that
+    * the q_media_reencode oracle replays arithmetically, and
+    * `decodePixels(encodePng(img)) == img` exactly (pinned in
+    * MultimodalSpec). CRC32/Adler32 from java.util.zip (spec-fixed
+    * polynomials, not codec behavior). */
+  def encodePng(img: PixelImage): Array[Byte] = {
+    val c = img.channels
+    val colorType = c match {
+      case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6
+      case _ => throw new IllegalArgumentException(s"channels $c")
+    }
+    val (w, h) = (img.width, img.height)
+    val stride = w * c
+    val raw = new Array[Byte](h * (1 + stride))
+    var y = 0
+    while (y < h) {
+      // raw(y * (1 + stride)) is already 0 — filter type None
+      System.arraycopy(img.pixels, y * stride, raw, y * (1 + stride) + 1, stride)
+      y += 1
+    }
+    val z = new java.io.ByteArrayOutputStream()
+    z.write(0x78); z.write(0x01) // zlib header, no preset dict
+    var p = 0
+    while (p < raw.length) {
+      val len = math.min(65535, raw.length - p)
+      z.write(if (p + len >= raw.length) 1 else 0) // BFINAL, BTYPE=00
+      z.write(len & 0xff); z.write((len >>> 8) & 0xff)
+      z.write(~len & 0xff); z.write((~len >>> 8) & 0xff)
+      z.write(raw, p, len)
+      p += len
+    }
+    val ad = new java.util.zip.Adler32()
+    ad.update(raw)
+    val a = ad.getValue
+    z.write(((a >>> 24) & 0xff).toInt); z.write(((a >>> 16) & 0xff).toInt)
+    z.write(((a >>> 8) & 0xff).toInt); z.write((a & 0xff).toInt)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(137, 80, 78, 71, 13, 10, 26, 10).map(_.toByte), 0, 8)
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(tag: String, data: Array[Byte]): Unit = {
+      out.write(be32(data.length.toLong), 0, 4)
+      val tb = tag.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(tb, 0, 4)
+      out.write(data, 0, data.length)
+      out.write(be32(crc.getValue), 0, 4)
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(w).putInt(h)
+    ihdr.put(8.toByte).put(colorType.toByte)
+    ihdr.put(0.toByte).put(0.toByte).put(0.toByte)
+    chunk("IHDR", ihdr.array())
+    chunk("IDAT", z.toByteArray)
+    chunk("IEND", Array.empty)
+    out.toByteArray
+  }
+
+  /** Per-payload re-encode profile: decode → [[encodePng]] → decode the
+    * engine's own output → statistics of the ROUND-TRIPPED raster, plus
+    * the encoded byte length. A filter, layout, chunk-CRC or zlib-framing
+    * bug in the encoder surfaces as a decode failure or a luma drift —
+    * both break the oracle hash. */
+  case class ReencodeStats(doc_id: Long, width: Int, height: Int,
+                           channels: Int, png_len: Long, luma_sum: Long,
+                           n_pixels: Int)
+
+  def reencodeStatsAll(media: Dataset[MediaRecord]): Dataset[ReencodeStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      decodePixels(r.payload).flatMap { img =>
+        val enc = encodePng(img)
+        decodePixels(enc).map { back =>
+          val st = rasterStats(r.doc_id, back)
+          ReencodeStats(r.doc_id, st.width, st.height, st.channels,
+            enc.length.toLong, st.luma_sum, st.n_pixels)
+        }
+      }
+    })
+  }
+
   /** REAL nearest-neighbor resample over a decoded raster: source pixel =
     * `(dst * srcDim) / dstDim` (floor) — exact integer arithmetic, so the
     * oracle's independent Python implementation reproduces it bit-for-bit.

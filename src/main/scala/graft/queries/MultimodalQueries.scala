@@ -119,4 +119,23 @@ object MultimodalQueries {
           .as("luma_mean"))
       .orderBy(col("doc_id"))
   }
+
+  /** REAL encode path end-to-end (r9): every committed image fixture is
+    * decoded, re-encoded by the engine's own deterministic PNG writer
+    * ([[Multimodal.encodePng]] — stored-deflate blocks, so the byte
+    * length has a closed form), and decoded AGAIN; the emitted statistics
+    * come from the round-tripped raster. The oracle pins the identity
+    * (luma must equal the original independent-Python decode stats) and
+    * replays the length formula 63 + n_raw + 5·⌈n_raw/65535⌉ — an
+    * encoder bug anywhere (filter byte, stride, chunk framing, CRC,
+    * adler, zlib header) either fails the second decode or shifts a
+    * pinned column. */
+  def mediaReencode(spark: SparkSession, dir: String): DataFrame = {
+    Multimodal.reencodeStatsAll(Multimodal.fixtureMedia(spark)).toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("channels"),
+        col("png_len"),
+        round(col("luma_sum").cast("double") / col("n_pixels"), 6)
+          .as("luma_mean"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -526,4 +526,23 @@ class MultimodalSpec extends SparkSpec {
     val txt = docs.filter($"doc_id" === 0L).select("text").as[String].head()
     assert(row.payload.toSeq == txt.getBytes("UTF-8").toSeq)
   }
+
+  test("encodePng: exact raster round-trip on every fixture; closed-form length") {
+    val recs = Multimodal.fixtureMedia(sql).collect()
+    assert(recs.length >= 27)
+    recs.foreach { r =>
+      val img = Multimodal.decodePixels(r.payload)
+        .getOrElse(fail(s"fixture ${r.doc_id} must decode"))
+      val enc = Multimodal.encodePng(img)
+      val back = Multimodal.decodePixels(enc)
+        .getOrElse(fail(s"fixture ${r.doc_id}: own output must decode"))
+      assert(back.width == img.width && back.height == img.height &&
+        back.channels == img.channels, s"fixture ${r.doc_id} shape")
+      assert(java.util.Arrays.equals(back.pixels, img.pixels),
+        s"fixture ${r.doc_id}: pixels must round-trip bit-for-bit")
+      val nRaw = img.height * (1 + img.width * img.channels)
+      assert(enc.length == 63 + nRaw + 5 * ((nRaw + 65534) / 65535),
+        s"fixture ${r.doc_id}: stored-deflate length formula")
+    }
+  }
 }
