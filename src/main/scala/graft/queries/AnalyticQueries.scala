@@ -581,8 +581,11 @@ object AnalyticQueries {
       .filter($"to_type".isNotNull)
       .groupBy($"event_type".as("from_type"), $"to_type")
       .agg(count(lit(1)).as("n"))
-    val totals = counts.groupBy($"from_type").agg(sum($"n").as("tot"))
-    counts.join(broadcast(totals), "from_type")
+    // per-source totals as a window over the ≤|types|² count frame — NOT a
+    // groupBy joined back, which would re-run the corpus scan + lead sort
+    // a second time (the count frame is tiny; the corpus pipeline is not)
+    val wTot = Window.partitionBy($"from_type")
+    counts.withColumn("tot", sum($"n").over(wTot))
       .select($"from_type", $"to_type", $"n",
         round($"n".cast("double") / $"tot".cast("double"), 6).as("p"))
       .orderBy($"from_type", $"to_type")

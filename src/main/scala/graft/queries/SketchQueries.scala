@@ -164,11 +164,17 @@ object SketchQueries {
   def kmvOverlap(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val k = Sketches.KmvK
+    // the (type, user) distinct frame collapses to |types|·|users| rows —
+    // tiny relative to the event stream — and feeds FOUR subtrees (sketch
+    // a/b sides + exact-intersection x/y sides); checkpoint so the corpus
+    // distinct runs once, not four times
     val d = Tables.events(spark, dir)
       .select($"event_type", $"user_id".cast("string").as("u"))
       .distinct()
+      .localCheckpoint()
     val sk = d.groupBy($"event_type")
       .agg(Sketches.kmv($"u").as("ks"), count(lit(1)).as("exact_n"))
+      .localCheckpoint()
     def theta(ks: org.apache.spark.sql.Column) =
       when(size(ks) < k, lit(KmvMax)).otherwise(element_at(ks, k))
     val pairs = sk.as("a").join(sk.as("b"), $"a.event_type" < $"b.event_type")
