@@ -356,4 +356,19 @@ object Pipeline {
       .outputMode("append")
       .trigger(trigger)
       .start()
+
+  /** K7 — the reference's console debug sink (spark_stream.py's
+    * `format("console")` tap): truncate-disabled append echo of any
+    * stream, the zero-setup inspection tool. Debug-only by design — the
+    * driver-side print is the point, so it is never part of a measured
+    * path. */
+  def startConsoleSink(df: DataFrame, numRows: Int = 20,
+                       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    df.writeStream
+      .format("console")
+      .option("numRows", numRows.toString)
+      .option("truncate", "false")
+      .outputMode("append")
+      .trigger(trigger)
+      .start()
 }

@@ -514,4 +514,21 @@ class StreamingSpec extends SparkSpec {
       assert(top.contains(("00:10", "rain", 1L, 2)))
     } finally q.stop()
   }
+
+  test("console debug sink (K7): drains a stream to completion without error") {
+    implicit val ctx = sql.sqlContext
+    val in = MemoryStream[String]
+    val parsed = Pipeline.parseTweets(in.toDF())
+    in.addData(
+      tweetJson("console tap", "2024-01-01 00:00:00", "Positive"),
+      tweetJson("second row", "2024-01-01 00:00:30", "negative"))
+    val q = Pipeline.startConsoleSink(parsed, numRows = 5)
+    try {
+      q.processAllAvailable()
+      // the sink consumed the batch (progress recorded, no exception)
+      assert(q.recentProgress.nonEmpty)
+      assert(q.recentProgress.map(_.numInputRows).sum == 2)
+      assert(q.exception.isEmpty)
+    } finally q.stop()
+  }
 }
