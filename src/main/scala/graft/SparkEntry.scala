@@ -100,6 +100,10 @@ object SparkEntry {
     "q_range_join"      -> ((s, d) => RelationalQueries.rangeJoin(s, d)),
     "q_distinct_by_type" -> ((s, d) => RelationalQueries.distinctUsersByType(s, d)),
     // --- engine-added analytics (sessions, windows, stats) ---
+    "q_burst_zscore"    -> ((s, d) => TrendQueries.burstZscore(s, d)),
+    "q_ewma_smooth"     -> ((s, d) => TrendQueries.ewmaSmooth(s, d)),
+    "q_chunk_profile"   -> ((s, d) => CorpusQueries.chunkProfile(s, d)),
+    "q_chunk_dedup"     -> ((s, d) => CorpusQueries.chunkDedup(s, d)),
     "q_session_windows" -> ((s, d) => AnalyticQueries.sessionWindows(s, d)),
     "q_sliding_trend"   -> ((s, d) => AnalyticQueries.slidingTrend(s, d)),
     "q_running_user"    -> ((s, d) => AnalyticQueries.runningUser(s, d)),
@@ -548,6 +552,9 @@ object SparkEntry {
        FROM c ORDER BY stage"""
   }
 
+  private val ChunkLenSql = graft.queries.CorpusQueries.ChunkLen
+  private val ChunkStrideSql = graft.queries.CorpusQueries.ChunkStride
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -780,6 +787,42 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
          min(doc_id) AS keeper_doc_id, count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY keeper_doc_id""",
+    // sliding-window chunker (C=32, S=24): per-doc chunk count is
+    // 1 + (greatest(0, n-32) + 23) // 24 — exact integer arithmetic shared
+    // with the Spark side; chunk i is tokens [i*24+1, i*24+32] (slice
+    // clamps at the tail in both engines)
+    "q_chunk_profile" ->
+      s"""WITH base AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), q -> length(q) > 0) AS toks
+           FROM documents),
+         sized AS (
+           SELECT doc_id, toks, len(toks) AS n_tokens FROM base WHERE len(toks) > 0),
+         chunks AS (
+           SELECT doc_id, n_tokens, u.i AS chunk_idx,
+             md5(array_to_string(toks[(u.i*$ChunkStrideSql+1):(u.i*$ChunkStrideSql+$ChunkLenSql)], ' ')) AS chunk_hash,
+             least($ChunkLenSql, n_tokens - u.i*$ChunkStrideSql) AS chunk_len
+           FROM sized, unnest(generate_series(0,
+             (greatest(0, n_tokens - $ChunkLenSql) + ${ChunkStrideSql - 1}) // $ChunkStrideSql)) AS u(i))
+       SELECT doc_id, max(n_tokens) AS n_tokens, count(*) AS n_chunks,
+         count(DISTINCT chunk_hash) AS n_distinct_chunks,
+         min(chunk_len) AS last_chunk_len
+       FROM chunks GROUP BY doc_id ORDER BY doc_id""",
+    "q_chunk_dedup" ->
+      s"""WITH base AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), q -> length(q) > 0) AS toks
+           FROM documents),
+         sized AS (
+           SELECT doc_id, toks, len(toks) AS n_tokens FROM base WHERE len(toks) > 0),
+         chunks AS (
+           SELECT doc_id,
+             md5(array_to_string(toks[(u.i*$ChunkStrideSql+1):(u.i*$ChunkStrideSql+$ChunkLenSql)], ' ')) AS chunk_hash
+           FROM sized, unnest(generate_series(0,
+             (greatest(0, n_tokens - $ChunkLenSql) + ${ChunkStrideSql - 1}) // $ChunkStrideSql)) AS u(i))
+       SELECT chunk_hash, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+       FROM chunks GROUP BY 1 HAVING count(*) > 1
+       ORDER BY n_occ DESC, n_docs DESC, chunk_hash LIMIT 20""",
     // CMS estimates are exact on this stream unless a tracked keyword collides
     // in ALL 10 sketch rows (p ≈ (31/1000)^10) — oracle = exact counts.
     // full CMS replay (not the true counts): DuckDB rebuilds the 10×1000
@@ -1476,6 +1519,52 @@ object SparkEntry {
        SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
        FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    // burst detection: every windowed statistic is an exact integer; mean /
+    // variance / z derive from them by one arithmetic expression shared
+    // verbatim with the Spark side, so the doubles agree bit-for-bit. The
+    // RANGE frame over integer epoch-hours is gap-robust (a silent hour is
+    // absent, not frame-shifting).
+    "q_burst_zscore" ->
+      """WITH hourly AS (
+           SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         win AS (
+           SELECT event_type, hr, n,
+             count(*) OVER w AS m, sum(n) OVER w AS s, sum(n*n) OVER w AS ss
+           FROM hourly
+           WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                        RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+         derived AS (
+           SELECT event_type, hr, n, m,
+             CAST(s AS DOUBLE) / CAST(m AS DOUBLE) AS mean,
+             (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(m AS DOUBLE)) / CAST(m AS DOUBLE) AS varp
+           FROM win)
+       SELECT event_type, make_timestamp(hr * 3600 * 1000000) AS bucket, n, m,
+         CASE WHEN m >= 12 AND varp > 0.0
+           THEN round((CAST(n AS DOUBLE) - mean) / sqrt(varp), 6) END AS z,
+         coalesce(CASE WHEN m >= 12 AND varp > 0.0
+           THEN ((CAST(n AS DOUBLE) - mean) / sqrt(varp) >= 3.0) END, false) AS is_burst
+       FROM derived ORDER BY event_type, bucket""",
+    // EWMA: ewma_1 = n_1, ewma_t = 0.7*ewma_{t-1} + 0.3*n_t replayed as a
+    // recursive CTE with the identical double operation sequence (explicit
+    // DOUBLE casts — bare 0.7 is DECIMAL in DuckDB).
+    "q_ewma_smooth" ->
+      """WITH RECURSIVE daily AS (
+           SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         idx AS (
+           SELECT event_type, day, n,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
+           FROM daily),
+         rec AS (
+           SELECT event_type, day, n, t, CAST(n AS DOUBLE) AS ewma
+           FROM idx WHERE t = 1
+           UNION ALL
+           SELECT i.event_type, i.day, i.n, i.t,
+             r.ewma * CAST(0.7 AS DOUBLE) + CAST(0.3 AS DOUBLE) * CAST(i.n AS DOUBLE)
+           FROM idx i JOIN rec r ON i.event_type = r.event_type AND i.t = r.t + 1)
+       SELECT event_type, day, n, round(ewma, 6) AS ewma
+       FROM rec ORDER BY event_type, day""",
     "q_sliding_trend" ->
       """SELECT bucket, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM (SELECT unnest([date_trunc('hour', ts),

@@ -860,4 +860,64 @@ object CorpusQueries {
         round(exp($"xm".cast("double") / 1e6), 2).as("ppl"))
       .orderBy($"doc_id")
   }
+
+  /** Chunk size / stride for the RAG-style sliding-window chunker: 32-token
+    * chunks advancing 24 tokens (8-token overlap) — the shape every
+    * retrieval/pretrain corpus prep uses between cleaning and embedding. */
+  val ChunkLen = 32
+  val ChunkStride = 24
+
+  /** Overlapping token chunks of every document — pure map-side work: the
+    * per-doc chunk count is 1 + ceil(max(0, n−C)/S) (exact integer
+    * arithmetic, shared with the oracle), chunk i covers tokens
+    * [i·S+1, i·S+C] (slice clamps at the tail in both engines), and each
+    * chunk is identified by the md5 of its space-joined tokens. No shuffle
+    * is introduced here at all — `sequence`+`explode` fan out rows inside
+    * the scan's partitions, so at 100 TB this stage is embarrassingly
+    * parallel and chunk rows stream straight into whatever consumes them. */
+  private def chunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (c, s) = (ChunkLen, ChunkStride)
+    Tables.documents(spark, dir)
+      .select($"doc_id", Text.tokenize($"text").as("toks"))
+      .withColumn("n_tokens", size($"toks"))
+      .filter($"n_tokens" > 0)
+      .select($"doc_id", $"n_tokens", $"toks",
+        explode(sequence(lit(0L),
+          expr(s"(greatest(0, n_tokens - $c) + ${s - 1}) div $s"))).as("chunk_idx"))
+      .select($"doc_id", $"n_tokens", $"chunk_idx",
+        md5(concat_ws(" ", slice($"toks", ($"chunk_idx" * s + 1).cast("int"), lit(c))))
+          .as("chunk_hash"),
+        least(lit(c), $"n_tokens" - $"chunk_idx" * s).as("chunk_len"))
+  }
+
+  /** Per-document chunking profile: chunk count, distinct chunk content
+    * within the doc, and the tail chunk's length. One (doc-keyed, map-side
+    * combinable) aggregate over the chunk fan-out. */
+  def chunkProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    chunks(spark, dir)
+      .groupBy($"doc_id")
+      .agg(max($"n_tokens").as("n_tokens"),
+        count(lit(1)).as("n_chunks"),
+        countDistinct($"chunk_hash").as("n_distinct_chunks"),
+        min($"chunk_len").as("last_chunk_len"))
+      .orderBy($"doc_id")
+  }
+
+  /** Cross-corpus chunk-level dedup — the sub-document twin of
+    * `q_dedup_exact`: chunk hashes occurring more than once, with occurrence
+    * and document counts (catches boilerplate shared across documents that
+    * whole-doc fingerprints miss; Lee et al. 2022's motivation for
+    * substring-level dedup). Top-20 by duplication; the heavy state is one
+    * hash-keyed aggregate, top-k plans as TakeOrderedAndProject. */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    chunks(spark, dir)
+      .groupBy($"chunk_hash")
+      .agg(count(lit(1)).as("n_occ"), countDistinct($"doc_id").as("n_docs"))
+      .filter($"n_occ" > 1)
+      .orderBy($"n_occ".desc, $"n_docs".desc, $"chunk_hash")
+      .limit(20)
+  }
 }

@@ -95,4 +95,78 @@ object TrendQueries {
       .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value"))
       .orderBy("day", "event_type")
+
+  /** Burst detection — the "is this trending NOW" classifier the reference's
+    * dashboards eyeball (Grafana panels over edw_metrics; SURVEY.md §2.5):
+    * per (event_type, hour) count vs a trailing-24-hour baseline, flagged
+    * when the z-score clears 3σ.
+    *
+    * The baseline frame is a RANGE frame over the integer epoch-hour
+    * (`RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING`), so a silent hour
+    * contributes nothing and can never shift the window the way a ROWS
+    * frame would — semantically "the last 24 wall-clock hours", gap-robust.
+    *
+    * Determinism doctrine: every windowed statistic is an exact integer
+    * (count / sum / sum-of-squares); mean, variance and z are derived from
+    * those integers by one fixed arithmetic expression shared with the
+    * DuckDB oracle, so the doubles agree bit-for-bit. Variance via the
+    * computational formula (ss − s²/m)/m is safe here: counts are small
+    * non-negative integers, no catastrophic cancellation at this scale.
+    *
+    * Scale posture: one shuffle to (type, hour) counts — the frame that the
+    * window then runs over is |types|·|hours|, calendar-bounded, NOT
+    * data-bounded; at 100 TB the per-hour pre-aggregation IS the reduction
+    * (map-side partial counts collapse before the exchange). */
+  def burstZscore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(spark, dir)
+      .groupBy($"event_type",
+        (unix_timestamp($"ts") / 3600L).cast("long").as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"event_type").orderBy($"hr")
+      .rangeBetween(-24, -1)
+    val m  = count(lit(1)).over(w)
+    val s  = sum($"n").over(w)
+    val ss = sum($"n" * $"n").over(w)
+    val mean = s.cast("double") / m.cast("double")
+    val varp = (ss.cast("double") - s.cast("double") * s.cast("double") / m.cast("double")) / m.cast("double")
+    val z = ($"n".cast("double") - mean) / sqrt(varp)
+    hourly
+      .select($"event_type", timestamp_seconds($"hr" * 3600L).as("bucket"),
+        $"n", m.as("m"),
+        when(m >= 12 && varp > 0.0, round(z, 6)).as("z"),
+        when(m >= 12 && varp > 0.0, z >= 3.0).otherwise(lit(false)).as("is_burst"))
+      .orderBy($"event_type", $"bucket")
+  }
+
+  /** EWMA trend smoothing (α = 0.3) over daily per-type counts — the
+    * classic "smoothed trend line + direction" panel. ewma_1 = n_1,
+    * ewma_t = 0.7·ewma_{t−1} + 0.3·n_t, computed by a left-to-right HOF
+    * fold over each type's day-ordered count array so the float operation
+    * sequence is fixed — the DuckDB oracle replays the identical recurrence
+    * in a recursive CTE and the doubles agree bit-for-bit (both sides cast
+    * the coefficients to DOUBLE; DuckDB would otherwise read 0.7 as
+    * DECIMAL).
+    *
+    * Scale posture: the only corpus-sized work is the daily count aggregate
+    * (one shuffle, map-side combine); the fold runs over |types| arrays of
+    * calendar length — a per-type O(days²) driver-free HOF that is
+    * vocabulary-sized, never data-sized. */
+  def ewmaSmooth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+      .agg(count(lit(1)).as("n"))
+    daily
+      .groupBy($"event_type")
+      .agg(array_sort(collect_list(struct($"day", $"n"))).as("series"))
+      .select($"event_type", $"series", posexplode($"series").as(Seq("pos", "e")))
+      .select($"event_type", $"e.day".as("day"), $"e.n".as("n"),
+        round(aggregate(
+          slice(transform($"series", x => x("n").cast("double")), lit(2), $"pos"),
+          element_at($"series", 1)("n").cast("double"),
+          (acc, x) => acc * lit(0.7) + lit(0.3) * x), 6).as("ewma"))
+      .orderBy($"event_type", $"day")
+  }
 }
