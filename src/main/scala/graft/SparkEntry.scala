@@ -101,6 +101,7 @@ object SparkEntry {
     "q_distinct_by_type" -> ((s, d) => RelationalQueries.distinctUsersByType(s, d)),
     // --- engine-added analytics (sessions, windows, stats) ---
     "q_burst_zscore"    -> ((s, d) => TrendQueries.burstZscore(s, d)),
+    "q_burst_kleinberg" -> ((s, d) => TrendQueries.kleinbergBursts(s, d)),
     "q_ewma_smooth"     -> ((s, d) => TrendQueries.ewmaSmooth(s, d)),
     "q_chunk_profile"   -> ((s, d) => CorpusQueries.chunkProfile(s, d)),
     "q_chunk_dedup"     -> ((s, d) => CorpusQueries.chunkDedup(s, d)),
@@ -1545,6 +1546,64 @@ object SparkEntry {
          coalesce(CASE WHEN m >= 12 AND varp > 0.0
            THEN ((CAST(n AS DOUBLE) - mean) / sqrt(varp) >= 3.0) END, false) AS is_burst
        FROM derived ORDER BY event_type, bucket""",
+    // Kleinberg burst automaton: both Viterbi passes replayed as recursive
+    // CTEs. Every cost derives from exact integer counts through the same
+    // double expression as the Spark side (ln, never log1p; -(x + y)
+    // association; <= tie-prefers q0/staying), so states agree exactly.
+    "q_burst_kleinberg" ->
+      """WITH RECURSIVE daily AS (
+           SELECT date_trunc('day', ts) AS day, event_type, count(*) AS r
+           FROM events GROUP BY 1, 2),
+         daytot AS (SELECT day, CAST(sum(r) AS BIGINT) AS d FROM daily GROUP BY 1),
+         grid AS (
+           SELECT t.event_type, dt.day, coalesce(da.r, 0) AS r, dt.d
+           FROM (SELECT DISTINCT event_type FROM daily) t
+           CROSS JOIN daytot dt
+           LEFT JOIN daily da ON da.event_type = t.event_type AND da.day = dt.day),
+         params AS (
+           SELECT event_type,
+             CAST(sum(r) AS DOUBLE) / CAST(sum(d) AS DOUBLE) AS p0,
+             least(CAST(sum(r) AS DOUBLE) / CAST(sum(d) AS DOUBLE) * CAST(3.0 AS DOUBLE),
+                   CAST(0.99 AS DOUBLE)) AS p1,
+             ln(CAST(count(*) AS DOUBLE)) AS tau,
+             count(*) AS tlen
+           FROM grid GROUP BY 1),
+         idx AS (
+           SELECT g.event_type, g.day, g.r, g.d,
+             row_number() OVER (PARTITION BY g.event_type ORDER BY g.day) AS t
+           FROM grid g),
+         fwd AS (
+           SELECT i.event_type, i.t,
+             -(CAST(i.r AS DOUBLE) * ln(p.p0) + CAST(i.d - i.r AS DOUBLE) * ln(CAST(1.0 AS DOUBLE) - p.p0)) AS c0,
+             p.tau + -(CAST(i.r AS DOUBLE) * ln(p.p1) + CAST(i.d - i.r AS DOUBLE) * ln(CAST(1.0 AS DOUBLE) - p.p1)) AS c1,
+             true AS s0, true AS s1
+           FROM idx i JOIN params p USING (event_type) WHERE i.t = 1
+           UNION ALL
+           SELECT i.event_type, i.t,
+             least(f.c0, f.c1)
+               + -(CAST(i.r AS DOUBLE) * ln(p.p0) + CAST(i.d - i.r AS DOUBLE) * ln(CAST(1.0 AS DOUBLE) - p.p0)) AS c0,
+             least(f.c0 + p.tau, f.c1)
+               + -(CAST(i.r AS DOUBLE) * ln(p.p1) + CAST(i.d - i.r AS DOUBLE) * ln(CAST(1.0 AS DOUBLE) - p.p1)) AS c1,
+             f.c0 <= f.c1 AS s0, f.c1 <= f.c0 + p.tau AS s1
+           FROM fwd f
+           JOIN idx i ON i.event_type = f.event_type AND i.t = f.t + 1
+           JOIN params p ON p.event_type = i.event_type),
+         bt AS (
+           SELECT f.event_type, f.t,
+             CASE WHEN f.c1 < f.c0 THEN 1 ELSE 0 END AS state
+           FROM fwd f JOIN params p USING (event_type) WHERE f.t = p.tlen
+           UNION ALL
+           SELECT b.event_type, b.t - 1,
+             CASE WHEN b.state = 0 THEN (CASE WHEN fb.s0 THEN 0 ELSE 1 END)
+                  ELSE (CASE WHEN fb.s1 THEN 1 ELSE 0 END) END
+           FROM bt b
+           JOIN fwd fb ON fb.event_type = b.event_type AND fb.t = b.t
+           WHERE b.t > 1)
+       SELECT i.event_type, i.day, i.r AS n, i.d, b.state, round(p.p0, 6) AS p0
+       FROM idx i
+       JOIN bt b ON b.event_type = i.event_type AND b.t = i.t
+       JOIN params p ON p.event_type = i.event_type
+       ORDER BY i.event_type, i.day""",
     // EWMA: ewma_1 = n_1, ewma_t = 0.7*ewma_{t-1} + 0.3*n_t replayed as a
     // recursive CTE with the identical double operation sequence (explicit
     // DOUBLE casts — bare 0.7 is DECIMAL in DuckDB).

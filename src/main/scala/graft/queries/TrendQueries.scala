@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.functions.Decay
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Trend analytics over the `events` stream stand-in — the reference's
@@ -138,6 +138,91 @@ object TrendQueries {
         when(m >= 12 && varp > 0.0, round(z, 6)).as("z"),
         when(m >= 12 && varp > 0.0, z >= 3.0).otherwise(lit(false)).as("is_burst"))
       .orderBy($"event_type", $"bucket")
+  }
+
+  /** Kleinberg 2-state burst automaton (Kleinberg 2002, "Bursty and
+    * Hierarchical Structure in Streams", the discrete/batched variant of
+    * §4) over daily per-type rates — THE canonical trend-detection
+    * algorithm, and the principled complement to `burstZscore`'s
+    * threshold heuristic: it finds burst *intervals* by globally optimal
+    * state assignment, not per-bucket triggers.
+    *
+    * Model: each day t has r_t events of the type out of d_t total; state
+    * q0 emits at the type's base rate p0 = R/D, state q1 at p1 =
+    * min(3·p0, 0.99). Day cost in state q is the binomial NLL
+    * −(r·ln p_q + (d−r)·ln(1−p_q)) (the C(d,r) term is state-independent
+    * and cancels); entering q1 costs τ = ln T once. The optimal state
+    * sequence is Viterbi: forward pass keeps (c0, c1) plus one
+    * predecessor flag pair per day, backward pass reconstructs states.
+    *
+    * Scale posture: the only corpus-sized work is the daily count
+    * aggregate; the dense (type × day) grid, the forward fold, and the
+    * backtrack fold all run over calendar-bounded arrays (T days per
+    * type) — never data-sized state. At 100 TB the DP cost is unchanged.
+    *
+    * Determinism: p0/p1/τ and every cost derive from exact integer counts
+    * through one fixed double expression shared with the oracle (`log` =
+    * `ln`, never `log1p`); ties prefer q0 / staying (<= comparisons),
+    * mirrored exactly in the SQL. The DuckDB oracle replays BOTH Viterbi
+    * passes as recursive CTEs and must agree on every state. */
+  def kleinbergBursts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy(date_trunc("day", $"ts").as("day"), $"event_type")
+      .agg(count(lit(1)).as("r"))
+    val dayTot = daily.groupBy($"day").agg(sum($"r").as("d"))
+    val types = daily.select($"event_type").distinct()
+    val grid = dayTot.crossJoin(broadcast(types))
+      .join(daily, Seq("day", "event_type"), "left")
+      .select($"event_type", $"day", coalesce($"r", lit(0L)).as("r"), $"d")
+    val perType = grid.groupBy($"event_type")
+      .agg(array_sort(collect_list(struct($"day", $"r", $"d"))).as("series"),
+        sum($"r").as("rtot"), sum($"d").as("dtot"))
+      .withColumn("p0", $"rtot".cast("double") / $"dtot".cast("double"))
+      .withColumn("p1", least($"p0" * lit(3.0), lit(0.99)))
+      .withColumn("lnp0", log($"p0")).withColumn("ln1p0", log(lit(1.0) - $"p0"))
+      .withColumn("lnp1", log($"p1")).withColumn("ln1p1", log(lit(1.0) - $"p1"))
+      .withColumn("tlen", size($"series"))
+      .withColumn("tau", log($"tlen".cast("double")))
+    def cost(e: Column, lnp: Column, ln1p: Column): Column =
+      -(e("r").cast("double") * lnp + (e("d") - e("r")).cast("double") * ln1p)
+    val e1 = element_at(col("series"), 1)
+    val fwd = aggregate(
+      when($"tlen" >= 2, slice($"series", lit(2), $"tlen" - 1))
+        .otherwise(expr("array()")
+          .cast("array<struct<day:timestamp,r:bigint,d:bigint>>")),
+      struct(
+        cost(e1, $"lnp0", $"ln1p0").as("c0"),
+        ($"tau" + cost(e1, $"lnp1", $"ln1p1")).as("c1"),
+        array(struct(lit(true).as("s0"), lit(true).as("s1"))).as("ch")),
+      (acc, e) => struct(
+        (least(acc("c0"), acc("c1")) + cost(e, $"lnp0", $"ln1p0")).as("c0"),
+        (least(acc("c0") + $"tau", acc("c1")) + cost(e, $"lnp1", $"ln1p1")).as("c1"),
+        concat(acc("ch"), array(struct(
+          (acc("c0") <= acc("c1")).as("s0"),
+          (acc("c1") <= acc("c0") + $"tau").as("s1")))).as("ch")))
+    val withFwd = perType.withColumn("fw", fwd)
+      .withColumn("finalState",
+        when($"fw.c1" < $"fw.c0", lit(1)).otherwise(lit(0)))
+    // backtrack: statesRev = [s_T, s_{T-1}, …, s_1]; s_{t-1} follows the
+    // predecessor flag recorded at step t for the state chosen at t
+    val statesRev = aggregate(
+      when($"tlen" >= 2, reverse(sequence(lit(2), $"tlen")))
+        .otherwise(expr("array()").cast("array<int>")),
+      array($"finalState"),
+      (acc, t) => concat(acc, array(
+        when(element_at(acc, -1) === 0,
+          when(element_at($"fw.ch", t)("s0"), lit(0)).otherwise(lit(1)))
+          .otherwise(
+            when(element_at($"fw.ch", t)("s1"), lit(1)).otherwise(lit(0))))))
+    withFwd
+      .withColumn("states", reverse(statesRev))
+      .select($"event_type", round($"p0", 6).as("p0"), $"series", $"states")
+      .select($"event_type", $"p0",
+        posexplode($"series").as(Seq("pos", "e")), $"states")
+      .select($"event_type", $"e.day".as("day"), $"e.r".as("n"), $"e.d".as("d"),
+        element_at($"states", $"pos" + 1).as("state"), $"p0")
+      .orderBy($"event_type", $"day")
   }
 
   /** EWMA trend smoothing (α = 0.3) over daily per-type counts — the

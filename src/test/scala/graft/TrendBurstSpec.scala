@@ -62,6 +62,61 @@ class TrendBurstSpec extends SparkSpec {
     }
   }
 
+  test("kleinbergBursts: constructed burst enters q1 over the burst days and exits after; replayed by an independent driver-side Viterbi") {
+    withTempDir { dir =>
+      // view at 90/day for 30 days; click at 10/day except days 12-14 at
+      // 39/day — a rate ~3x click's base share, i.e. right at p1, where q1
+      // decisively wins its 3 days (and nowhere else). sf0.01's uniform
+      // rates never leave q0, so this pins the q1 path.
+      val counts = (0 until 30).flatMap { d =>
+        val a = if (d >= 12 && d <= 14) 39 else 10
+        Seq(("click", d * 24, a), ("view", d * 24, 90))
+      }
+      writeEvents(dir, counts)
+      val got = TrendQueries.kleinbergBursts(spark, dir).collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime) ->
+          ((r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+      // independent Viterbi per type, same model/tie rules
+      val byDay = counts.groupBy(_._2 / 24).view.mapValues(_.map(c => c._1 -> c._3).toMap).toMap
+      val days = byDay.keys.toSeq.sorted
+      for (tpe <- Seq("click", "view")) {
+        val rs = days.map(d => byDay(d)(tpe).toLong)
+        val ds = days.map(d => byDay(d).values.sum.toLong)
+        val p0 = rs.sum.toDouble / ds.sum.toDouble
+        val p1 = math.min(3.0 * p0, 0.99)
+        val tau = math.log(days.size.toDouble)
+        def cost(r: Long, d: Long, p: Double) =
+          -(r.toDouble * math.log(p) + (d - r).toDouble * math.log(1.0 - p))
+        var c0 = cost(rs.head, ds.head, p0)
+        var c1 = tau + cost(rs.head, ds.head, p1)
+        val ch = collection.mutable.ArrayBuffer((true, true))
+        for (t <- 1 until days.size) {
+          val (n0, n1) = (math.min(c0, c1) + cost(rs(t), ds(t), p0),
+            math.min(c0 + tau, c1) + cost(rs(t), ds(t), p1))
+          ch += ((c0 <= c1, c1 <= c0 + tau)); c0 = n0; c1 = n1
+        }
+        val states = new Array[Int](days.size)
+        states(days.size - 1) = if (c1 < c0) 1 else 0
+        for (t <- days.size - 1 until 0 by -1)
+          states(t - 1) =
+            if (states(t) == 0) { if (ch(t)._1) 0 else 1 }
+            else { if (ch(t)._2) 1 else 0 }
+        days.zipWithIndex.foreach { case (d, i) =>
+          val key = (tpe, 1704067200000L + d * 24L * 3600000L)
+          assert(got(key)._3 == states(i),
+            s"$tpe day $d: got ${got(key)._3} expected ${states(i)}")
+        }
+      }
+      // and the burst actually fires: click is in q1 exactly on days 12-14
+      val clickStates = (0 until 30).map(d =>
+        got(("click", 1704067200000L + d * 24L * 3600000L))._3)
+      assert(clickStates == (0 until 30).map(d => if (d >= 12 && d <= 14) 1 else 0),
+        s"click states $clickStates")
+      assert((0 until 30).forall(d =>
+        got(("view", 1704067200000L + d * 24L * 3600000L))._3 == 0))
+    }
+  }
+
   test("ewmaSmooth matches the driver-side recurrence and seeds at the first day") {
     withTempDir { dir =>
       val daily = Seq(10, 20, 5, 40, 40, 1)
