@@ -102,6 +102,9 @@ object SparkEntry {
     // --- engine-added analytics (sessions, windows, stats) ---
     "q_burst_zscore"    -> ((s, d) => TrendQueries.burstZscore(s, d)),
     "q_burst_kleinberg" -> ((s, d) => TrendQueries.kleinbergBursts(s, d)),
+    "q_cusum_change"    -> ((s, d) => TrendQueries.cusumChange(s, d)),
+    "q_mad_outliers"    -> ((s, d) => AnalyticQueries.madOutliers(s, d)),
+    "q_rolling_corr"    -> ((s, d) => AnalyticQueries.rollingCorr(s, d)),
     "q_ewma_smooth"     -> ((s, d) => TrendQueries.ewmaSmooth(s, d)),
     "q_chunk_profile"   -> ((s, d) => CorpusQueries.chunkProfile(s, d)),
     "q_chunk_dedup"     -> ((s, d) => CorpusQueries.chunkDedup(s, d)),
@@ -1546,6 +1549,91 @@ object SparkEntry {
          coalesce(CASE WHEN m >= 12 AND varp > 0.0
            THEN ((CAST(n AS DOUBLE) - mean) / sqrt(varp) >= 3.0) END, false) AS is_burst
        FROM derived ORDER BY event_type, bucket""",
+    // MAD robust outliers: medians via quantile_cont (parity with Spark
+    // exact `percentile` pinned by q_percentiles); threshold/robust-z by
+    // the identical expression; count exact, max fold-order-free
+    "q_mad_outliers" ->
+      """WITH med AS (
+           SELECT event_type, quantile_cont(value, 0.5) AS med
+           FROM events GROUP BY 1),
+         dev AS (
+           SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+           FROM events e JOIN med m USING (event_type)),
+         mad AS (
+           SELECT event_type, quantile_cont(adev, 0.5) AS mad
+           FROM dev GROUP BY 1)
+       SELECT d.event_type, count(*) AS n,
+         round(max(d.med), 6) AS med, round(max(a.mad), 6) AS mad,
+         CAST(sum(CASE WHEN d.adev > 3.0 * 1.4826 * a.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+         CASE WHEN max(a.mad) > 0.0
+           THEN round(max(d.adev / (1.4826 * a.mad)), 6) END AS max_robust_z
+       FROM dev d JOIN mad a USING (event_type)
+       GROUP BY d.event_type ORDER BY d.event_type""",
+    // trailing 7-day Pearson r from exact integer window sums over a RANGE
+    // frame on integer epoch-days — same gap-robust doctrine as the burst
+    // z-score; NULL under constancy or m < 3
+    "q_rolling_corr" ->
+      """WITH daily AS (
+           SELECT CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS dy,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS y
+           FROM events WHERE event_type IN ('purchase', 'error') GROUP BY 1),
+         win AS (
+           SELECT dy, x, y,
+             count(*) OVER w AS m,
+             sum(x) OVER w AS sx, sum(y) OVER w AS sy, sum(x*y) OVER w AS sxy,
+             sum(x*x) OVER w AS sxx, sum(y*y) OVER w AS syy
+           FROM daily
+           WINDOW w AS (ORDER BY dy RANGE BETWEEN 6 PRECEDING AND 0 FOLLOWING)),
+         derived AS (
+           SELECT dy, x, y, m,
+             CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS covn,
+             CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+             CAST(m AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+           FROM win)
+       SELECT make_timestamp(dy * 86400 * 1000000) AS day,
+         x AS n_purchase, y AS n_error, m,
+         CASE WHEN m >= 3 AND vx > 0.0 AND vy > 0.0
+           THEN round(covn / sqrt(vx * vy), 6) END AS r
+       FROM derived ORDER BY day""",
+    // CUSUM: baseline mu/sigma from the first 7 days' exact integer sums;
+    // the S+/S- recursion replayed in a recursive CTE with the identical
+    // double operation sequence; sigma = 0 -> NULL statistics
+    "q_cusum_change" ->
+      """WITH RECURSIVE daily AS (
+           SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         idx AS (
+           SELECT event_type, day, n,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
+           FROM daily),
+         params AS (
+           SELECT event_type,
+             CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu,
+             sqrt((CAST(sum(n*n) AS DOUBLE)
+                   - CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+                  / (CAST(count(*) AS DOUBLE) - CAST(1.0 AS DOUBLE))) AS sigma
+           FROM idx WHERE t <= 7 GROUP BY 1),
+         rec AS (
+           SELECT i.event_type, i.t, i.day, i.n,
+             greatest(CAST(0.0 AS DOUBLE), CAST(i.n AS DOUBLE) - p.mu - p.sigma / CAST(2.0 AS DOUBLE)) AS sp,
+             greatest(CAST(0.0 AS DOUBLE), p.mu - p.sigma / CAST(2.0 AS DOUBLE) - CAST(i.n AS DOUBLE)) AS sn
+           FROM idx i JOIN params p USING (event_type) WHERE i.t = 1
+           UNION ALL
+           SELECT i.event_type, i.t, i.day, i.n,
+             greatest(CAST(0.0 AS DOUBLE), r.sp + (CAST(i.n AS DOUBLE) - p.mu - p.sigma / CAST(2.0 AS DOUBLE))),
+             greatest(CAST(0.0 AS DOUBLE), r.sn + (p.mu - p.sigma / CAST(2.0 AS DOUBLE) - CAST(i.n AS DOUBLE)))
+           FROM rec r
+           JOIN idx i ON i.event_type = r.event_type AND i.t = r.t + 1
+           JOIN params p ON p.event_type = i.event_type)
+       SELECT r.event_type, r.day, r.n,
+         round(p.mu, 6) AS mu, round(p.sigma, 6) AS sigma,
+         CASE WHEN p.sigma > 0.0 THEN round(r.sp, 6) END AS cusum_pos,
+         CASE WHEN p.sigma > 0.0 THEN round(r.sn, 6) END AS cusum_neg,
+         CASE WHEN p.sigma > 0.0
+           THEN (r.sp > 5.0 * p.sigma OR r.sn > 5.0 * p.sigma) END AS alarm
+       FROM rec r JOIN params p USING (event_type)
+       ORDER BY r.event_type, r.day""",
     // Kleinberg burst automaton: both Viterbi passes replayed as recursive
     // CTEs. Every cost derives from exact integer counts through the same
     // double expression as the Spark side (ln, never log1p; -(x + y)

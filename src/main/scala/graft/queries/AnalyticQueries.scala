@@ -257,6 +257,76 @@ object AnalyticQueries {
       .orderBy($"event_type")
   }
 
+  /** Robust outlier profile per event type — median/MAD instead of
+    * mean/stddev, the estimator that doesn't let the outliers it hunts
+    * drag the baseline (50% breakdown point vs 0 for the z-score). An
+    * event is an outlier when |value − median| > 3 · 1.4826 · MAD
+    * (1.4826 = 1/Φ⁻¹(0.75) makes MAD a consistent σ estimate under
+    * normality).
+    *
+    * Determinism: medians are exact interpolated `percentile` (the same
+    * sort-based semantics as DuckDB `quantile_cont` — q_percentiles pins
+    * the parity); deviations, the threshold, and robust z derive from
+    * them by one shared expression; the outlier count is an exact
+    * integer, and max() over doubles is fold-order-free.
+    *
+    * Scale posture: two type-keyed aggregates over events with a 5-row
+    * broadcast join between them — the second pass reuses the same
+    * hash-partitioning profile, and nothing data-sized ever sits on the
+    * driver. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val med = ev.groupBy($"event_type")
+      .agg(percentile($"value", lit(0.5)).as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("adev", abs($"value" - $"med"))
+    val mad = dev.groupBy($"event_type")
+      .agg(percentile($"adev", lit(0.5)).as("mad"))
+    val thresh = lit(3.0) * lit(1.4826) * $"mad"
+    dev.join(broadcast(mad), "event_type")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        round(max($"med"), 6).as("med"),
+        round(max($"mad"), 6).as("mad"),
+        sum(when($"adev" > thresh, 1L).otherwise(0L)).as("n_outliers"),
+        when(max($"mad") > 0.0,
+          round(max($"adev" / (lit(1.4826) * $"mad")), 6)).as("max_robust_z"))
+      .orderBy($"event_type")
+  }
+
+  /** Trailing 7-day Pearson correlation between the daily purchase and
+    * error streams — "do failures move with sales?", the ops-dashboard
+    * panel next to the burst detector. r derives entirely from exact
+    * integer window sums (Σx, Σy, Σxy, Σx², Σy², m) over a RANGE frame on
+    * the integer epoch-day (gap-robust), so the doubles agree with the
+    * oracle bit-for-bit; NULL when either stream is constant in the
+    * window or fewer than 3 days are present. Scale: the corpus collapses
+    * to one row per day before the window ever runs. */
+  def rollingCorr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .filter($"event_type".isin("purchase", "error"))
+      .groupBy((unix_timestamp(date_trunc("day", $"ts")) / 86400L).cast("long").as("dy"))
+      .agg(sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("x"),
+        sum(when($"event_type" === "error", 1L).otherwise(0L)).as("y"))
+    val w = Window.orderBy($"dy").rangeBetween(-6, 0)
+    val m = count(lit(1)).over(w)
+    val sx = sum($"x").over(w); val sy = sum($"y").over(w)
+    val sxy = sum($"x" * $"y").over(w)
+    val sxx = sum($"x" * $"x").over(w); val syy = sum($"y" * $"y").over(w)
+    val covn = m.cast("double") * sxy.cast("double") - sx.cast("double") * sy.cast("double")
+    val vx = m.cast("double") * sxx.cast("double") - sx.cast("double") * sx.cast("double")
+    val vy = m.cast("double") * syy.cast("double") - sy.cast("double") * sy.cast("double")
+    daily
+      .select(timestamp_seconds($"dy" * 86400L).as("day"),
+        $"x".as("n_purchase"), $"y".as("n_error"), m.as("m"),
+        when(m >= 3 && vx > 0.0 && vy > 0.0,
+          round(covn / sqrt(vx * vy), 6)).as("r"))
+      .orderBy($"day")
+  }
+
   /** SCD type-2 interval compaction (Kimball's slowly-changing dimension
     * build — the warehouse MERGE every CDC pipeline lands on): per user,
     * consecutive runs of the same event_type collapse into one

@@ -225,6 +225,73 @@ object TrendQueries {
       .orderBy($"event_type", $"day")
   }
 
+  /** CUSUM changepoint detection (Page 1954) over daily per-type counts —
+    * the sequential level-shift detector that catches slow drifts the
+    * z-score burst test misses (it accumulates small deviations instead of
+    * thresholding each bucket). Baseline μ/σ are the sample mean/std of
+    * the type's FIRST 7 days (exact integer sums → one shared double
+    * expression); slack κ = σ/2, alarm threshold h = 5σ;
+    * S⁺_t = max(0, S⁺_{t−1} + (x_t − μ − κ)),
+    * S⁻_t = max(0, S⁻_{t−1} + (μ − κ − x_t)). A zero-variance baseline
+    * (σ = 0) yields NULL statistics, never a division artifact — the same
+    * degenerate-source doctrine as zipfProfile.
+    *
+    * Scale posture: identical to the EWMA — one corpus-sized daily count
+    * aggregate, then calendar-bounded per-type HOF folds. The DuckDB
+    * oracle replays the recursion in a recursive CTE. */
+  def cusumChange(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val base = daily
+      .groupBy($"event_type")
+      .agg(array_sort(collect_list(struct($"day", $"n"))).as("series"))
+      .withColumn("ns", transform($"series", e => e("n").cast("double")))
+      .withColumn("b", slice($"ns", 1, 7))
+      .withColumn("bn", size($"b").cast("double"))
+      // exact integer baseline sums (the doubles derive from these alone)
+      .withColumn("bs", aggregate(slice(transform($"series", e => e("n")), 1, 7),
+        lit(0L), (a, x) => a + x).cast("double"))
+      .withColumn("bss", aggregate(slice(transform($"series", e => e("n")), 1, 7),
+        lit(0L), (a, x) => a + x * x).cast("double"))
+      .withColumn("mu", $"bs" / $"bn")
+      .withColumn("sigma", sqrt(($"bss" - $"bs" * $"bs" / $"bn") / ($"bn" - lit(1.0))))
+      .withColumn("kappa", $"sigma" / lit(2.0))
+      .withColumn("h", lit(5.0) * $"sigma")
+    val init = struct(
+      greatest(lit(0.0), element_at($"ns", 1) - $"mu" - $"kappa").as("sp"),
+      greatest(lit(0.0), $"mu" - $"kappa" - element_at($"ns", 1)).as("sn"),
+      array(struct(
+        greatest(lit(0.0), element_at($"ns", 1) - $"mu" - $"kappa").as("sp"),
+        greatest(lit(0.0), $"mu" - $"kappa" - element_at($"ns", 1)).as("sn"))).as("hist"))
+    val fold = aggregate(
+      when(size($"ns") >= 2, slice($"ns", lit(2), size($"ns") - 1))
+        .otherwise(expr("array()").cast("array<double>")),
+      init,
+      (acc, x) => struct(
+        greatest(lit(0.0), acc("sp") + (x - $"mu" - $"kappa")).as("sp"),
+        greatest(lit(0.0), acc("sn") + ($"mu" - $"kappa" - x)).as("sn"),
+        concat(acc("hist"), array(struct(
+          greatest(lit(0.0), acc("sp") + (x - $"mu" - $"kappa")).as("sp"),
+          greatest(lit(0.0), acc("sn") + ($"mu" - $"kappa" - x)).as("sn")))).as("hist")))
+    base
+      .withColumn("hist", fold("hist"))
+      .select($"event_type", round($"mu", 6).as("mu"), round($"sigma", 6).as("sigma"),
+        $"sigma".as("sigma_raw"), $"h", $"series", $"hist")
+      .select($"event_type", $"mu", $"sigma", $"sigma_raw", $"h",
+        posexplode($"series").as(Seq("pos", "e")), $"hist")
+      .select($"event_type", $"e.day".as("day"), $"e.n".as("n"), $"mu", $"sigma",
+        when($"sigma_raw" > 0.0,
+          round(element_at($"hist", $"pos" + 1)("sp"), 6)).as("cusum_pos"),
+        when($"sigma_raw" > 0.0,
+          round(element_at($"hist", $"pos" + 1)("sn"), 6)).as("cusum_neg"),
+        when($"sigma_raw" > 0.0,
+          element_at($"hist", $"pos" + 1)("sp") > $"h" ||
+            element_at($"hist", $"pos" + 1)("sn") > $"h").as("alarm"))
+      .orderBy($"event_type", $"day")
+  }
+
   /** EWMA trend smoothing (α = 0.3) over daily per-type counts — the
     * classic "smoothed trend line + direction" panel. ewma_1 = n_1,
     * ewma_t = 0.7·ewma_{t−1} + 0.3·n_t, computed by a left-to-right HOF
