@@ -105,6 +105,9 @@ object SparkEntry {
     "q_cusum_change"    -> ((s, d) => TrendQueries.cusumChange(s, d)),
     "q_mad_outliers"    -> ((s, d) => AnalyticQueries.madOutliers(s, d)),
     "q_rolling_corr"    -> ((s, d) => AnalyticQueries.rollingCorr(s, d)),
+    "q_rank_movers"     -> ((s, d) => TrendQueries.rankMovers(s, d)),
+    "q_lr_calibration"  -> ((s, d) => PipelineQueries.lrCalibration(s, d)),
+    "q_lr_auc"          -> ((s, d) => PipelineQueries.lrAuc(s, d)),
     "q_ewma_smooth"     -> ((s, d) => TrendQueries.ewmaSmooth(s, d)),
     "q_chunk_profile"   -> ((s, d) => CorpusQueries.chunkProfile(s, d)),
     "q_chunk_dedup"     -> ((s, d) => CorpusQueries.chunkDedup(s, d)),
@@ -558,6 +561,29 @@ object SparkEntry {
 
   private val ChunkLenSql = graft.queries.CorpusQueries.ChunkLen
   private val ChunkStrideSql = graft.queries.CorpusQueries.ChunkStride
+
+  /** Shared CTE prefix replaying the qualityLr score (same expressions as
+    * the q_quality_lr oracle) plus the lang=en evaluation label — reused by
+    * the classifier-evaluation oracles (q_lr_calibration, q_lr_auc). */
+  private val LrLabeledCte =
+    raw"""toks AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0) AS t
+         FROM documents),
+       feat AS (SELECT doc_id, len(t)*1.0 AS n,
+           list_sum(list_transform(t, q -> length(q)))*1.0/len(t) AS mean_len,
+           len(list_distinct(t))*1.0/len(t) AS ttr,
+           len(list_filter(t, q -> list_contains(
+             [${graft.functions.Text.Stopwords.map(w => s"'$w'").mkString(",")}],
+             lower(q))))*1.0/len(t) AS stop_r
+         FROM toks WHERE len(t) > 0),
+       zt AS (SELECT doc_id,
+           round((${graft.queries.PipelineQueries.LrBias}) + (${graft.queries.PipelineQueries.LrWLogLen})*ln(1.0+n)
+             + (${graft.queries.PipelineQueries.LrWStop})*stop_r + (${graft.queries.PipelineQueries.LrWMeanLen})*mean_len
+             + (${graft.queries.PipelineQueries.LrWTtr})*ttr, 6) AS z
+         FROM feat),
+       lab AS (SELECT zt.doc_id, round(1.0/(1.0+exp(-z)), 6) AS score,
+           (d.lang = 'en') AS label
+         FROM zt JOIN documents d ON d.doc_id = zt.doc_id)"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1549,6 +1575,50 @@ object SparkEntry {
          coalesce(CASE WHEN m >= 12 AND varp > 0.0
            THEN ((CAST(n AS DOUBLE) - mean) / sqrt(varp) >= 3.0) END, false) AS is_burst
        FROM derived ORDER BY event_type, bucket""",
+    // rank movers: split anchored at the dataset's min day; ranks/delta as
+    // INT on both sides (row_number is INT in Spark, cast from BIGINT here)
+    "q_rank_movers" ->
+      """WITH ev AS (
+           SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, ts
+           FROM events),
+         m AS (SELECT min(date_trunc('day', ts)) AS d0 FROM ev),
+         c AS (
+           SELECT k,
+             CAST(sum(CASE WHEN date_diff('day', m.d0, date_trunc('day', ts)) < 15 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN date_diff('day', m.d0, date_trunc('day', ts)) >= 15 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+           FROM ev CROSS JOIN m GROUP BY 1),
+         r AS (
+           SELECT k, c1, c2,
+             CAST(row_number() OVER (ORDER BY c1 DESC, k) AS INT) AS rank1,
+             CAST(row_number() OVER (ORDER BY c2 DESC, k) AS INT) AS rank2
+           FROM c)
+       SELECT k, c1, c2, rank1, rank2, rank1 - rank2 AS delta
+       FROM r ORDER BY abs(rank1 - rank2) DESC, k LIMIT 20""",
+    // classifier calibration: exact counts; mean predicted score via a
+    // DECIMAL(28,6) sum of the already-6-dp scores (fold-order exact)
+    "q_lr_calibration" ->
+      s"""WITH $LrLabeledCte
+       SELECT least(9, CAST(floor(score * 10) AS INT)) AS bin,
+         count(*) AS n,
+         CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         round(CAST(sum(CAST(score AS DECIMAL(28,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_score,
+         round(CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS frac_pos
+       FROM lab GROUP BY 1 ORDER BY 1""",
+    // exact tie-corrected Mann-Whitney AUC from integer rank sums
+    "q_lr_auc" ->
+      s"""WITH $LrLabeledCte,
+         rk AS (SELECT label,
+             rank() OVER (ORDER BY score) AS mnr,
+             count(*) OVER (PARTITION BY score) AS cnt
+           FROM lab),
+         a AS (SELECT
+             CAST(sum(CASE WHEN label THEN 2*mnr + cnt - 1 ELSE 0 END) AS BIGINT) AS s2,
+             CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             count(*) AS n
+           FROM rk)
+       SELECT n1 AS n_pos, n - n1 AS n_neg,
+         round(CAST(s2 - n1*(n1+1) AS DOUBLE) / CAST(2*n1*(n - n1) AS DOUBLE), 6) AS auc
+       FROM a""",
     // MAD robust outliers: medians via quantile_cont (parity with Spark
     // exact `percentile` pinned by q_percentiles); threshold/robust-z by
     // the identical expression; count exact, max fold-order-free

@@ -436,4 +436,56 @@ object PipelineQueries {
       .withColumn("keep", $"score" >= 0.5)
       .orderBy($"doc_id")
   }
+
+  /** [[qualityLr]] scores joined with the evaluation label — "is this the
+    * target language" (lang = en), the standard curation ground truth a
+    * classifier is audited against. doc_id-keyed join; no extra state. */
+  private def lrScoredLabeled(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    qualityLr(spark, dir).join(
+      Tables.documents(spark, dir)
+        .select($"doc_id", ($"lang" === "en").as("label")), "doc_id")
+  }
+
+  /** Calibration curve of the quality classifier — 10 score deciles with
+    * exact counts, the 6-dp-DECIMAL-summed mean predicted score (fold-order
+    * exact), and the empirical positive fraction. THIS is the scale path
+    * for classifier evaluation at 100 TB: one corpus pass onto 10 rows,
+    * no global sort (contrast [[lrAuc]]). */
+  def lrCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    lrScoredLabeled(spark, dir)
+      .groupBy(least(lit(9), floor($"score" * 10).cast("int")).as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum($"label".cast("long")).as("n_pos"),
+        round(sum($"score".cast("decimal(28,6)")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("avg_score"),
+        round(sum($"label".cast("long")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("frac_pos"))
+      .orderBy($"bin")
+  }
+
+  /** Exact ROC AUC of the quality classifier via the rank-sum
+    * (Mann–Whitney) identity with tie correction: positives' tied-average
+    * ranks enter as the INTEGER 2·rank_min + cnt − 1 (no halves), so
+    * AUC = (Σ − n₁(n₁+1)) / (2·n₁·n₀) derives from exact integers and the
+    * oracle agrees bit-for-bit. The global rank is one total sort — the
+    * honest cost of an exact AUC (a range-partitioned sort at cluster
+    * scale); [[lrCalibration]] is the sort-free summary for routine
+    * monitoring. */
+  def lrAuc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ranked = lrScoredLabeled(spark, dir).select($"score", $"label")
+      .select($"label",
+        rank().over(Window.orderBy($"score")).as("mnr"),
+        count(lit(1)).over(Window.partitionBy($"score")).as("cnt"))
+    ranked
+      .agg(sum(when($"label", lit(2L) * $"mnr" + $"cnt" - 1L).otherwise(0L)).as("s2"),
+        sum($"label".cast("long")).as("n1"),
+        count(lit(1)).as("n"))
+      .select($"n1".as("n_pos"), ($"n" - $"n1").as("n_neg"),
+        round(($"s2" - $"n1" * ($"n1" + 1L)).cast("double")
+          / (lit(2L) * $"n1" * ($"n" - $"n1")).cast("double"), 6).as("auc"))
+  }
 }

@@ -225,6 +225,34 @@ object TrendQueries {
       .orderBy($"event_type", $"day")
   }
 
+  /** Rank movers — the "what moved this week" trending table: each
+    * props-key `k` is counted over the first 15 days vs the rest of the
+    * window (the split anchored at the dataset's min day, not the calendar
+    * month, so it is tier-independent), ranked within each period
+    * (count desc, k asc — fully deterministic), and the top-20 movers by
+    * absolute rank shift are emitted. Scale posture: one corpus-sized
+    * aggregate onto |keys| rows; the ranking windows and the top-k run on
+    * that vocabulary-bounded frame. */
+  def rankMovers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(get_json_object($"props", "$.k").cast("long").as("k"), $"ts")
+    val minDay = ev.agg(min(date_trunc("day", $"ts")).as("d0"))
+    val dd = datediff(date_trunc("day", $"ts"), $"d0")
+    val counted = ev.crossJoin(broadcast(minDay))
+      .groupBy($"k")
+      .agg(sum(when(dd < 15, 1L).otherwise(0L)).as("c1"),
+        sum(when(dd >= 15, 1L).otherwise(0L)).as("c2"))
+    counted
+      .select($"k", $"c1", $"c2",
+        row_number().over(Window.orderBy($"c1".desc, $"k")).as("rank1"),
+        row_number().over(Window.orderBy($"c2".desc, $"k")).as("rank2"))
+      .withColumn("delta", $"rank1" - $"rank2")
+      .orderBy(abs($"delta").desc, $"k")
+      .limit(20)
+  }
+
   /** CUSUM changepoint detection (Page 1954) over daily per-type counts —
     * the sequential level-shift detector that catches slow drifts the
     * z-score burst test misses (it accumulates small deviations instead of
