@@ -106,6 +106,7 @@ object SparkEntry {
     "q_mad_outliers"    -> ((s, d) => AnalyticQueries.madOutliers(s, d)),
     "q_rolling_corr"    -> ((s, d) => AnalyticQueries.rollingCorr(s, d)),
     "q_rank_movers"     -> ((s, d) => TrendQueries.rankMovers(s, d)),
+    "q_holt_trend"      -> ((s, d) => TrendQueries.holtTrend(s, d)),
     "q_lr_calibration"  -> ((s, d) => PipelineQueries.lrCalibration(s, d)),
     "q_lr_auc"          -> ((s, d) => PipelineQueries.lrAuc(s, d)),
     "q_ewma_smooth"     -> ((s, d) => TrendQueries.ewmaSmooth(s, d)),
@@ -1575,6 +1576,33 @@ object SparkEntry {
          coalesce(CASE WHEN m >= 12 AND varp > 0.0
            THEN ((CAST(n AS DOUBLE) - mean) / sqrt(varp) >= 3.0) END, false) AS is_burst
        FROM derived ORDER BY event_type, bucket""",
+    // Holt double exponential smoothing: level/trend recurrences replayed
+    // in a recursive CTE with identical double operation order; forecast
+    // f_t = l_{t-1} + b_{t-1}, NULL at t=1
+    "q_holt_trend" ->
+      """WITH RECURSIVE daily AS (
+           SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         idx AS (
+           SELECT event_type, day, n,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
+           FROM daily),
+         rec AS (
+           SELECT event_type, day, n, t,
+             CAST(n AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b,
+             CAST(NULL AS DOUBLE) AS f
+           FROM idx WHERE t = 1
+           UNION ALL
+           SELECT i.event_type, i.day, i.n, i.t,
+             CAST(0.3 AS DOUBLE) * CAST(i.n AS DOUBLE) + CAST(0.7 AS DOUBLE) * (r.l + r.b),
+             CAST(0.1 AS DOUBLE) * ((CAST(0.3 AS DOUBLE) * CAST(i.n AS DOUBLE) + CAST(0.7 AS DOUBLE) * (r.l + r.b)) - r.l)
+               + CAST(0.9 AS DOUBLE) * r.b,
+             r.l + r.b
+           FROM rec r JOIN idx i ON i.event_type = r.event_type AND i.t = r.t + 1)
+       SELECT event_type, day, n,
+         round(l, 6) AS level, round(b, 6) AS trend, round(f, 6) AS forecast,
+         round(abs(CAST(n AS DOUBLE) - f), 6) AS abs_err
+       FROM rec ORDER BY event_type, day""",
     // rank movers: split anchored at the dataset's min day; ranks/delta as
     // INT on both sides (row_number is INT in Spark, cast from BIGINT here)
     "q_rank_movers" ->

@@ -225,6 +225,51 @@ object TrendQueries {
       .orderBy($"event_type", $"day")
   }
 
+  /** Holt's linear trend method (double exponential smoothing, Holt 1957)
+    * over daily per-type counts — the forecasting step a trend dashboard
+    * puts next to the smoothed line: level l_t = α·x_t + (1−α)(l_{t−1} +
+    * b_{t−1}), trend b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1} with α=0.3,
+    * β=0.1, seeds l₁ = x₁, b₁ = 0; the one-step-ahead forecast f_t =
+    * l_{t−1} + b_{t−1} (NULL at t=1) and its absolute error audit the fit
+    * in-band. Same determinism/scale doctrine as the EWMA: one corpus
+    * aggregate, calendar-bounded left-to-right folds, recursive-CTE oracle
+    * replaying the identical double recurrences. */
+  def holtTrend(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val base = daily
+      .groupBy($"event_type")
+      .agg(array_sort(collect_list(struct($"day", $"n"))).as("series"))
+      .withColumn("ns", transform($"series", e => e("n").cast("double")))
+    val init = struct(
+      element_at($"ns", 1).as("l"), lit(0.0).as("b"),
+      array(struct(element_at($"ns", 1).as("l"), lit(0.0).as("b"),
+        lit(null).cast("double").as("f"))).as("hist"))
+    val fold = aggregate(
+      when(size($"ns") >= 2, slice($"ns", lit(2), size($"ns") - 1))
+        .otherwise(expr("array()").cast("array<double>")),
+      init,
+      (acc, x) => {
+        val f = acc("l") + acc("b")
+        val l2 = lit(0.3) * x + lit(0.7) * (acc("l") + acc("b"))
+        val b2 = lit(0.1) * (l2 - acc("l")) + lit(0.9) * acc("b")
+        struct(l2.as("l"), b2.as("b"),
+          concat(acc("hist"), array(struct(l2.as("l"), b2.as("b"), f.as("f")))).as("hist"))
+      })
+    base
+      .withColumn("hist", fold("hist"))
+      .select($"event_type", posexplode($"series").as(Seq("pos", "e")), $"hist")
+      .select($"event_type", $"e.day".as("day"), $"e.n".as("n"),
+        round(element_at($"hist", $"pos" + 1)("l"), 6).as("level"),
+        round(element_at($"hist", $"pos" + 1)("b"), 6).as("trend"),
+        round(element_at($"hist", $"pos" + 1)("f"), 6).as("forecast"),
+        round(abs($"e.n".cast("double") - element_at($"hist", $"pos" + 1)("f")), 6)
+          .as("abs_err"))
+      .orderBy($"event_type", $"day")
+  }
+
   /** Rank movers — the "what moved this week" trending table: each
     * props-key `k` is counted over the first 15 days vs the rest of the
     * window (the split anchored at the dataset's min day, not the calendar

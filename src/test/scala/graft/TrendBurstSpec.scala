@@ -130,6 +130,26 @@ class TrendBurstSpec extends SparkSpec {
     }
   }
 
+  test("holtTrend matches the driver-side level/trend recurrences; forecast NULL only at t=1") {
+    withTempDir { dir =>
+      val daily = Seq(10, 12, 15, 20, 18, 30, 28)
+      writeEvents(dir, daily.zipWithIndex.map { case (n, d) => ("click", d * 24, n) })
+      val got = TrendQueries.holtTrend(spark, dir).collect()
+      assert(got.head.isNullAt(5) && got.head.isNullAt(6))
+      var (l, b) = (daily.head.toDouble, 0.0)
+      daily.drop(1).zip(got.drop(1)).foreach { case (x, r) =>
+        val f = l + b
+        val l2 = 0.3 * x + 0.7 * (l + b)
+        val b2 = 0.1 * (l2 - l) + 0.9 * b
+        assert(math.abs(r.getDouble(5) - math.rint(f * 1e6) / 1e6) < 1e-9,
+          s"forecast ${r.getDouble(5)} vs $f")
+        assert(math.abs(r.getDouble(3) - math.rint(l2 * 1e6) / 1e6) < 1e-9)
+        assert(math.abs(r.getDouble(4) - math.rint(b2 * 1e6) / 1e6) < 1e-9)
+        l = l2; b = b2
+      }
+    }
+  }
+
   test("chunker geometry: count formula, tail length, overlap, and cross-doc dedup") {
     withTempDir { dir =>
       val t40 = (1 to 40).map(i => s"w$i").mkString(" ")
