@@ -183,6 +183,9 @@ object SparkEntry {
     "q_hits"            -> ((s, d) => GraphQueries.hits(s, d)),
     "q_triangles"       -> ((s, d) => GraphQueries.triangles(s, d)),
     "q_assoc_rules"     -> ((s, d) => AnalyticQueries.assocRules(s, d)),
+    // --- round-9 additions: maximal duplicate spans, k-core decomposition ---
+    "q_dup_spans"       -> ((s, d) => CorpusQueries.dupSpans(s, d)),
+    "q_kcore"           -> ((s, d) => GraphQueries.coreness(s, d)),
   )
 
   /** Decay expression shared by the EDW oracles (DuckDB `epoch()` returns
@@ -463,6 +466,32 @@ object SparkEntry {
        SELECT r.node, n.n_name, CAST(r.pr AS DOUBLE) AS pr
        FROM r${GraphQueries.PrIters} r JOIN nodes n ON r.node = n.node
        ORDER BY r.node"""
+  }
+
+  /** k-core oracle: [[graft.queries.GraphQueries.CoreIters]] h-index
+    * rounds unrolled as CTEs — per round, neighbor values sorted
+    * descending per node and `max(least(rn, c))` taken; exact integers
+    * throughout, tie order among equal values provably immaterial. */
+  private val KcoreOracle: String = {
+    val rounds = (1 to GraphQueries.CoreIters).map { k =>
+      s"""h$k AS (SELECT a.node, v.c,
+             row_number() OVER (PARTITION BY a.node ORDER BY v.c DESC) AS rn
+           FROM adj a JOIN c${k - 1} v ON a.nbr = v.node),
+       c$k AS (SELECT node, CAST(max(least(rn, c)) AS BIGINT) AS c
+           FROM h$k GROUP BY 1)"""
+    }.mkString(",\n       ", ",\n       ", "")
+    s"""WITH $TradeGraphCte,
+       und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+           greatest(src, dst) AS b FROM edges WHERE src <> dst),
+       adj AS MATERIALIZED (SELECT a AS node, b AS nbr FROM und
+         UNION ALL SELECT b, a FROM und),
+       c0 AS (SELECT node, CAST(count(*) AS BIGINT) AS c
+           FROM adj GROUP BY 1)$rounds
+       SELECT n.node, n.n_name,
+         coalesce(c${GraphQueries.CoreIters}.c, 0) AS coreness
+       FROM nodes n LEFT JOIN c${GraphQueries.CoreIters}
+         ON n.node = c${GraphQueries.CoreIters}.node
+       ORDER BY n.node"""
   }
 
   /** Power-iteration PCA oracle: the q_embed_gram fixed-point Gram CTE
@@ -2659,5 +2688,35 @@ object SparkEntry {
        WHERE pr.pc >= ${AnalyticQueries.AssocMinPairCount}
        ORDER BY lift DESC, pair_cnt DESC, part_a, part_b
        LIMIT ${AnalyticQueries.AssocTopK}""",
+    // maximal duplicated spans: 1-based duplicated-gram positions merged
+    // by islands-and-gaps (gap > 8 starts a new span); top-50 by length
+    "q_dup_spans" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0) AS t
+         FROM documents),
+       gp AS (SELECT doc_id, t,
+           unnest(range(1, greatest(len(t)-7, 0)+1)) AS pos
+         FROM t),
+       gr AS (SELECT doc_id, pos, array_to_string(t[pos:pos+7], ' ') AS g
+         FROM gp),
+       dup AS (SELECT g FROM gr GROUP BY g HAVING count(*) > 1),
+       h AS (SELECT gr.doc_id, gr.pos FROM gr JOIN dup USING (g)),
+       m AS (SELECT doc_id, pos,
+           CASE WHEN lag(pos) OVER w IS NULL
+                  OR pos - lag(pos) OVER w > 8 THEN 1 ELSE 0 END AS ns
+         FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       s AS (SELECT doc_id, pos,
+           sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+         FROM m),
+       sp AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 7 AS BIGINT) AS span_end,
+           count(*) AS n_dup_grams
+         FROM s GROUP BY doc_id, sid)
+       SELECT doc_id, span_start, span_end,
+         span_end - span_start + 1 AS span_tokens, n_dup_grams
+       FROM sp
+       ORDER BY span_tokens DESC, doc_id, span_start
+       LIMIT 50""",
+    "q_kcore" -> KcoreOracle,
   )
 }

@@ -920,4 +920,48 @@ object CorpusQueries {
       .orderBy($"n_occ".desc, $"n_docs".desc, $"chunk_hash")
       .limit(20)
   }
+
+  /** Maximal duplicated-text spans — the interval-coalescing half of
+    * exact-substring dedup (Lee et al. 2022 §4: the REMOVE step operates
+    * on maximal duplicated character ranges, not isolated grams). Every
+    * position of a corpus-duplicated [[DupGramK]]-gram covers tokens
+    * `[pos, pos+K-1]`; overlapping/touching covers within a document merge
+    * into one maximal span (islands-and-gaps: a new island starts where
+    * the gap since the previous duplicated gram exceeds K). Output: the
+    * top-50 longest spans — the concrete cut list a substring-dedup
+    * rewrite pass would act on, which [[dupNgrams]]'s per-doc fraction
+    * cannot provide.
+    *
+    * Scale shape: the corpus-sized gram-count aggregate is shared with
+    * [[dupNgrams]] (the cost this operator family is defined by); the
+    * join-back keeps only duplicated-gram hits (a small fraction of gram
+    * vocabulary on natural corpora, AQE broadcast-picks it), and both
+    * windows partition by doc_id — state bounded per document, never
+    * global. Top-50 plans as TakeOrderedAndProject. */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = DupGramK
+    val docs = Tables.documents(spark, dir)
+    // 1-based gram start positions (matches DuckDB's 1-based list slices)
+    val grams = docs.select($"doc_id",
+        posexplode(Text.ngrams($"text", k)).as(Seq("pos0", "g")))
+      .select($"doc_id", ($"pos0" + 1).as("pos"), $"g")
+    val dupGrams = grams.groupBy($"g").agg(count(lit(1)).as("c"))
+      .filter($"c" > 1).select($"g")
+    val hits = grams.join(dupGrams, "g").select($"doc_id", $"pos")
+    val byPos = Window.partitionBy($"doc_id").orderBy($"pos")
+    val spans = hits
+      .withColumn("newspan",
+        when(lag($"pos", 1).over(byPos).isNull ||
+          $"pos" - lag($"pos", 1).over(byPos) > k, 1).otherwise(0))
+      .withColumn("span_id", sum($"newspan").over(byPos))
+      .groupBy($"doc_id", $"span_id")
+      .agg(min($"pos").cast("long").as("span_start"),
+        (max($"pos") + (k - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_dup_grams"))
+      .withColumn("span_tokens", $"span_end" - $"span_start" + 1)
+      .select($"doc_id", $"span_start", $"span_end", $"span_tokens",
+        $"n_dup_grams")
+    spans.orderBy($"span_tokens".desc, $"doc_id", $"span_start").limit(50)
+  }
 }

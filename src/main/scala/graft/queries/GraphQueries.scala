@@ -229,4 +229,67 @@ object GraphQueries {
         coalesce($"n_triangles", lit(0L)).as("n_triangles"))
       .orderBy($"node")
   }
+
+  /** h-index iteration rounds for [[coreness]]. The iteration converges to
+    * the exact k-core number in at most O(diameter·Δ) rounds (Lü et al.
+    * 2016 prove finite convergence); it is stationary afterwards, so a
+    * fixed round count is safe — 8 is ample for the 25-node trade graph
+    * and keeps the unrolled oracle finite, mirroring [[PrIters]]. */
+  val CoreIters = 8
+
+  /** k-core decomposition via distributed h-index iteration (Lü, Zhou,
+    * Zhang, Stanley 2016, "The H-index of a network node" — public
+    * method): start every node at its degree and repeatedly replace each
+    * node's value with the h-index of its neighbors' values (the largest h
+    * such that ≥ h neighbors hold ≥ h); the fixpoint is exactly the node's
+    * core number. Coreness is the standard "dense sub-community depth"
+    * signal — a crawl-graph quality prior one tier stronger than raw
+    * degree, which a single hub edge can inflate but a core cannot.
+    *
+    * Chosen over sequential peeling (Batagelj–Zaveršnik) because peeling
+    * is inherently serial in k while h-index iteration is a synchronous
+    * per-node update — the same edge-frame-shuffle-per-round shape as
+    * [[pagerank]]. Each round: join the adjacency list to the current
+    * value frame (node-count-sized, AQE broadcast-picks it), then a
+    * row_number window PARTITIONED BY node — per-key state bounded by that
+    * node's degree, never global. `max(least(rn, c))` over the descending
+    * value sequence is the h-index; it depends only on the sorted value
+    * multiset, so tie order among equal values cannot change the result.
+    * All values exact longs end-to-end; the DuckDB oracle replays all
+    * [[CoreIters]] rounds as unrolled CTEs. */
+  def coreness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val und = tradeEdges(spark, dir)
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .filter($"a" =!= $"b").distinct()
+    Tables.nation(spark, dir)
+      .select($"n_nationkey".as("node"), $"n_name")
+      .join(corenessOf(und), Seq("node"), "left")
+      .select($"node", $"n_name", coalesce($"c", lit(0L)).as("coreness"))
+      .orderBy($"node")
+  }
+
+  /** [[CoreIters]] h-index rounds over a deduplicated undirected edge
+    * list `(a, b)` — the iterative core shared by [[coreness]] and the
+    * synthetic-graph spec. Returns `(node, c)` for every non-isolated
+    * node. */
+  private[graft] def corenessOf(und: DataFrame): DataFrame = {
+    val adj = und.select(col("a").as("node"), col("b").as("nbr"))
+      .union(und.select(col("b").as("node"), col("a").as("nbr")))
+      .localCheckpoint()
+    var c = adj.groupBy(col("node")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val byVal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node")).orderBy(col("c").desc)
+    for (_ <- 1 to CoreIters) {
+      c = adj
+        .join(c.select(col("node").as("nn"), col("c")), col("nbr") === col("nn"))
+        .select(col("node"), col("c"))
+        .withColumn("rn", row_number().over(byVal).cast("long"))
+        .select(col("node"), least(col("rn"), col("c")).as("h"))
+        .groupBy(col("node")).agg(max(col("h")).as("c"))
+        .localCheckpoint()
+    }
+    c
+  }
 }
