@@ -183,9 +183,12 @@ object SparkEntry {
     "q_hits"            -> ((s, d) => GraphQueries.hits(s, d)),
     "q_triangles"       -> ((s, d) => GraphQueries.triangles(s, d)),
     "q_assoc_rules"     -> ((s, d) => AnalyticQueries.assocRules(s, d)),
-    // --- round-9 additions: maximal duplicate spans, k-core decomposition ---
+    // --- round-9 additions: maximal duplicate spans, k-core decomposition,
+    // --- JL sign projection + distortion audit ---
     "q_dup_spans"       -> ((s, d) => CorpusQueries.dupSpans(s, d)),
     "q_kcore"           -> ((s, d) => GraphQueries.coreness(s, d)),
+    "q_rand_proj"       -> ((s, d) => CorpusQueries.randProj(s, d)),
+    "q_jl_audit"        -> ((s, d) => CorpusQueries.jlAudit(s, d)),
   )
 
   /** Decay expression shared by the EDW oracles (DuckDB `epoch()` returns
@@ -430,6 +433,17 @@ object SparkEntry {
       val lit = plane.map(_.toString).mkString("[", ", ", "]")
       s"(CASE WHEN list_dot_product(v, $lit) >= 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** 16-element projected-coordinate list of the JL sign projection —
+    * [[graft.functions.Similarity.ProjSigns]] rows inlined as DOUBLE[]
+    * literals (exact ±1 values); list_dot_product folds sequentially like
+    * the engine's codegen dot, and 1/√16 = 0.25 is exact, so every
+    * coordinate is bit-identical before the shared 6-dp rounding. */
+  private val ProjListSql: String =
+    graft.functions.Similarity.ProjSigns.map { row =>
+      val lit = row.map(_.toString).mkString("[", ", ", "]")
+      s"round(list_dot_product(v, $lit) * 0.25, 6)"
+    }.mkString("[", ",\n           ", "]")
 
   /** The directed weighted trade graph + node CTEs shared by the
     * q_pagerank / q_hits / q_triangles oracles. */
@@ -2718,5 +2732,32 @@ object SparkEntry {
        ORDER BY span_tokens DESC, doc_id, span_start
        LIMIT 50""",
     "q_kcore" -> KcoreOracle,
+    // full projected matrix of the JL sign projection, 6-dp grid
+    "q_rand_proj" ->
+      s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+       pl AS (SELECT vec_id, $ProjListSql AS pv FROM n)
+       SELECT vec_id, CAST(generate_subscripts(pv, 1) - 1 AS BIGINT) AS dim,
+         unnest(pv) AS p
+       FROM pl ORDER BY vec_id, dim""",
+    // per-vector JL distortion audit: norms from the ROUNDED projected
+    // coords (sequential list_dot_product = the engine's codegen fold);
+    // in_band on the rounded ratio so the gate never straddles an ulp
+    "q_jl_audit" ->
+      s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+       pl AS (SELECT vec_id, v, $ProjListSql AS pv FROM n),
+       a AS (SELECT vec_id,
+           sqrt(list_dot_product(v, v)) AS onrm,
+           sqrt(list_dot_product(pv, pv)) AS pnrm
+         FROM pl),
+       r AS (SELECT vec_id, onrm, pnrm,
+           CASE WHEN onrm > 0.0 THEN round(pnrm / onrm, 6) END AS norm_ratio
+         FROM a)
+       SELECT vec_id, round(onrm, 6) AS orig_norm, round(pnrm, 6) AS proj_norm,
+         norm_ratio,
+         (norm_ratio >= ${1.0 - CorpusQueries.JlEpsilon}
+           AND norm_ratio <= ${1.0 + CorpusQueries.JlEpsilon}) AS in_band
+       FROM r ORDER BY vec_id""",
   )
 }

@@ -199,4 +199,30 @@ object Similarity {
       // 64-wide expression tree per plane and bloat codegen compile time)
       when(dot(v, typedlit(plane.toSeq)) >= 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
+
+  /** Johnson–Lindenstrauss target dimension for [[randProject]]. */
+  val ProjDim = 16
+
+  /** ±1 sign projection matrix (Achlioptas 2003, "Database-friendly random
+    * projections" — public method), [[ProjDim]] rows × [[EmbeddingDim]]
+    * cols, fixed seed. Doubles so both engines inline the identical
+    * literal; signs avoid the Gaussian's platform-dependent tail math. */
+  val ProjSigns: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(4099)
+    Array.fill(ProjDim)(Array.fill(EmbeddingDim)(
+      if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** Scale 1/√[[ProjDim]] making the sign projection norm-preserving in
+    * expectation (E‖Sx/√k‖² = ‖x‖²). */
+  val ProjScale: Double = 1.0 / math.sqrt(ProjDim.toDouble)
+
+  /** The [[ProjDim]]-dimensional JL sign projection of an array<double>
+    * embedding, each coordinate rounded to the 6-dp grid (the engine-wide
+    * float parity doctrine). Pure Column exprs — one codegen'd sequential
+    * dot product per output coordinate, no shuffle, no UDF. */
+  def randProject(v: Column): Column =
+    array(ProjSigns.map { row =>
+      round(dot(v, typedlit(row.toSeq)) * lit(ProjScale), 6)
+    }.toIndexedSeq: _*)
 }

@@ -921,6 +921,60 @@ object CorpusQueries {
       .limit(20)
   }
 
+  /** Fraction bound for the JL distortion gate in [[jlAudit]]: the classic
+    * ε of the JL lemma, asserted per vector against the norm ratio. */
+  val JlEpsilon = 0.35
+
+  /** Seeded JL sign projection of every embedding, 64 → 16 dims
+    * (Achlioptas 2003): the embedding-compression step a 100-TB pipeline
+    * runs before storing or clustering vectors — 4× smaller vectors with
+    * distance structure preserved in expectation. Output is the full
+    * projected matrix as `(vec_id, dim, p)`, every coordinate on the 6-dp
+    * grid.
+    *
+    * Scale shape: 16 codegen'd sequential dot products per row — map-only,
+    * no shuffle, no UDF; the posexplode multiplies rows ×16 AFTER the
+    * arithmetic. The oracle inlines the identical ±1 matrix as literals,
+    * and DuckDB's list_dot_product folds in the same sequential order as
+    * the codegen'd dot, so every coordinate is bit-identical before the
+    * shared rounding. */
+  def randProj(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .select($"vec_id",
+        posexplode(graft.functions.Similarity.randProject($"v"))
+          .as(Seq("dim0", "p")))
+      .select($"vec_id", $"dim0".cast("long").as("dim"), $"p")
+      .orderBy($"vec_id", $"dim")
+  }
+
+  /** Per-vector JL distortion audit of [[randProj]]: original vs projected
+    * L2 norm and their ratio, with the ε-band check (‖Sx/√k‖/‖x‖ ∈
+    * [1−ε, 1+ε]) evaluated on the ROUNDED ratio so the gate can never
+    * straddle an ulp. The norm of the projection is computed from the
+    * 6-dp-rounded coordinates — the exact values [[randProj]] publishes —
+    * via a sequential array dot, so no fold-order hazard exists anywhere.
+    * Map-only per row; zero-norm vectors surface with a NULL ratio. */
+  def jlAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val S = graft.functions.Similarity
+    Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("pv", S.randProject($"v"))
+      .withColumn("orig_nrm", S.l2norm($"v"))
+      .withColumn("proj_nrm", S.l2norm($"pv"))
+      .withColumn("norm_ratio",
+        when($"orig_nrm" > 0.0, round($"proj_nrm" / $"orig_nrm", 6)))
+      .select($"vec_id",
+        round($"orig_nrm", 6).as("orig_norm"),
+        round($"proj_nrm", 6).as("proj_norm"),
+        $"norm_ratio",
+        ($"norm_ratio" >= 1.0 - JlEpsilon &&
+          $"norm_ratio" <= 1.0 + JlEpsilon).as("in_band"))
+      .orderBy($"vec_id")
+  }
+
   /** Maximal duplicated-text spans — the interval-coalescing half of
     * exact-substring dedup (Lee et al. 2022 §4: the REMOVE step operates
     * on maximal duplicated character ranges, not isolated grams). Every
