@@ -189,6 +189,7 @@ object SparkEntry {
     "q_kcore"           -> ((s, d) => GraphQueries.coreness(s, d)),
     "q_rand_proj"       -> ((s, d) => CorpusQueries.randProj(s, d)),
     "q_jl_audit"        -> ((s, d) => CorpusQueries.jlAudit(s, d)),
+    "q_snm_pairs"       -> ((s, d) => SimilarityQueries.snmPairs(s, d)),
   )
 
   /** Decay expression shared by the EDW oracles (DuckDB `epoch()` returns
@@ -2759,5 +2760,28 @@ object SparkEntry {
          (norm_ratio >= ${1.0 - CorpusQueries.JlEpsilon}
            AND norm_ratio <= ${1.0 + CorpusQueries.JlEpsilon}) AS in_band
        FROM r ORDER BY vec_id""",
+    // sorted-neighborhood blocking: global rank over (block_key, doc_id),
+    // in-window (< w) pairs in rank order, distinct-token-set Jaccard
+    "q_snm_pairs" ->
+      s"""WITH t AS (SELECT doc_id,
+           lower(substr(regexp_replace(text, '\\s+', ' ', 'g'), 1, 16)) AS bk,
+           list_distinct(list_filter(regexp_split_to_array(text, '\\s+'),
+             q -> length(q) > 0)) AS ts
+         FROM documents),
+       r AS (SELECT doc_id, ts,
+           row_number() OVER (ORDER BY bk, doc_id) - 1 AS rnk
+         FROM t),
+       c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           b.rnk - a.rnk AS gap, a.ts AS ta, b.ts AS tb
+         FROM r a JOIN r b
+           ON b.rnk > a.rnk AND b.rnk - a.rnk < ${SimilarityQueries.SnmWindow}),
+       j AS (SELECT doc_a, doc_b, gap,
+           CASE WHEN len(list_distinct(list_concat(ta, tb))) > 0 THEN
+             round(CAST(len(list_intersect(ta, tb)) AS DOUBLE)
+               / len(list_distinct(list_concat(ta, tb))), 6) END AS jaccard
+         FROM c)
+       SELECT doc_a, doc_b, gap, jaccard FROM j
+       WHERE jaccard >= ${SimilarityQueries.SnmJaccardThreshold}
+       ORDER BY doc_a, doc_b""",
   )
 }

@@ -1044,4 +1044,71 @@ object SimilarityQueries {
         round($"adc".cast("double"), 6).as("adc_dist"), $"rank")
       .orderBy($"query_id", $"rank")
   }
+
+  /** Sorted-neighborhood window width: candidate pairs are records within
+    * [[SnmWindow]] positions of each other in blocking-key order. */
+  val SnmWindow = 8
+
+  /** Pair-emission threshold for [[snmPairs]] — permissive on purpose: SNM
+    * is a candidate generator, and the report should show what the window
+    * surfaced, not only the certain duplicates. */
+  val SnmJaccardThreshold = 0.3
+
+  /** Sorted-neighborhood blocking (Hernández & Stolfo 1995, "The
+    * merge/purge problem" — public method): sort the corpus by a blocking
+    * key (here the first 16 normalized characters), slide a
+    * [[SnmWindow]]-record window over the sorted order, and score only
+    * in-window pairs — the classic entity-resolution counterpoint to
+    * equi-key blocking: it catches near-duplicates whose keys are close
+    * but NOT equal, with candidate mass exactly n·(w−1) regardless of key
+    * skew.
+    *
+    * Scale design — the global rank: a rank-window over the whole corpus
+    * would be a single-partition sort. Instead the sorted global position
+    * comes from `zipWithIndex` over a range-partitioned sort (one range
+    * shuffle + a partition-size count job — the standard distributed
+    * total-order recipe), deterministic because the sort key
+    * (block_key, doc_id) is a total order. In-window pairs then come from
+    * the same bin-explode trick as the range join: bin = ⌊rank/w⌋, the
+    * lower-rank side probes its own and the next bin, so each pair is
+    * generated exactly once from bounded-occupancy equi-join buckets —
+    * never from a cross join. Known SNM property (documented, inherent):
+    * identical-key runs longer than w are only partially compared — the
+    * equi-key dedup family (q_dedup_exact, q_minhash_dedup) owns that
+    * regime. */
+  def snmPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = SnmWindow
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id",
+        lower(substring(regexp_replace($"text", "\\s+", " "), 1, 16)).as("bk"),
+        Text.tokenSet($"text").as("ts"))
+    val ranked = {
+      val schema = org.apache.spark.sql.types.StructType(
+        docs.schema.fields :+
+          org.apache.spark.sql.types.StructField("rank",
+            org.apache.spark.sql.types.LongType, nullable = false))
+      val rdd = docs.orderBy($"bk", $"doc_id").rdd.zipWithIndex().map {
+        case (row, i) => org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i)
+      }
+      spark.createDataFrame(rdd, schema)
+    }
+    val binned = ranked.withColumn("bin", floor($"rank" / w))
+    val probe = binned
+      .withColumn("pbin", explode(array($"bin", $"bin" + 1)))
+      .select($"doc_id".as("doc_a"), $"ts".as("ta"),
+        $"rank".as("ra"), $"pbin")
+    val cand = probe.join(
+      binned.select($"doc_id".as("doc_b"), $"ts".as("tb"),
+        $"rank".as("rb"), $"bin"),
+      $"pbin" === $"bin" && $"rb" > $"ra" && $"rb" - $"ra" < w)
+    cand
+      .withColumn("u", size(array_union($"ta", $"tb")))
+      .withColumn("jaccard", when($"u" > 0, round(
+        size(array_intersect($"ta", $"tb")).cast("double") /
+          $"u".cast("double"), 6)))
+      .filter($"jaccard" >= SnmJaccardThreshold)
+      .select($"doc_a", $"doc_b", ($"rb" - $"ra").as("gap"), $"jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
 }
