@@ -48,6 +48,7 @@ object SparkEntry {
     "q_percentiles_approx" -> ((s, d) => AnalyticQueries.valuePercentilesApprox(s, d)),
     "q_neardup_editdist"   -> ((s, d) => SimilarityQueries.nearDupEditDistance(s, d)),
     "q_dedup_components"   -> ((s, d) => SimilarityQueries.dedupComponents(s, d)),
+    "q_dedup_canonical"    -> ((s, d) => SimilarityQueries.dedupCanonical(s, d)),
     "q_dedup_corpus"       -> ((s, d) => SimilarityQueries.dedupCorpus(s, d)),
     // --- near-dup / similarity (north-star LLM-pipeline ops) ---
     "q_jaccard_pairs"  -> ((s, d) => SimilarityQueries.jaccardPairs(s, d)),
@@ -186,6 +187,7 @@ object SparkEntry {
     // --- round-9 additions: maximal duplicate spans, k-core decomposition,
     // --- JL sign projection + distortion audit ---
     "q_dup_spans"       -> ((s, d) => CorpusQueries.dupSpans(s, d)),
+    "q_span_scrub"      -> ((s, d) => CorpusQueries.spanScrub(s, d)),
     "q_kcore"           -> ((s, d) => GraphQueries.coreness(s, d)),
     "q_rand_proj"       -> ((s, d) => CorpusQueries.randProj(s, d)),
     "q_jl_audit"        -> ((s, d) => CorpusQueries.jlAudit(s, d)),
@@ -1296,6 +1298,41 @@ object SparkEntry {
           SELECT node AS doc_id, min(comp) AS component,
                  (node = min(comp)) AS is_keeper
           FROM reach GROUP BY node ORDER BY node"""),
+    // quality-aware canonical per cluster: same recursive components CTE,
+    // quality-LR score CTEs (the q_quality_lr arithmetic verbatim), then
+    // best = max(score) and canonical = min doc_id among the best-scored
+    "q_dedup_canonical" ->
+      (JaccardCte.replaceFirst("WITH", "WITH RECURSIVE") +
+        raw""", edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+             UNION ALL SELECT doc_b, doc_a FROM jp),
+          reach(node, comp) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node),
+          lab AS (SELECT node, min(comp) AS component FROM reach GROUP BY node),
+          qft AS (SELECT doc_id, len(t)*1.0 AS n,
+              list_sum(list_transform(t, q -> length(q)))*1.0/len(t) AS mean_len,
+              len(list_distinct(t))*1.0/len(t) AS ttr,
+              len(list_filter(t, q -> list_contains(
+                [${graft.functions.Text.Stopwords.map(w => s"'$w'").mkString(",")}],
+                lower(q))))*1.0/len(t) AS stop_r
+            FROM toks WHERE len(t) > 0),
+          qzt AS (SELECT doc_id,
+              round((${PipelineQueries.LrBias}) + (${PipelineQueries.LrWLogLen})*ln(1.0+n)
+                + (${PipelineQueries.LrWStop})*stop_r + (${PipelineQueries.LrWMeanLen})*mean_len
+                + (${PipelineQueries.LrWTtr})*ttr, 6) AS z
+            FROM qft),
+          qsc AS (SELECT doc_id, round(1.0/(1.0+exp(-z)), 6) AS score FROM qzt),
+          jn AS (SELECT lab.component, lab.node AS doc_id, qsc.score
+            FROM lab JOIN qsc ON qsc.doc_id = lab.node),
+          ag AS (SELECT component, count(*) AS cluster_size, max(score) AS best
+            FROM jn GROUP BY component)
+          SELECT a.component, a.cluster_size,
+            min(j.doc_id) AS canonical_doc, a.best AS canonical_score,
+            (min(j.doc_id) <> a.component) AS moved
+          FROM ag a JOIN jn j ON j.component = a.component AND j.score = a.best
+          GROUP BY a.component, a.cluster_size, a.best
+          ORDER BY a.component"""),
     // survivors = all docs minus non-keeper cluster members
     "q_dedup_corpus" ->
       (JaccardCte.replaceFirst("WITH", "WITH RECURSIVE") +
@@ -2732,6 +2769,51 @@ object SparkEntry {
        FROM sp
        ORDER BY span_tokens DESC, doc_id, span_start
        LIMIT 50""",
+    // the rewrite face of exact-substring dedup: cut every maximal
+    // duplicated span, fingerprint the surviving text (same span CTEs as
+    // q_dup_spans, then positional NOT EXISTS against the span intervals)
+    "q_span_scrub" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0) AS t
+         FROM documents),
+       gp AS (SELECT doc_id, t,
+           unnest(range(1, greatest(len(t)-7, 0)+1)) AS pos
+         FROM t),
+       gr AS (SELECT doc_id, pos, array_to_string(t[pos:pos+7], ' ') AS g
+         FROM gp),
+       dup AS (SELECT g FROM gr GROUP BY g HAVING count(*) > 1),
+       h AS (SELECT gr.doc_id, gr.pos FROM gr JOIN dup USING (g)),
+       m AS (SELECT doc_id, pos,
+           CASE WHEN lag(pos) OVER w IS NULL
+                  OR pos - lag(pos) OVER w > 8 THEN 1 ELSE 0 END AS ns
+         FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       s AS (SELECT doc_id, pos,
+           sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+         FROM m),
+       sp AS (SELECT doc_id, min(pos) AS span_start,
+           max(pos) + 7 AS span_end
+         FROM s GROUP BY doc_id, sid),
+       rmv AS (SELECT doc_id, sum(span_end - span_start + 1) AS n_rm
+         FROM sp GROUP BY doc_id),
+       posn AS (SELECT doc_id, t, unnest(range(1, len(t)+1)) AS pos FROM t),
+       keptp AS (SELECT p.doc_id, p.pos, list_extract(p.t, p.pos) AS tok
+         FROM posn p
+         WHERE NOT EXISTS (SELECT 1 FROM sp
+           WHERE sp.doc_id = p.doc_id
+             AND p.pos BETWEEN sp.span_start AND sp.span_end)),
+       ka AS (SELECT doc_id, count(*) AS n_kept,
+           string_agg(tok, ' ' ORDER BY pos) AS ktext
+         FROM keptp GROUP BY doc_id)
+       SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+         CAST(coalesce(rmv.n_rm, 0) AS BIGINT) AS n_removed,
+         CAST(coalesce(ka.n_kept, 0) AS BIGINT) AS n_kept,
+         CASE WHEN len(t.t) > 0 THEN
+           round(CAST(coalesce(ka.n_kept, 0) AS DOUBLE) / len(t.t), 6)
+         END AS kept_frac,
+         md5(coalesce(ka.ktext, '')) AS cleaned_fp
+       FROM t LEFT JOIN rmv USING (doc_id)
+         LEFT JOIN ka ON t.doc_id = ka.doc_id
+       ORDER BY t.doc_id""",
     "q_kcore" -> KcoreOracle,
     // full projected matrix of the JL sign projection, 6-dp grid
     "q_rand_proj" ->

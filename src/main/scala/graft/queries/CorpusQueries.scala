@@ -994,6 +994,17 @@ object CorpusQueries {
     * global. Top-50 plans as TakeOrderedAndProject. */
   def dupSpans(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    spanFrames(spark, dir)
+      .orderBy($"span_tokens".desc, $"doc_id", $"span_start").limit(50)
+  }
+
+  /** Every maximal duplicated span of every document (the unlimited frame
+    * behind [[dupSpans]]): `(doc_id, span_start, span_end, span_tokens,
+    * n_dup_grams)`, positions 1-based token indexes, spans within one
+    * document pairwise disjoint and non-adjacent by construction (islands
+    * are separated by gaps > K). */
+  private def spanFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val k = DupGramK
     val docs = Tables.documents(spark, dir)
     // 1-based gram start positions (matches DuckDB's 1-based list slices)
@@ -1004,7 +1015,7 @@ object CorpusQueries {
       .filter($"c" > 1).select($"g")
     val hits = grams.join(dupGrams, "g").select($"doc_id", $"pos")
     val byPos = Window.partitionBy($"doc_id").orderBy($"pos")
-    val spans = hits
+    hits
       .withColumn("newspan",
         when(lag($"pos", 1).over(byPos).isNull ||
           $"pos" - lag($"pos", 1).over(byPos) > k, 1).otherwise(0))
@@ -1016,6 +1027,45 @@ object CorpusQueries {
       .withColumn("span_tokens", $"span_end" - $"span_start" + 1)
       .select($"doc_id", $"span_start", $"span_end", $"span_tokens",
         $"n_dup_grams")
-    spans.orderBy($"span_tokens".desc, $"doc_id", $"span_start").limit(50)
+  }
+
+  /** The REWRITE half of exact-substring dedup (Lee et al. 2022 §4's actual
+    * mutation: cut every maximal duplicated span out of the document and
+    * keep the rest) — [[dupSpans]] finds the cut list, this applies it.
+    * Per document: token count, tokens removed/kept, kept fraction, and the
+    * md5 fingerprint of the scrubbed text (kept tokens space-joined in
+    * order) — the content hash a downstream incremental pipeline would key
+    * on. Docs with no duplicated span pass through (removed = 0, fp = md5
+    * of the space-rejoined tokenization).
+    *
+    * Scale shape: the corpus-sized gram-count shuffle is the same one
+    * [[dupNgrams]]/[[dupSpans]] pay; spans collapse to a per-doc array
+    * (bounded by len/K per doc) joined back on doc_id; the token filter is
+    * a higher-order `filter` with a position lambda over the span array —
+    * map-side, codegen'd, no explode of the token stream. One row per doc,
+    * linear end-to-end. */
+  def spanScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docSpans = spanFrames(spark, dir)
+      .groupBy($"doc_id")
+      .agg(collect_list(struct($"span_start", $"span_end")).as("spans"),
+        sum($"span_tokens").as("n_rm"))
+    Tables.documents(spark, dir)
+      .select($"doc_id", Text.tokenize($"text").as("t"))
+      .join(docSpans, Seq("doc_id"), "left")
+      .withColumn("spans", coalesce($"spans",
+        expr("array()").cast("array<struct<span_start:bigint,span_end:bigint>>")))
+      .withColumn("kept", filter($"t", (tok, i) =>
+        !exists($"spans", s =>
+          i + 1 >= s("span_start") && i + 1 <= s("span_end"))))
+      .select($"doc_id",
+        size($"t").cast("long").as("n_tokens"),
+        coalesce($"n_rm", lit(0L)).as("n_removed"),
+        size($"kept").cast("long").as("n_kept"),
+        when(size($"t") > 0,
+          round(size($"kept").cast("double") / size($"t").cast("double"), 6))
+          .as("kept_frac"),
+        md5(concat_ws(" ", $"kept")).as("cleaned_fp"))
+      .orderBy($"doc_id")
   }
 }

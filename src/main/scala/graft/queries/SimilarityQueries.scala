@@ -290,6 +290,36 @@ object SimilarityQueries {
       .orderBy($"doc_id")
   }
 
+  /** Quality-aware canonical selection per near-dup cluster — the curation
+    * policy decision [[dedupCorpus]]'s min-id keeper sidesteps: production
+    * pipelines keep the BEST member of each duplicate cluster (highest
+    * quality-classifier score; CCNet keeps the head-perplexity copy, Gopher
+    * the longest), not an arbitrary one. Joins [[dedupComponents]] with the
+    * [[PipelineQueries.qualityLr]] score and arg-maxes per cluster
+    * (ties → lowest doc_id, encoded as max over (score, −doc_id) so one
+    * struct-max aggregate carries both the winner and its score). `moved`
+    * flags clusters where the quality pick differs from the min-id keeper —
+    * the rows where this policy actually changes the corpus.
+    *
+    * Scale shape: the cluster labeling is [[dedupComponents]]'s cost; on
+    * top of it this adds one doc_id-keyed join against a map-only score
+    * pass and one groupBy on component (cluster count ≪ corpus). */
+  def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val comp = dedupComponents(spark, dir).select($"doc_id", $"component")
+    val scores = PipelineQueries.qualityLr(spark, dir)
+      .select($"doc_id", $"score")
+    comp.join(scores, "doc_id")
+      .groupBy($"component")
+      .agg(count(lit(1)).as("cluster_size"),
+        max(struct($"score", (-$"doc_id").as("nd"))).as("m"))
+      .select($"component", $"cluster_size",
+        (-$"m.nd").as("canonical_doc"),
+        $"m.score".as("canonical_score"),
+        ((-$"m.nd") =!= $"component").as("moved"))
+      .orderBy($"component")
+  }
+
   /** Incremental ingestion dedup — the CONTINUOUS-crawl shape of
     * [[minhashDedup]]: an incoming batch is near-dup-checked against the
     * already-ingested index WITHOUT re-pairing the index against itself.
