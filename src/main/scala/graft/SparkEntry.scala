@@ -175,6 +175,7 @@ object SparkEntry {
     "q_pagerank"        -> ((s, d) => GraphQueries.pagerank(s, d)),
     "q_embed_pca"       -> ((s, d) => CorpusQueries.embedPca(s, d)),
     "q_bigram_lm"       -> ((s, d) => CorpusQueries.bigramLm(s, d)),
+    "q_kn_bigram"       -> ((s, d) => CorpusQueries.knBigram(s, d)),
     "q_pack_sequences"  -> ((s, d) => PipelineQueries.packSequences(s, d)),
     "q_psi_drift"       -> ((s, d) => AnalyticQueries.psiDrift(s, d)),
     "q_gini_users"      -> ((s, d) => AnalyticQueries.giniUsers(s, d)),
@@ -189,6 +190,7 @@ object SparkEntry {
     "q_dup_spans"       -> ((s, d) => CorpusQueries.dupSpans(s, d)),
     "q_span_scrub"      -> ((s, d) => CorpusQueries.spanScrub(s, d)),
     "q_kcore"           -> ((s, d) => GraphQueries.coreness(s, d)),
+    "q_label_prop"      -> ((s, d) => GraphQueries.labelProp(s, d)),
     "q_rand_proj"       -> ((s, d) => CorpusQueries.randProj(s, d)),
     "q_jl_audit"        -> ((s, d) => CorpusQueries.jlAudit(s, d)),
     "q_snm_pairs"       -> ((s, d) => SimilarityQueries.snmPairs(s, d)),
@@ -483,6 +485,32 @@ object SparkEntry {
        SELECT r.node, n.n_name, CAST(r.pr AS DOUBLE) AS pr
        FROM r${GraphQueries.PrIters} r JOIN nodes n ON r.node = n.node
        ORDER BY r.node"""
+  }
+
+  /** Label-propagation oracle: [[graft.queries.GraphQueries.LpaIters]]
+    * synchronous rounds unrolled as CTEs — per round, each node takes its
+    * neighbors' weight-heaviest label (ties → smallest label); exact
+    * integers throughout. */
+  private val LpaOracle: String = {
+    val rounds = (1 to GraphQueries.LpaIters).map { k =>
+      s"""v$k AS (SELECT e.u AS node, l.lab, sum(e.w) AS vw
+           FROM und e JOIN l${k - 1} l ON e.v = l.node GROUP BY 1, 2),
+       b$k AS (SELECT node, lab FROM (
+           SELECT node, lab,
+             row_number() OVER (PARTITION BY node ORDER BY vw DESC, lab) AS rn
+           FROM v$k) WHERE rn = 1),
+       l$k AS (SELECT n.node, coalesce(b.lab, n.node) AS lab
+           FROM nodes n LEFT JOIN b$k b USING (node))"""
+    }.mkString(",\n       ", ",\n       ", "")
+    s"""WITH $TradeGraphCte,
+       und AS (SELECT u, v, CAST(sum(w) AS BIGINT) AS w FROM (
+           SELECT src AS u, dst AS v, w FROM edges
+           UNION ALL SELECT dst, src, w FROM edges)
+         GROUP BY 1, 2 HAVING u <> v),
+       l0 AS (SELECT node, node AS lab FROM nodes)$rounds
+       SELECT l.node, n.n_name, l.lab AS community
+       FROM l${GraphQueries.LpaIters} l JOIN nodes n USING (node)
+       ORDER BY l.node"""
   }
 
   /** k-core oracle: [[graft.queries.GraphQueries.CoreIters]] h-index
@@ -2610,6 +2638,42 @@ object SparkEntry {
          round(exp(CAST(xm AS DOUBLE) / 1000000.0), 2) AS ppl
        FROM documents d LEFT JOIN scm ON d.doc_id = scm.doc_id
        ORDER BY d.doc_id""",
+    // interpolated Kneser-Ney: absolute discount D=0.75, continuation-count
+    // backoff, history counts from the bigram stream; same 6-dp DECIMAL nll
+    // fold + integer micro-unit half-up xent as q_bigram_lm
+    "q_kn_bigram" ->
+      s"""WITH toks AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\\s+'), q -> length(q) > 0) AS t
+         FROM documents),
+       bg AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+           SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+               i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS p
+           FROM toks)),
+       bcnt AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+       hist AS (SELECT w1, sum(cb) AS h1, count(*) AS nh FROM bcnt GROUP BY 1),
+       cont AS (SELECT w2, count(*) AS nc FROM bcnt GROUP BY 1),
+       bt AS (SELECT CAST(count(*) AS BIGINT) AS bt FROM bcnt),
+       sc AS (SELECT doc_id, count(*) AS n_bigrams,
+           sum(CAST(round(-ln(
+             (greatest(CAST(cb AS DOUBLE) - ${CorpusQueries.KnDiscount}, 0.0)
+               + ${CorpusQueries.KnDiscount} * CAST(nh AS DOUBLE)
+                 * CAST(nc AS DOUBLE) / CAST(bt AS DOUBLE))
+             / CAST(h1 AS DOUBLE)), 6) AS DECIMAL(28,6))) AS nll
+         FROM bg
+         JOIN bcnt USING (w1, w2)
+         JOIN hist USING (w1)
+         JOIN cont USING (w2)
+         CROSS JOIN bt GROUP BY 1),
+       scm AS (SELECT doc_id, n_bigrams,
+           (2 * CAST(nll * 1000000 AS BIGINT) + n_bigrams)
+             // (2 * n_bigrams) AS xm
+         FROM sc)
+       SELECT d.doc_id, scm.n_bigrams,
+         CAST(xm AS DOUBLE) / 1000000.0 AS xent,
+         round(exp(CAST(xm AS DOUBLE) / 1000000.0), 2) AS ppl
+       FROM documents d LEFT JOIN scm ON d.doc_id = scm.doc_id
+       ORDER BY d.doc_id""",
     "q_pagerank" -> PagerankOracle,
     "q_embed_pca" -> PcaOracle,
     // concatenate-and-chunk packing profile: global token cumsum -> each
@@ -2815,6 +2879,7 @@ object SparkEntry {
          LEFT JOIN ka ON t.doc_id = ka.doc_id
        ORDER BY t.doc_id""",
     "q_kcore" -> KcoreOracle,
+    "q_label_prop" -> LpaOracle,
     // full projected matrix of the JL sign projection, 6-dp grid
     "q_rand_proj" ->
       s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

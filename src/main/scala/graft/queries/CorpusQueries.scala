@@ -861,6 +861,65 @@ object CorpusQueries {
       .orderBy($"doc_id")
   }
 
+  /** Absolute discount for the Kneser–Ney bigram model (the standard 0.75,
+    * Chen & Goodman 1999 Table 5's near-optimal fixed value). */
+  val KnDiscount = 0.75
+
+  /** Interpolated Kneser–Ney bigram scoring — the smoothing that actually
+    * ships in KenLM/CCNet-class LMs (Kneser & Ney 1995; Chen & Goodman 1999
+    * §2.7), one rung above [[bigramLm]]'s Jelinek–Mercer mixture: mass is
+    * freed by ABSOLUTE DISCOUNTING (max(c−D,0), not proportional shrink)
+    * and the backoff distribution is the CONTINUATION count — how many
+    * distinct histories a word follows — not raw frequency, so
+    * boilerplate-locked words ("Francisco") stop inflating unseen-context
+    * probability:
+    *
+    *   p(w₂|w₁) = [max(c(w₁w₂)−D, 0) + D·N₁₊(w₁,·)·N₁₊(·,w₂)/N₁₊(··)] / c(w₁·)
+    *
+    * with c(w₁·) the bigram-stream history count (= Σ_w c(w₁,w)), all four
+    * statistics exact integers off one bigram-count aggregate. Per-doc
+    * reduction is the [[bigramLm]] doctrine verbatim: −ln p quantized to
+    * 6 dp, DECIMAL-summed (fold-order exact), xent rounded half-up in
+    * integer micro-units, ppl from the rounded mean. Docs with < 2 tokens
+    * surface NULLs.
+    *
+    * Scale shape: the bigram count aggregate is the corpus-sized shuffle
+    * (shared shape with [[bigramLm]]); history and continuation counts are
+    * vocabulary-sized re-aggregations of THAT result (never a second corpus
+    * pass); the type total is a broadcast 1-row frame; join-backs are
+    * un-hinted so AQE picks broadcast while vocabularies fit. */
+  def knBigram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val bigs = docs.select($"doc_id", explode(Text.ngrams($"text", 2)).as("bg"))
+      .withColumn("w1", split($"bg", " ")(0))
+      .withColumn("w2", split($"bg", " ")(1))
+    val bcnt = bigs.groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
+    val hist = bcnt.groupBy($"w1")
+      .agg(sum($"cb").as("h1"), count(lit(1)).as("nh"))
+    val cont = bcnt.groupBy($"w2").agg(count(lit(1)).as("nc"))
+    val btypes = bcnt.agg(count(lit(1)).as("bt"))
+    val scored = bigs
+      .join(bcnt, Seq("w1", "w2"))
+      .join(hist, "w1")
+      .join(cont, "w2")
+      .crossJoin(broadcast(btypes))
+      .select($"doc_id",
+        ((greatest($"cb".cast("double") - lit(KnDiscount), lit(0.0)) +
+          lit(KnDiscount) * $"nh".cast("double") * $"nc".cast("double")
+            / $"bt".cast("double")) / $"h1".cast("double")).as("p"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(round(-log($"p"), 6).cast("decimal(28,6)")).as("nll"))
+    docs.select($"doc_id").join(scored, Seq("doc_id"), "left")
+      .withColumn("nm", ($"nll" * lit(1000000)).cast("decimal(28,0)").cast("long"))
+      .withColumn("xm", expr("(2 * nm + n_bigrams) div (2 * n_bigrams)"))
+      .select($"doc_id", $"n_bigrams",
+        ($"xm".cast("double") / 1e6).as("xent"),
+        round(exp($"xm".cast("double") / 1e6), 2).as("ppl"))
+      .orderBy($"doc_id")
+  }
+
   /** Chunk size / stride for the RAG-style sliding-window chunker: 32-token
     * chunks advancing 24 tokens (8-token overlap) — the shape every
     * retrieval/pretrain corpus prep uses between cleaning and embedding. */

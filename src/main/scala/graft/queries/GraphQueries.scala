@@ -273,6 +273,63 @@ object GraphQueries {
     * list `(a, b)` — the iterative core shared by [[coreness]] and the
     * synthetic-graph spec. Returns `(node, c)` for every non-isolated
     * node. */
+  /** Synchronous rounds for [[labelProp]] — enough to converge the 25-node
+    * trade graph while keeping the unrolled oracle finite. */
+  val LpaIters = 4
+
+  /** Weighted label propagation communities (Raghavan et al. 2007) over the
+    * undirected [[tradeEdges]] volume graph — the trade-bloc detector, and
+    * the curation analogue of clustering crawl domains into site families.
+    * Fully deterministic variant: [[LpaIters]] SYNCHRONOUS rounds (no
+    * random visit order), every node seeded with its own id, each round
+    * re-labeling every node with its neighbors' weight-heaviest label
+    * (ties → smallest label; self-loops don't vote). Fixed round count
+    * makes the output a well-defined function of the graph — no
+    * convergence race — and all state is exact integers (node ids, summed
+    * long weights): nothing to quantize.
+    *
+    * Scale shape: identical to [[pagerank]] — the edge build is the one
+    * fact-table shuffle; every round shuffles only edge-sized vote frames
+    * against a node-sized label frame that AQE broadcast-joins;
+    * `localCheckpoint` pins each round's plan constant. The DuckDB oracle
+    * unrolls all rounds as CTEs and must agree on every label. */
+  def labelProp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = tradeEdges(spark, dir)
+    val nodes = Tables.nation(spark, dir)
+      .select($"n_nationkey".as("node"), $"n_name")
+    labelPropOf(e, nodes.select($"node"))
+      .join(nodes, "node")
+      .select($"node", $"n_name", $"lab".as("community"))
+      .orderBy($"node")
+  }
+
+  /** [[LpaIters]] synchronous weighted-LPA rounds over a directed edge list
+    * `(src, dst, w)` (symmetrized and self-loop-stripped here) and a node
+    * frame `(node)`. Returns `(node, lab)` — the iterative core shared by
+    * [[labelProp]] and the synthetic-graph spec. */
+  private[graft] def labelPropOf(e: DataFrame, nodes: DataFrame): DataFrame = {
+    val und = e.select(col("src").as("u"), col("dst").as("v"), col("w"))
+      .unionByName(e.select(col("dst").as("u"), col("src").as("v"), col("w")))
+      .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
+      .filter(col("u") =!= col("v"))
+      .localCheckpoint()
+    var labels = nodes.select(col("node"), col("node").as("lab"))
+      .localCheckpoint()
+    for (_ <- 1 to LpaIters) {
+      val votes = und.join(labels, und("v") === labels("node"))
+        .groupBy(col("u"), col("lab")).agg(sum(col("w")).as("vw"))
+      val next = votes.groupBy(col("u"))
+        .agg(max(struct(col("vw"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("u").as("node"), (-col("m.nl")).as("lab"))
+      labels = nodes.select(col("node"))
+        .join(next, Seq("node"), "left")
+        .select(col("node"), coalesce(col("lab"), col("node")).as("lab"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   private[graft] def corenessOf(und: DataFrame): DataFrame = {
     val adj = und.select(col("a").as("node"), col("b").as("nbr"))
       .union(und.select(col("b").as("node"), col("a").as("nbr")))
