@@ -167,6 +167,7 @@ object SparkEntry {
     "q_bpe_vocab"       -> ((s, d) => CorpusQueries.bpeVocab(s, d)),
     "q_quality_lr"      -> ((s, d) => PipelineQueries.qualityLr(s, d)),
     "q_source_entropy"  -> ((s, d) => CorpusQueries.sourceEntropy(s, d)),
+    "q_source_kl"       -> ((s, d) => CorpusQueries.sourceKl(s, d)),
     "q_zipf_profile"    -> ((s, d) => CorpusQueries.zipfProfile(s, d)),
     // --- round-6 additions: SCD2 interval compaction, KS drift monitor,
     // --- weighted PageRank, power-iteration PCA, interpolated bigram LM ---
@@ -2524,6 +2525,26 @@ object SparkEntry {
     // Shannon entropy per source: the c·ln(c) reduction quantizes each
     // term to 6 dp and sums in DECIMAL (fold-order exact); the closing
     // H = ln(n) - S/n combines two engine-identical scalars
+    // pairwise source KL matrix: add-half smoothing over the global vocab,
+    // per-term 6-dp quantize + DECIMAL sum; diagonal exactly 0
+    "q_source_kl" ->
+      """WITH tok AS (SELECT source,
+           unnest(list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0)) AS w
+         FROM documents),
+       cnt AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+       tot AS (SELECT source, sum(c) AS n FROM cnt GROUP BY 1),
+       voc AS (SELECT DISTINCT w FROM cnt),
+       vs AS (SELECT CAST(count(*) AS BIGINT) AS v FROM voc),
+       grid AS (SELECT t.source, voc.w,
+           (CAST(coalesce(c.c, 0) AS DOUBLE) + 0.5)
+             / (CAST(t.n AS DOUBLE) + 0.5 * CAST(vs.v AS DOUBLE)) AS p
+         FROM voc CROSS JOIN tot t CROSS JOIN vs
+         LEFT JOIN cnt c ON c.source = t.source AND c.w = voc.w)
+       SELECT a.source AS src, b.source AS dst, count(*) AS n_terms,
+         CAST(sum(CAST(round(a.p * ln(a.p / b.p), 6) AS DECIMAL(28,6)))
+           AS DOUBLE) AS kl
+       FROM grid a JOIN grid b ON a.w = b.w
+       GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_source_entropy" ->
       """WITH tok AS (SELECT source,
            unnest(list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0)) AS w

@@ -616,6 +616,47 @@ object CorpusQueries {
       .orderBy($"source")
   }
 
+  /** Pairwise Kullback–Leibler divergence matrix between per-source unigram
+    * distributions — the mixture-design diagnostic next to
+    * [[sourceEntropy]]/[[dsirWeights]]: KL(s‖t) answers "how surprised is a
+    * model of t by text from s", the asymmetric distance data-mixing work
+    * (Xie et al. 2023 DoReMi §3; the CCNet bucket rationale) reasons about
+    * when weighting sources. Add-half smoothing over the GLOBAL corpus
+    * vocabulary (p_s(w) = (c_s(w)+½)/(n_s+½V)) keeps every log finite and
+    * both engines on one closed form; each term p_s·ln(p_s/p_t) is
+    * 6-dp-quantized and DECIMAL-summed (fold-order exact). The diagonal is
+    * exactly 0 (identical doubles ⇒ ln 1 = 0) — kept as an in-band sanity
+    * row.
+    *
+    * Scale shape: one corpus-sized (source, token) count shuffle; the grid
+    * and the pair join are vocabulary-sized × S and × S² with S = the fixed
+    * source enumeration — never corpus-sized; totals and |V| broadcast as
+    * 1-row/S-row frames. */
+  def sourceKl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cnt = Tables.documents(spark, dir)
+      .select($"source", explode(Text.tokenize($"text")).as("w"))
+      .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+    val totals = cnt.groupBy($"source").agg(sum($"c").as("n"))
+    val vocab = cnt.select($"w").distinct()
+    val vsize = vocab.agg(count(lit(1)).as("v"))
+    val grid = vocab.crossJoin(broadcast(totals))
+      .join(cnt, Seq("source", "w"), "left")
+      .withColumn("c", coalesce($"c", lit(0L)))
+      .crossJoin(broadcast(vsize))
+      .select($"source", $"w",
+        (($"c".cast("double") + lit(0.5)) /
+          ($"n".cast("double") + lit(0.5) * $"v".cast("double"))).as("p"))
+    grid.select($"source".as("src"), $"w", $"p".as("ps"))
+      .join(grid.select($"source".as("dst"), $"w", $"p".as("pt")), "w")
+      .groupBy($"src", $"dst")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(round($"ps" * log($"ps" / $"pt"), 6).cast("decimal(28,6)"))
+          .as("klq"))
+      .select($"src", $"dst", $"n_terms", $"klq".cast("double").as("kl"))
+      .orderBy($"src", $"dst")
+  }
+
   /** Top-K cutoff of [[zipfProfile]]'s rank-frequency regression. */
   val ZipfTopK = 100
 
