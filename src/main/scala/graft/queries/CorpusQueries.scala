@@ -647,6 +647,9 @@ object CorpusQueries {
       .select($"source", $"w",
         (($"c".cast("double") + lit(0.5)) /
           ($"n".cast("double") + lit(0.5) * $"v".cast("double"))).as("p"))
+      // materialize: the self-join below would otherwise re-run the
+      // corpus-sized count pass on BOTH sides; the grid is only V×S rows
+      .localCheckpoint()
     grid.select($"source".as("src"), $"w", $"p".as("ps"))
       .join(grid.select($"source".as("dst"), $"w", $"p".as("pt")), "w")
       .groupBy($"src", $"dst")
