@@ -124,6 +124,7 @@ object SparkEntry {
     "q_window_suite"    -> ((s, d) => AnalyticQueries.windowSuite(s, d)),
     "q_grouping_sets"   -> ((s, d) => AnalyticQueries.ordersGroupingSets(s, d)),
     "q_weighted_sample" -> ((s, d) => PipelineQueries.weightedSample(s, d)),
+    "q_mix_sample"      -> ((s, d) => PipelineQueries.mixSample(s, d)),
     "q_rolling_fp"      -> ((s, d) => TextQueries.rollingFingerprints(s, d)),
     "q_unpivot_daily"   -> ((s, d) => AnalyticQueries.unpivotDaily(s, d)),
     "q_dow_profile"     -> ((s, d) => AnalyticQueries.dowProfile(s, d)),
@@ -2384,6 +2385,31 @@ object SparkEntry {
     // temperature-2 (α=0.5) mixture weights; sqrt is IEEE-correctly-rounded
     // so praw is bit-identical across engines; counts cast back to BIGINT
     // (DuckDB sum(BIGINT) is HUGEINT, which pandas would float-ify)
+    // the sampler face: 6-dp acceptance rates (quantized BEFORE the u
+    // comparison — see PipelineQueries.mixSample), content-hash uniforms
+    "q_mix_sample" ->
+      s"""WITH d AS (SELECT source, doc_id,
+           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), q -> length(q) > 0)) AS BIGINT) AS nt,
+           (CAST('0x' || substr(md5(text), 1, 8) AS UBIGINT) + 1.0) / 4294967297.0 AS u
+         FROM documents),
+       s AS (SELECT source, CAST(sum(nt) AS BIGINT) AS n_tokens FROM d GROUP BY 1),
+       t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM s),
+       r AS (SELECT source, n_tokens, tot,
+           sqrt(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE)) AS praw
+         FROM s CROSS JOIN t),
+       z AS (SELECT sum(praw) AS z FROM r),
+       rt AS (SELECT source, n_tokens,
+           round(least(1.0, praw / z * (${PipelineQueries.MixSampleShare}
+               * CAST(tot AS DOUBLE)) / CAST(n_tokens AS DOUBLE)), 6) AS acc_rate
+         FROM r CROSS JOIN z)
+       SELECT d.source, count(*) AS n_docs,
+         CAST(sum(CASE WHEN d.u < rt.acc_rate THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+         rt.n_tokens,
+         CAST(sum(CASE WHEN d.u < rt.acc_rate THEN d.nt ELSE 0 END) AS BIGINT) AS sampled_tokens,
+         rt.acc_rate
+       FROM d JOIN rt USING (source)
+       GROUP BY d.source, rt.n_tokens, rt.acc_rate
+       ORDER BY d.source""",
     "q_mix_weights" ->
       """WITH s AS (SELECT source, count(*) AS n_docs,
            CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0))) AS BIGINT) AS n_tokens

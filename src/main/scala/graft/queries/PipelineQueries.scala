@@ -391,6 +391,57 @@ object PipelineQueries {
       .orderBy($"source")
   }
 
+  /** Token budget of [[mixSample]] as a fraction of the corpus: the sampler
+    * realizes the √-temperature mixture inside half the corpus's tokens. */
+  val MixSampleShare = 0.5
+
+  /** The SAMPLER face of [[mixWeights]] — actually drawing the corpus that
+    * realizes the temperature-scaled mixture (the weights query only plans
+    * it): per-source acceptance rate a_s = min(1, w_s·B/n_s) with w_s the
+    * √-temperature weight and B = [[MixSampleShare]]·total tokens, each doc
+    * accepted iff its content-hash uniform (the [[weightedSample]] u —
+    * first 8 md5 hex digits, open-interval scaled) clears the rate.
+    * Hash-priority acceptance means the SAME docs are chosen on any
+    * cluster at any partitioning, and re-runs over a grown corpus keep
+    * prior decisions for unchanged rates — the reproducibility property
+    * mixture samplers need at 100 TB.
+    *
+    * Determinism: the rate is quantized to the 6-dp grid BEFORE the
+    * comparison — the S-row Σ praw carries ~1e-16 cross-engine fold noise,
+    * and comparing u (a 1/(2³²+1) grid point) against an unrounded rate
+    * would let that noise flip a doc per few million at scale; against the
+    * 6-dp rate a flip needs a source rate within an ulp of a 5e-7 midpoint
+    * (~1e-11 per source). Scale shape: one doc-level map (+the per-source
+    * token aggregate), the S-row rate frame broadcast back, one
+    * partial+final aggregate — nothing corpus-sized shuffles twice. */
+  def mixSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"source", $"doc_id",
+        size(Text.tokenize($"text")).cast("long").as("nt"),
+        ((conv(substring(md5($"text"), 1, 8), 16, 10).cast("double") + 1.0) /
+          4294967297.0).as("u"))
+    val bySrc = docs.groupBy($"source").agg(sum($"nt").as("n_tokens"))
+    val tot = bySrc.agg(sum($"n_tokens").as("tot"))
+    val rates = bySrc.crossJoin(broadcast(tot))
+      .withColumn("praw",
+        sqrt($"n_tokens".cast("double") / $"tot".cast("double")))
+    val z = rates.agg(sum($"praw").as("z"))
+    val rt = rates.crossJoin(broadcast(z))
+      .select($"source", $"n_tokens",
+        round(least(lit(1.0),
+          $"praw" / $"z" * (lit(MixSampleShare) * $"tot".cast("double")) /
+            $"n_tokens".cast("double")), 6).as("acc_rate"))
+    docs.join(broadcast(rt), "source")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"u" < $"acc_rate", 1L).otherwise(0L)).as("n_sampled"),
+        first($"n_tokens").as("n_tokens"),
+        sum(when($"u" < $"acc_rate", $"nt").otherwise(0L)).as("sampled_tokens"),
+        first($"acc_rate").as("acc_rate"))
+      .orderBy($"source")
+  }
+
   /** Fixed weights of the [[qualityLr]] classifier — stands in for a
     * trained model checkpoint (a real pipeline loads these from a model
     * artifact; the SHAPE of the scoring job is identical). Chosen so the
