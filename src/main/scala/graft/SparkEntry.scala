@@ -125,6 +125,7 @@ object SparkEntry {
     "q_grouping_sets"   -> ((s, d) => AnalyticQueries.ordersGroupingSets(s, d)),
     "q_weighted_sample" -> ((s, d) => PipelineQueries.weightedSample(s, d)),
     "q_mix_sample"      -> ((s, d) => PipelineQueries.mixSample(s, d)),
+    "q_corpus_final"    -> ((s, d) => PipelineQueries.corpusFinal(s, d)),
     "q_rolling_fp"      -> ((s, d) => TextQueries.rollingFingerprints(s, d)),
     "q_unpivot_daily"   -> ((s, d) => AnalyticQueries.unpivotDaily(s, d)),
     "q_dow_profile"     -> ((s, d) => AnalyticQueries.dowProfile(s, d)),
@@ -1328,6 +1329,45 @@ object SparkEntry {
           SELECT node AS doc_id, min(comp) AS component,
                  (node = min(comp)) AS is_keeper
           FROM reach GROUP BY node ORDER BY node"""),
+    // end-to-end curation funnel: dedup survivors (recursive components
+    // CTE) -> quality keep (q_quality_lr arithmetic) -> lang gate, per
+    // source with shipping token count
+    "q_corpus_final" ->
+      (JaccardCte.replaceFirst("WITH", "WITH RECURSIVE") +
+        raw""", edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+             UNION ALL SELECT doc_b, doc_a FROM jp),
+          reach(node, comp) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node),
+          lab AS (SELECT node, min(comp) AS component FROM reach GROUP BY node),
+          qft AS (SELECT doc_id, len(t)*1.0 AS n,
+              list_sum(list_transform(t, q -> length(q)))*1.0/len(t) AS mean_len,
+              len(list_distinct(t))*1.0/len(t) AS ttr,
+              len(list_filter(t, q -> list_contains(
+                [${graft.functions.Text.Stopwords.map(w => s"'$w'").mkString(",")}],
+                lower(q))))*1.0/len(t) AS stop_r
+            FROM toks WHERE len(t) > 0),
+          qzt AS (SELECT doc_id,
+              round((${PipelineQueries.LrBias}) + (${PipelineQueries.LrWLogLen})*ln(1.0+n)
+                + (${PipelineQueries.LrWStop})*stop_r + (${PipelineQueries.LrWMeanLen})*mean_len
+                + (${PipelineQueries.LrWTtr})*ttr, 6) AS z
+            FROM qft),
+          qk AS (SELECT doc_id,
+              (round(1.0/(1.0+exp(-z)), 6) >= 0.5) AS keep FROM qzt),
+          base AS (SELECT d.doc_id, d.source, d.lang,
+              CAST(len(list_filter(regexp_split_to_array(d.text, '\s+'),
+                q -> length(q) > 0)) AS BIGINT) AS nt,
+              (lab.node IS NULL OR lab.node = lab.component) AS g1,
+              coalesce(qk.keep, false) AS keep
+            FROM documents d LEFT JOIN lab ON d.doc_id = lab.node
+              LEFT JOIN qk ON d.doc_id = qk.doc_id)
+          SELECT source, count(*) AS n_docs,
+            CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n_after_dedup,
+            CAST(sum(CASE WHEN g1 AND keep THEN 1 ELSE 0 END) AS BIGINT) AS n_after_quality,
+            CAST(sum(CASE WHEN g1 AND keep AND lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+            CAST(sum(CASE WHEN g1 AND keep AND lang = 'en' THEN nt ELSE 0 END) AS BIGINT) AS final_tokens
+          FROM base GROUP BY 1 ORDER BY 1"""),
     // quality-aware canonical per cluster: same recursive components CTE,
     // quality-LR score CTEs (the q_quality_lr arithmetic verbatim), then
     // best = max(score) and canonical = min doc_id among the best-scored

@@ -391,6 +391,42 @@ object PipelineQueries {
       .orderBy($"source")
   }
 
+  /** The end-to-end curation funnel materialized as ONE query — the number
+    * every pipeline report leads with: per source, documents surviving each
+    * gate in sequence (near-dup dedup → quality classifier → target
+    * language) and the token count of what actually ships. Gates are the
+    * engine's own operators composed: [[SimilarityQueries.dedupCorpus]]
+    * survivors, [[qualityLr]] keep, lang = en — so this row IS the
+    * contract a downstream trainer consumes ("this corpus, after this
+    * pipeline, is N tokens").
+    *
+    * Scale shape: the dedup labeling dominates (the MinHash-LSH +
+    * components cost, shared with the dedup family); on top, two
+    * doc_id-keyed joins against map-only frames and one partial+final
+    * aggregate to an S-row result. */
+  def corpusFinal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"lang",
+        size(Text.tokenize($"text")).cast("long").as("nt"))
+    val survivors = SimilarityQueries.dedupCorpus(spark, dir)
+      .select($"doc_id", lit(true).as("dedup_ok"))
+    val keep = qualityLr(spark, dir).select($"doc_id", $"keep")
+    docs
+      .join(survivors, Seq("doc_id"), "left")
+      .join(keep, Seq("doc_id"), "left")
+      .withColumn("g1", coalesce($"dedup_ok", lit(false)))
+      .withColumn("g2", $"g1" && coalesce($"keep", lit(false)))
+      .withColumn("g3", $"g2" && $"lang" === "en")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"g1", 1L).otherwise(0L)).as("n_after_dedup"),
+        sum(when($"g2", 1L).otherwise(0L)).as("n_after_quality"),
+        sum(when($"g3", 1L).otherwise(0L)).as("n_final"),
+        sum(when($"g3", $"nt").otherwise(0L)).as("final_tokens"))
+      .orderBy($"source")
+  }
+
   /** Token budget of [[mixSample]] as a fraction of the corpus: the sampler
     * realizes the √-temperature mixture inside half the corpus's tokens. */
   val MixSampleShare = 0.5
