@@ -1,7 +1,7 @@
 #!/bin/bash
 # Round-9 scale-evidence refresh (VERDICT r8 #3 + #7):
 #  - regenerate testdata_local/sf1 and sf10 (the tiers are gitignored,
-#    wiped between sessions), then the FULL 121-query sf10 sweep + bench
+#    wiped between sessions), then the FULL-registry sf10 sweep + bench
 #  - regenerate the docs-only sf100 tier and run the extended 23-query
 #    probe (run_sf100.sh list incl. the r6 analytics)
 set -x

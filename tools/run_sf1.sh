@@ -1,5 +1,5 @@
 #!/bin/bash
-# sf1 tier refresh: regenerate, full 121-query verify sweep, DuckDB check.
+# sf1 tier refresh: regenerate, full-registry verify sweep, DuckDB check.
 set -x
 cd /root/repo
 export SPARK_GRAFT_CPUS=16

@@ -1,5 +1,5 @@
 #!/bin/bash
-# sf10 tier refresh: regenerate (sf1 x10), full 121-query verify sweep,
+# sf10 tier refresh: regenerate (sf1 x10), full-registry verify sweep,
 # DuckDB check, then the demoted-bench run (q_embed_dup dropped above sf1).
 set -x
 cd /root/repo
