@@ -216,6 +216,69 @@ object Pipeline {
       }
   }
 
+  /** A per-(type, hour) burst evaluation emitted by [[burstAlerts]]. */
+  case class BurstAlert(event_type: String, hr: Long, n: Long, m: Long,
+                        z: Option[Double], is_burst: Boolean)
+
+  /** Stateful streaming face of the batch burst detector
+    * ([[graft.queries.TrendQueries.burstZscore]] — trailing-24-bucket
+    * z-score, the same arithmetic expression to the bit): per event type
+    * the state store keeps the last `horizonHours` hourly counts; each
+    * micro-batch merges its counts in, trims, and re-emits the evaluation
+    * for every bucket the batch touched — update-mode upsert keyed
+    * (event_type, hr). Fed its full history in one batch it reproduces the
+    * batch operator row-for-row (the parity test in StreamingSpec).
+    *
+    * State posture at scale: ≤ horizonHours (hr, count) pairs per type
+    * under RocksDB — bounded regardless of stream length; silent hours
+    * occupy no state and contribute no window mass (the batch RANGE
+    * frame's gap-robustness, preserved). Evaluation reads the pre-trim
+    * merged view so a late bucket older than the horizon still evaluates
+    * against whatever history remains rather than crashing or skewing. */
+  def burstAlerts(events: DataFrame, horizonHours: Long = 48): Dataset[BurstAlert] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_type").cast("string").as("k"),
+        (unix_timestamp(col("ts")) / 3600L).cast("long").as("hr"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Map[Long, Long], BurstAlert](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long)],
+         state: GroupState[Map[Long, Long]]) =>
+          val incoming = rows.map(_._2).toSeq
+            .groupBy(identity).view.mapValues(_.size.toLong).toMap
+          val prev = state.getOption.getOrElse(Map.empty[Long, Long])
+          val merged = incoming.foldLeft(prev) { case (acc, (h, c)) =>
+            acc.updated(h, acc.getOrElse(h, 0L) + c)
+          }
+          val maxHr = merged.keys.max
+          state.update(merged.filter { case (h, _) => h > maxHr - horizonHours })
+          incoming.keys.toSeq.sorted.iterator.map { hr =>
+            val win = merged.filter { case (h, _) => h >= hr - 24 && h <= hr - 1 }
+            val m = win.size.toLong
+            val n = merged(hr)
+            if (m >= 12) {
+              val s = win.values.sum
+              val ss = win.values.map(v => v * v).sum
+              // the batch operator's exact expression shape: integer
+              // sufficient statistics, one fixed double combination
+              val mean = s.toDouble / m.toDouble
+              val varp =
+                (ss.toDouble - s.toDouble * s.toDouble / m.toDouble) / m.toDouble
+              if (varp > 0.0) {
+                val z = (n.toDouble - mean) / math.sqrt(varp)
+                val z6 = BigDecimal(z)
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                BurstAlert(key, hr, n, m, Some(z6), z >= 3.0)
+              } else BurstAlert(key, hr, n, m, None, is_burst = false)
+            } else BurstAlert(key, hr, n, m, None, is_burst = false)
+          }
+      }
+  }
+
   /** A closed session emitted by [[sessionize]]. */
   case class ClosedSession(key: String, session_start: java.sql.Timestamp,
                            session_end: java.sql.Timestamp, n_events: Long)

@@ -515,6 +515,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("burstAlerts: fed its history in one batch it reproduces the batch " +
+    "burst detector row-for-row; a second batch upserts on merged counts") {
+    implicit val ctx = sql.sqlContext
+    import org.apache.spark.sql.functions._
+    val sf = SparkSpec.Sf
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    val alerts = Pipeline.burstAlerts(
+      in.toDF().toDF("event_type", "ts"), horizonHours = 1000000L)
+    val q = alerts.writeStream.format("memory").queryName("burst_t")
+      .outputMode("update").start()
+    try {
+      val rows = graft.sources.Tables.events(sql, sf)
+        .select(col("event_type"), col("ts")).collect()
+        .map(r => (r.getString(0), r.getTimestamp(1)))
+      in.addData(rows.toSeq)
+      q.processAllAvailable()
+      val got = sql.table("burst_t").collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3),
+            if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+            r.getBoolean(5))).toMap
+      val want = graft.queries.TrendQueries.burstZscore(sql, sf).collect()
+        .map(r => (r.getString(0),
+          r.getTimestamp(1).toInstant.getEpochSecond / 3600L) ->
+          (r.getLong(2), r.getLong(3),
+            if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+            r.getBoolean(5))).toMap
+      assert(got == want,
+        s"parity break: ${(got.toSet diff want.toSet).take(3)} vs ${(want.toSet diff got.toSet).take(3)}")
+      // incremental: a second batch adds 5 events to one existing bucket —
+      // the re-emitted row must carry the MERGED count
+      val t0 = rows.find(_._1 == "purchase").get._2
+      val hr0 = t0.toInstant.getEpochSecond / 3600L
+      val before = got(("purchase", hr0))
+      in.addData((1 to 5).map(_ => ("purchase", t0)))
+      q.processAllAvailable()
+      val after = sql.table("burst_t").collect()
+        .filter(r => r.getString(0) == "purchase" && r.getLong(1) == hr0)
+        .map(r => r.getLong(2)).max
+      assert(after == before._1 + 5, s"merged count $after vs ${before._1} + 5")
+    } finally q.stop()
+  }
+
   test("console debug sink (K7): drains a stream to completion without error") {
     implicit val ctx = sql.sqlContext
     val in = MemoryStream[String]
