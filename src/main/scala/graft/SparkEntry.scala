@@ -49,6 +49,7 @@ object SparkEntry {
     "q_neardup_editdist"   -> ((s, d) => SimilarityQueries.nearDupEditDistance(s, d)),
     "q_dedup_components"   -> ((s, d) => SimilarityQueries.dedupComponents(s, d)),
     "q_dedup_canonical"    -> ((s, d) => SimilarityQueries.dedupCanonical(s, d)),
+    "q_dedup_profile"      -> ((s, d) => SimilarityQueries.dedupProfile(s, d)),
     "q_dedup_corpus"       -> ((s, d) => SimilarityQueries.dedupCorpus(s, d)),
     // --- near-dup / similarity (north-star LLM-pipeline ops) ---
     "q_jaccard_pairs"  -> ((s, d) => SimilarityQueries.jaccardPairs(s, d)),
@@ -1403,6 +1404,21 @@ object SparkEntry {
           FROM ag a JOIN jn j ON j.component = a.component AND j.score = a.best
           GROUP BY a.component, a.cluster_size, a.best
           ORDER BY a.component"""),
+    // cluster-size histogram off the same recursive components CTE
+    "q_dedup_profile" ->
+      (JaccardCte.replaceFirst("WITH", "WITH RECURSIVE") +
+        """, edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+             UNION ALL SELECT doc_b, doc_a FROM jp),
+          reach(node, comp) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node),
+          lab AS (SELECT node, min(comp) AS component FROM reach GROUP BY node),
+          cs AS (SELECT component, count(*) AS sz FROM lab GROUP BY 1)
+          SELECT sz AS cluster_size, count(*) AS n_clusters,
+            sz * count(*) AS n_docs,
+            (sz - 1) * count(*) AS n_removed
+          FROM cs GROUP BY sz ORDER BY sz"""),
     // survivors = all docs minus non-keeper cluster members
     "q_dedup_corpus" ->
       (JaccardCte.replaceFirst("WITH", "WITH RECURSIVE") +

@@ -320,6 +320,25 @@ object SimilarityQueries {
       .orderBy($"component")
   }
 
+  /** Near-dup cluster-size histogram — the duplication-structure report a
+    * dedup run publishes (how many pairs/triples/large clusters, and how many
+    * documents each stratum removes): one row per cluster size with the
+    * cluster count, member documents, and documents a keep-one policy
+    * deletes. The "inflation factor" Σdocs/Σclusters is readable off the
+    * row set. Cost is [[dedupComponents]] plus two cluster-count-sized
+    * aggregates — nothing new at corpus scale. */
+  def dedupProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    dedupComponents(spark, dir)
+      .groupBy($"component").agg(count(lit(1)).as("sz"))
+      .groupBy($"sz".as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select($"cluster_size", $"n_clusters",
+        ($"cluster_size" * $"n_clusters").as("n_docs"),
+        (($"cluster_size" - 1) * $"n_clusters").as("n_removed"))
+      .orderBy($"cluster_size")
+  }
+
   /** Incremental ingestion dedup — the CONTINUOUS-crawl shape of
     * [[minhashDedup]]: an incoming batch is near-dup-checked against the
     * already-ingested index WITHOUT re-pairing the index against itself.

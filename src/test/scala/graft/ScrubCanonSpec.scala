@@ -63,6 +63,21 @@ class ScrubCanonSpec extends SparkSpec {
     }
   }
 
+  test("dedupProfile: histogram covers the components exactly — sizes >= 2, " +
+    "doc and removal totals reconcile") {
+    val prof = SimilarityQueries.dedupProfile(spark, sf).collect()
+    assert(prof.nonEmpty)
+    prof.foreach { r =>
+      assert(r.getLong(0) >= 2, "a near-dup cluster has at least two members")
+      assert(r.getLong(2) == r.getLong(0) * r.getLong(1))
+      assert(r.getLong(3) == (r.getLong(0) - 1) * r.getLong(1))
+    }
+    val comp = SimilarityQueries.dedupComponents(spark, sf)
+    assert(prof.map(_.getLong(2)).sum == comp.count())
+    assert(prof.map(_.getLong(3)).sum ==
+      comp.filter(!col("is_keeper")).count())
+  }
+
   test("dedupCanonical: canonical doc carries the cluster-max score, " +
     "ties break to the lowest doc_id, moved is consistent") {
     val canon = SimilarityQueries.dedupCanonical(spark, sf)
