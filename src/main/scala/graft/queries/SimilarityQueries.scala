@@ -247,8 +247,37 @@ object SimilarityQueries {
     * executors; `localCheckpoint` truncates lineage per round so plans
     * stay constant-size at any iteration count. Emits (doc_id, component,
     * is_keeper); singleton docs (no near-dup) are not emitted. Oracle:
-    * DuckDB recursive CTE over the same pair graph. */
+    * DuckDB recursive CTE over the same pair graph.
+    *
+    * Session-memoized (content-addressed, the bucketed-table doctrine at
+    * RelationalQueries.bucketedOrdersCustomer): five registered queries
+    * consume this labeling (components, corpus, canonical, profile, the
+    * corpus_final funnel) and each is self-contained by contract — without
+    * the memo one session recomputes the MinHash+components pipeline five
+    * times for bit-identical results. The tag folds in the documents
+    * parquet file listing (name, size, mtime), so regenerating the tier
+    * mid-session forces a fresh labeling instead of serving stale one; the
+    * memo is per SparkSession instance and holds a localCheckpoint'ed
+    * frame (executor-resident blocks, constant-size plan). */
   def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(dir.getBytes("UTF-8"))
+    val f = new java.io.File(dir, "documents.parquet")
+    val files =
+      if (f.isDirectory) f.listFiles().sortBy(_.getName) else Array(f)
+    files.filter(_.exists).foreach { p =>
+      md.update(s"${p.getName}:${p.length}:${p.lastModified}".getBytes("UTF-8"))
+    }
+    val tag = md.digest().map("%02x".format(_)).mkString.take(12)
+    componentsMemo.getOrElseUpdate(
+      (System.identityHashCode(spark), tag),
+      computeComponents(spark, dir).localCheckpoint())
+  }
+
+  private val componentsMemo =
+    scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
+
+  private def computeComponents(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pairs = minhashDedup(spark, dir).select($"doc_a", $"doc_b")
     val edges = pairs.union(pairs.select($"doc_b", $"doc_a"))
