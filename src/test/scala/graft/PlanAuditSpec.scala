@@ -1,0 +1,57 @@
+package graft
+
+import graft.queries.{CorpusQueries, PipelineQueries}
+
+/** Plan pins for the r9c operators: upper bounds on Exchange counts and
+  * required broadcast shapes, so a regression that silently inserts a
+  * corpus-sized shuffle fails here instead of in a benchmark eyeball.
+  * (Exchange counts are pinned as <= bounds: AQE may REMOVE exchanges, and
+  * that is always acceptable.)
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def exchanges(p: String): Int =
+    "Exchange".r.findAllIn(p).length - "BroadcastExchange".r.findAllIn(p).length
+
+  test("mixSample: doc stream shuffles only for the final per-source " +
+    "aggregate; the rate frame broadcasts") {
+    val p = plan(PipelineQueries.mixSample(spark, sf))
+    assert(p.contains("BroadcastExchange"), "rate frame must broadcast")
+    // shuffles: the S-row rate subtree's own aggregates (inside the
+    // broadcast build side), the final per-source aggregate, and the
+    // closing orderBy range partition — never a doc-stream join
+    assert(exchanges(p) <= 9, s"too many shuffles:\n$p")
+    assert(!p.contains("SortMergeJoin"), "doc stream must not sort-merge join")
+  }
+
+  test("spanScrub: no corpus-sized join without a broadcast candidate and " +
+    "bounded shuffle count") {
+    val p = plan(CorpusQueries.spanScrub(spark, sf))
+    // gram-count aggregate, doc_id window, span aggregate, final orderBy
+    assert(exchanges(p) <= 6, s"too many shuffles:\n$p")
+  }
+
+  test("sourceKl: the pair join runs over the checkpointed grid — no " +
+    "second corpus-count pass in the plan") {
+    val df = CorpusQueries.sourceKl(spark, sf)
+    val p = plan(df)
+    // the corpus-sized (source, token) count happens before the
+    // localCheckpoint; the executed plan downstream of it must contain at
+    // most the self-join + aggregate + sort exchanges
+    assert(exchanges(p) <= 4, s"too many shuffles:\n$p")
+    assert(!p.contains("Scan parquet"),
+      "post-checkpoint plan must not rescan the corpus")
+  }
+
+  test("knBigram: count frames join back without forcing a sort-merge of " +
+    "the bigram stream at test scale") {
+    val p = plan(CorpusQueries.knBigram(spark, sf))
+    // bigram counts, history/continuation re-aggregations, per-doc
+    // reduction, left join to docs, closing sort
+    assert(exchanges(p) <= 9, s"too many shuffles:\n$p")
+    assert(p.contains("BroadcastExchange"), "the 1-row type total must broadcast")
+  }
+}
