@@ -34,6 +34,9 @@ def canon(df: pd.DataFrame) -> str:
 
 def main(sf_dir, out_dir, json_out=None):
     con = duckdb.connect()
+    # cap DuckDB parallelism when sharing the host with a Spark sweep
+    if os.environ.get("CHECK_THREADS"):
+        con.sql(f"SET threads={int(os.environ['CHECK_THREADS'])}")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
@@ -43,6 +46,14 @@ def main(sf_dir, out_dir, json_out=None):
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
     results = {}
+    # CHECK_RESUME=1: reuse verdicts from an interrupted run's .partial file
+    if json_out and os.environ.get("CHECK_RESUME") == "1" \
+            and os.path.exists(json_out + ".partial"):
+        results = json.load(open(json_out + ".partial"))
+        n_pass = sum(1 for v in results.values() if v.get("hash_match"))
+        n_fail = sum(1 for v in results.values()
+                     if v.get("err") or v.get("hash_match") is False)
+        print(f"resuming: {len(results)} cached verdicts")
     # any registered query whose Verify dump is missing (query threw) is a
     # FAIL, not a silent skip — rows-only queries included (queries.txt is
     # the full registry manifest; fall back to oracle keys if absent)
@@ -54,14 +65,24 @@ def main(sf_dir, out_dir, json_out=None):
     else:
         expected = set(oracle)
     for name in sorted(expected - dumped):
+        if name in results:
+            continue
         print(f"  [FAIL] {name}: no Verify output (query failed?)")
         results[name] = {"rows_match": False, "schema_match": False,
                          "hash_match": False, "spark_rows": None,
                          "oracle_rows": None, "err": "no_verify_output"}
         n_fail += 1
+    def flush():
+        # incremental dump so a killed run keeps its finished verdicts
+        if json_out:
+            with open(json_out + ".partial", "w") as fh:
+                json.dump(results, fh, indent=2, sort_keys=True)
+
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
+            continue
+        if name in results:
             continue
         got = pq.read_table(d).to_pandas()
         if name not in oracle:
@@ -78,6 +99,7 @@ def main(sf_dir, out_dir, json_out=None):
                 results[name] = {"rows_match": None, "schema_match": None,
                                  "hash_match": None, "spark_rows": len(got),
                                  "oracle_rows": None, "err": "no_oracle"}
+            flush()
             continue
         try:
             exp = con.sql(oracle[name]).df()
@@ -88,6 +110,7 @@ def main(sf_dir, out_dir, json_out=None):
                              "oracle_rows": None,
                              "err": f"oracle_error: {e}"}
             n_fail += 1
+            flush()
             continue
         ok_schema = sorted(got.columns) == sorted(exp.columns)
         ok_rows = len(got) == len(exp)
@@ -114,6 +137,7 @@ def main(sf_dir, out_dir, json_out=None):
                 for i in idx:
                     print(f"     row {i} got: {gs.iloc[i].to_dict()}")
                     print(f"     row {i} exp: {es.iloc[i].to_dict()}")
+        flush()
     if json_out:
         with open(json_out, "w") as fh:
             json.dump(results, fh, indent=2, sort_keys=True)
