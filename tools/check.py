@@ -37,6 +37,11 @@ def main(sf_dir, out_dir, json_out=None):
     # cap DuckDB parallelism when sharing the host with a Spark sweep
     if os.environ.get("CHECK_THREADS"):
         con.sql(f"SET threads={int(os.environ['CHECK_THREADS'])}")
+    # bound DuckDB memory and let big oracles (e.g. the sf10 Kneser–Ney
+    # bigram join) spill instead of drawing the kernel OOM-killer
+    mem = os.environ.get("CHECK_MEM", "24GB")
+    con.sql(f"SET memory_limit='{mem}'")
+    con.sql("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
