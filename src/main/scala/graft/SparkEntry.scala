@@ -451,7 +451,7 @@ object SparkEntry {
   private val ProjListSql: String =
     graft.functions.Similarity.ProjSigns.map { row =>
       val lit = row.map(_.toString).mkString("[", ", ", "]")
-      s"round(list_dot_product(v, $lit) * 0.25, 6)"
+      s"round(list_dot_product(v, $lit) * 0.25, 6) + 0.0"
     }.mkString("[", ",\n           ", "]")
 
   /** The directed weighted trade graph + node CTEs shared by the
@@ -2721,17 +2721,23 @@ object SparkEntry {
                i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS p
            FROM toks)),
        bcnt AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
-       sc AS (SELECT doc_id, count(*) AS n_bigrams,
-           sum(CAST(round(-ln(${CorpusQueries.BigramLambda}
+       scored AS (SELECT w1, w2,
+           CAST(round(-ln(${CorpusQueries.BigramLambda}
                * (CAST(cb AS DOUBLE) / CAST(c1 AS DOUBLE))
              + ${1.0 - CorpusQueries.BigramLambda}
                * (CAST(c2 AS DOUBLE) / CAST(tt AS DOUBLE))), 6)
-             AS DECIMAL(28,6))) AS nll
-         FROM bg
-         JOIN bcnt USING (w1, w2)
+             AS DECIMAL(28,6)) AS s
+         FROM bcnt
          JOIN (SELECT w AS w1, cw AS c1 FROM uni) USING (w1)
          JOIN (SELECT w AS w2, cw AS c2 FROM uni) USING (w2)
-         CROSS JOIN n GROUP BY 1),
+         CROSS JOIN n),
+       -- per-(doc, bigram) counts so the big join probes the distinct-
+       -- bigram side once, instead of streaming every instance through
+       -- three joins; k identical instances contribute k * the same
+       -- 6-dp DECIMAL, so the fold is exactly the per-instance sum
+       dgc AS (SELECT doc_id, w1, w2, count(*) AS k FROM bg GROUP BY 1, 2, 3),
+       sc AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams, sum(k * s) AS nll
+         FROM dgc JOIN scored USING (w1, w2) GROUP BY 1),
        scm AS (SELECT doc_id, n_bigrams,
            (2 * CAST(nll * 1000000 AS BIGINT) + n_bigrams)
              // (2 * n_bigrams) AS xm
@@ -2757,17 +2763,23 @@ object SparkEntry {
        hist AS (SELECT w1, sum(cb) AS h1, count(*) AS nh FROM bcnt GROUP BY 1),
        cont AS (SELECT w2, count(*) AS nc FROM bcnt GROUP BY 1),
        bt AS (SELECT CAST(count(*) AS BIGINT) AS bt FROM bcnt),
-       sc AS (SELECT doc_id, count(*) AS n_bigrams,
-           sum(CAST(round(-ln(
+       scored AS (SELECT w1, w2,
+           CAST(round(-ln(
              (greatest(CAST(cb AS DOUBLE) - ${CorpusQueries.KnDiscount}, 0.0)
                + ${CorpusQueries.KnDiscount} * CAST(nh AS DOUBLE)
                  * CAST(nc AS DOUBLE) / CAST(bt AS DOUBLE))
-             / CAST(h1 AS DOUBLE)), 6) AS DECIMAL(28,6))) AS nll
-         FROM bg
-         JOIN bcnt USING (w1, w2)
+             / CAST(h1 AS DOUBLE)), 6) AS DECIMAL(28,6)) AS s
+         FROM bcnt
          JOIN hist USING (w1)
          JOIN cont USING (w2)
-         CROSS JOIN bt GROUP BY 1),
+         CROSS JOIN bt),
+       -- same aggregate-then-join shape as q_bigram_lm: score each
+       -- distinct bigram once at bcnt scale, then one join against the
+       -- per-(doc, bigram) counts; k * the shared 6-dp DECIMAL equals
+       -- the per-instance fold exactly
+       dgc AS (SELECT doc_id, w1, w2, count(*) AS k FROM bg GROUP BY 1, 2, 3),
+       sc AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams, sum(k * s) AS nll
+         FROM dgc JOIN scored USING (w1, w2) GROUP BY 1),
        scm AS (SELECT doc_id, n_bigrams,
            (2 * CAST(nll * 1000000 AS BIGINT) + n_bigrams)
              // (2 * n_bigrams) AS xm

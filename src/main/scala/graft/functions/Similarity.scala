@@ -222,7 +222,10 @@ object Similarity {
     * float parity doctrine). Pure Column exprs — one codegen'd sequential
     * dot product per output coordinate, no shuffle, no UDF. */
   def randProject(v: Column): Column =
+    // + 0.0 folds IEEE negative zero to +0.0: Spark's BigDecimal round
+    // already produces +0.0 for tiny negatives, DuckDB's round keeps
+    // -0.0, and value comparators that hash the sign bit would diverge
     array(ProjSigns.map { row =>
-      round(dot(v, typedlit(row.toSeq)) * lit(ProjScale), 6)
+      round(dot(v, typedlit(row.toSeq)) * lit(ProjScale), 6) + lit(0.0)
     }.toIndexedSeq: _*)
 }
