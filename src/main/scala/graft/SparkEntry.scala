@@ -109,6 +109,7 @@ object SparkEntry {
     "q_rolling_corr"    -> ((s, d) => AnalyticQueries.rollingCorr(s, d)),
     "q_rank_movers"     -> ((s, d) => TrendQueries.rankMovers(s, d)),
     "q_holt_trend"      -> ((s, d) => TrendQueries.holtTrend(s, d)),
+    "q_hw_seasonal"     -> ((s, d) => TrendQueries.holtWinters(s, d)),
     "q_lr_calibration"  -> ((s, d) => PipelineQueries.lrCalibration(s, d)),
     "q_lr_auc"          -> ((s, d) => PipelineQueries.lrAuc(s, d)),
     "q_ewma_smooth"     -> ((s, d) => TrendQueries.ewmaSmooth(s, d)),
@@ -1770,6 +1771,52 @@ object SparkEntry {
          round(l, 6) AS level, round(b, 6) AS trend, round(f, 6) AS forecast,
          round(abs(CAST(n AS DOUBLE) - f), 6) AS abs_err
        FROM rec ORDER BY event_type, day""",
+    // Holt-Winters additive seasonal (period 7): the recursive CTE carries
+    // the SAME 7-slot rotating seasonal list the Spark fold does; seeds
+    // l0 = first-week mean (exact integer sum), s_t = x_t - l0; every
+    // recurrence term is ordered identically to the engine expression.
+    // Types with fewer than 8 days have no seeds row -> all-NULL smoothed
+    // columns on both sides.
+    "q_hw_seasonal" ->
+      """WITH RECURSIVE daily AS (
+           SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         idx AS (
+           SELECT event_type, day, n,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
+           FROM daily),
+         len AS (SELECT event_type, count(*) AS tlen FROM idx GROUP BY 1),
+         seeds AS (
+           SELECT event_type, l0, list_transform(xs7, x -> x - l0) AS s
+           FROM (SELECT i.event_type,
+               CAST(sum(i.n) AS DOUBLE) / 7.0 AS l0,
+               list(CAST(i.n AS DOUBLE) ORDER BY i.t) AS xs7
+             FROM idx i JOIN len USING (event_type)
+             WHERE i.t <= 7 AND len.tlen >= 8 GROUP BY 1)),
+         rec AS (
+           SELECT event_type, CAST(7 AS BIGINT) AS t, l0 AS l,
+             CAST(0.0 AS DOUBLE) AS b, s,
+             CAST(NULL AS DOUBLE) AS sv, CAST(NULL AS DOUBLE) AS f
+           FROM seeds
+           UNION ALL
+           SELECT i.event_type, i.t,
+             0.3*(CAST(i.n AS DOUBLE) - r.s[1]) + 0.7*(r.l + r.b),
+             0.1*((0.3*(CAST(i.n AS DOUBLE) - r.s[1]) + 0.7*(r.l + r.b)) - r.l)
+               + 0.9*r.b,
+             r.s[2:7] || [0.2*(CAST(i.n AS DOUBLE) - (r.l + r.b)) + 0.8*r.s[1]],
+             0.2*(CAST(i.n AS DOUBLE) - (r.l + r.b)) + 0.8*r.s[1],
+             r.l + r.b + r.s[1]
+           FROM rec r JOIN idx i ON i.event_type = r.event_type AND i.t = r.t + 1)
+       SELECT i.event_type, i.day, i.n,
+         round(CASE WHEN i.t > 7 THEN rec.l END, 6) AS level,
+         round(CASE WHEN i.t > 7 THEN rec.b END, 6) AS trend,
+         round(CASE WHEN i.t <= 7 THEN sd.s[CAST(i.t AS INT)] ELSE rec.sv END, 6) AS season,
+         round(CASE WHEN i.t > 7 THEN rec.f END, 6) AS forecast,
+         round(CASE WHEN i.t > 7 THEN abs(CAST(i.n AS DOUBLE) - rec.f) END, 6) AS abs_err
+       FROM idx i
+       LEFT JOIN rec ON rec.event_type = i.event_type AND rec.t = i.t AND i.t > 7
+       LEFT JOIN seeds sd ON sd.event_type = i.event_type
+       ORDER BY event_type, day""",
     // rank movers: split anchored at the dataset's min day; ranks/delta as
     // INT on both sides (row_number is INT in Spark, cast from BIGINT here)
     "q_rank_movers" ->

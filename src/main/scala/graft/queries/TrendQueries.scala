@@ -270,6 +270,81 @@ object TrendQueries {
       .orderBy($"event_type", $"day")
   }
 
+  /** Holt–Winters additive seasonal smoothing (Winters 1960 — the
+    * triple-exponential member of the Holt family) over daily per-type
+    * counts with a weekly period m=7: the forecaster to reach for once
+    * day-of-week cycles dominate the series, where [[holtTrend]] would
+    * book every Saturday dip as a trend change. Seeds (after the first
+    * full week): l₇ = (Σ_{t≤7} x_t)/7 (exact integer sum), b₇ = 0,
+    * s_t = x_t − l₇ for t = 1..7. For t ≥ 8:
+    *   f_t = l_{t−1} + b_{t−1} + s_{t−7}
+    *   l_t = α(x_t − s_{t−7}) + (1−α)(l_{t−1} + b_{t−1})   α = 0.3
+    *   b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}               β = 0.1
+    *   s_t = γ(x_t − (l_{t−1} + b_{t−1})) + (1−γ)s_{t−7}   γ = 0.2
+    * (the "seasonal vs previous smoothed" NIST/Hyndman variant with the
+    * seasonal innovation measured against the one-step prediction base).
+    * Series shorter than m+1 = 8 days emit NULL smoothed columns — the
+    * degenerate-series doctrine, never a misfit on a partial week.
+    *
+    * Scale posture: the Holt doctrine verbatim — one corpus-sized daily
+    * count aggregate, then calendar-bounded per-type left-to-right folds
+    * whose state is (l, b, the 7-slot rotating seasonal buffer); the DP
+    * cost is independent of row count. Determinism: every recurrence is
+    * one fixed double expression shared operation-for-operation with the
+    * DuckDB oracle's recursive CTE (which carries the same 7-slot list),
+    * seeds derive from exact integer sums, rounding only at output. */
+  def holtWinters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = 7
+    val daily = Tables.events(spark, dir)
+      .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val base = daily.groupBy($"event_type")
+      .agg(array_sort(collect_list(struct($"day", $"n"))).as("series"))
+      .withColumn("ns", transform($"series", e => e("n").cast("double")))
+      .withColumn("tlen", size($"ns"))
+    val seeded = base
+      .withColumn("l0",
+        aggregate(slice($"ns", 1, m), lit(0.0), (a, x) => a + x) / lit(7.0))
+      .withColumn("seeds", transform(slice($"ns", 1, m), x => x - $"l0"))
+    val init = struct($"l0".as("l"), lit(0.0).as("b"), $"seeds".as("s"),
+      expr("array()")
+        .cast("array<struct<l:double,b:double,s:double,f:double>>").as("hist"))
+    val fold = aggregate(
+      when($"tlen" >= m + 1, slice($"ns", lit(m + 1), $"tlen" - m))
+        .otherwise(expr("array()").cast("array<double>")),
+      init,
+      (acc, x) => {
+        val sOld = element_at(acc("s"), 1)
+        val f = acc("l") + acc("b") + sOld
+        val l2 = lit(0.3) * (x - sOld) + lit(0.7) * (acc("l") + acc("b"))
+        val b2 = lit(0.1) * (l2 - acc("l")) + lit(0.9) * acc("b")
+        val s2 = lit(0.2) * (x - (acc("l") + acc("b"))) + lit(0.8) * sOld
+        struct(l2.as("l"), b2.as("b"),
+          concat(slice(acc("s"), 2, m - 1), array(s2)).as("s"),
+          concat(acc("hist"),
+            array(struct(l2.as("l"), b2.as("b"), s2.as("s"), f.as("f"))))
+            .as("hist"))
+      })
+    val fitted = $"tlen" >= m + 1
+    val h = (t: Column) => element_at($"hist", t - m)
+    seeded
+      .withColumn("hist", fold("hist"))
+      .select($"event_type", $"tlen", $"seeds",
+        posexplode($"series").as(Seq("pos", "e")), $"hist")
+      .withColumn("t", $"pos" + 1)
+      .select($"event_type", $"e.day".as("day"), $"e.n".as("n"),
+        when(fitted && $"t" > m, round(h($"t")("l"), 6)).as("level"),
+        when(fitted && $"t" > m, round(h($"t")("b"), 6)).as("trend"),
+        when(fitted,
+          when($"t" <= m, round(element_at($"seeds", $"t"), 6))
+            .otherwise(round(h($"t")("s"), 6))).as("season"),
+        when(fitted && $"t" > m, round(h($"t")("f"), 6)).as("forecast"),
+        when(fitted && $"t" > m,
+          round(abs($"e.n".cast("double") - h($"t")("f")), 6)).as("abs_err"))
+      .orderBy($"event_type", $"day")
+  }
+
   /** Rank movers — the "what moved this week" trending table: each
     * props-key `k` is counted over the first 15 days vs the rest of the
     * window (the split anchored at the dataset's min day, not the calendar
