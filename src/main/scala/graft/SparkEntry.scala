@@ -169,6 +169,7 @@ object SparkEntry {
     "q_bpe_pairs"       -> ((s, d) => CorpusQueries.bpePairs(s, d)),
     "q_bpe_train"       -> ((s, d) => CorpusQueries.bpeTrain(s, d)),
     "q_bpe_vocab"       -> ((s, d) => CorpusQueries.bpeVocab(s, d)),
+    "q_bpe_encode"      -> ((s, d) => CorpusQueries.bpeEncode(s, d)),
     "q_quality_lr"      -> ((s, d) => PipelineQueries.qualityLr(s, d)),
     "q_source_entropy"  -> ((s, d) => CorpusQueries.sourceEntropy(s, d)),
     "q_source_kl"       -> ((s, d) => CorpusQueries.sourceKl(s, d)),
@@ -430,6 +431,36 @@ object SparkEntry {
          CAST(len(string_split(seg[2:length(seg)-1], '><')) AS INTEGER) AS n_symbols
        FROM v${CorpusQueries.BpeMerges}
        ORDER BY f DESC, word LIMIT 50"""
+
+  /** Corpus encode with the trained merges: per-doc word/OOV/subword
+    * counts off the final segmentation CTE, fertility half-up in integer
+    * micro-units (the q_bigram_lm idiom — never a double divide). */
+  private val BpeEncodeOracle: String =
+    s"""$BpeCte,
+       segn AS (SELECT word,
+           CAST(len(string_split(seg[2:length(seg)-1], '><')) AS BIGINT) AS n_sub
+         FROM v${CorpusQueries.BpeMerges}),
+       dw AS (SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+             q -> length(q) > 0)) AS word
+         FROM documents),
+       enc AS (SELECT d.doc_id,
+           regexp_matches(d.word, '^[a-z]+$$') AS alpha, s.n_sub
+         FROM dw d LEFT JOIN segn s USING (word)),
+       agg AS (SELECT doc_id,
+           CAST(sum(CASE WHEN alpha THEN 1 ELSE 0 END) AS BIGINT) AS w,
+           CAST(sum(CASE WHEN NOT alpha THEN 1 ELSE 0 END) AS BIGINT) AS o,
+           CAST(coalesce(sum(CASE WHEN alpha THEN n_sub END), 0) AS BIGINT) AS s
+         FROM enc GROUP BY 1)
+       SELECT d.doc_id,
+         CAST(coalesce(a.w, 0) AS BIGINT) AS n_words,
+         CAST(coalesce(a.o, 0) AS BIGINT) AS n_oov,
+         CAST(coalesce(a.s, 0) AS BIGINT) AS n_subwords,
+         CASE WHEN coalesce(a.w, 0) > 0
+           THEN CAST((2 * 1000000 * a.s + a.w) // (2 * a.w) AS DOUBLE) / 1000000.0
+         END AS fertility
+       FROM documents d LEFT JOIN agg a USING (doc_id)
+       ORDER BY d.doc_id"""
 
   /** The sign-LSH bucket id as SQL (VERDICT r4 #5): the 4 hyperplanes are
     * deterministic compile-time constants (Similarity.Planes, seeded RNG),
@@ -1808,15 +1839,15 @@ object SparkEntry {
              r.l + r.b + r.s[1]
            FROM rec r JOIN idx i ON i.event_type = r.event_type AND i.t = r.t + 1)
        SELECT i.event_type, i.day, i.n,
-         round(CASE WHEN i.t > 7 THEN rec.l END, 6) AS level,
-         round(CASE WHEN i.t > 7 THEN rec.b END, 6) AS trend,
-         round(CASE WHEN i.t <= 7 THEN sd.s[CAST(i.t AS INT)] ELSE rec.sv END, 6) AS season,
-         round(CASE WHEN i.t > 7 THEN rec.f END, 6) AS forecast,
+         round(CASE WHEN i.t > 7 THEN rec.l END, 6) + 0.0 AS level,
+         round(CASE WHEN i.t > 7 THEN rec.b END, 6) + 0.0 AS trend,
+         round(CASE WHEN i.t <= 7 THEN sd.s[CAST(i.t AS INT)] ELSE rec.sv END, 6) + 0.0 AS season,
+         round(CASE WHEN i.t > 7 THEN rec.f END, 6) + 0.0 AS forecast,
          round(CASE WHEN i.t > 7 THEN abs(CAST(i.n AS DOUBLE) - rec.f) END, 6) AS abs_err
        FROM idx i
        LEFT JOIN rec ON rec.event_type = i.event_type AND rec.t = i.t AND i.t > 7
        LEFT JOIN seeds sd ON sd.event_type = i.event_type
-       ORDER BY event_type, day""",
+       ORDER BY i.event_type, i.day""",
     // rank movers: split anchored at the dataset's min day; ranks/delta as
     // INT on both sides (row_number is INT in Spark, cast from BIGINT here)
     "q_rank_movers" ->
@@ -2629,6 +2660,7 @@ object SparkEntry {
          FROM pairs GROUP BY 1 ORDER BY n DESC, pair LIMIT 50""",
     "q_bpe_train" -> BpeTrainOracle,
     "q_bpe_vocab" -> BpeVocabOracle,
+    "q_bpe_encode" -> BpeEncodeOracle,
     // LR quality filter: identical feature arithmetic (exact integer token
     // sums -> double division), z rounded to the 6-dp grid BEFORE exp so
     // both engines exponentiate the same value

@@ -845,6 +845,50 @@ object CorpusQueries {
       .limit(50)
   }
 
+  /** q_bpe_encode — applying the learned merge table to the CORPUS, the
+    * per-document face of [[bpeVocab]]: every document's alphabetic tokens
+    * are joined to their final [[BpeMerges]]-round segmentation and reduced
+    * to the accounting a sequence-packing / context-budget stage consumes —
+    * in-vocab word count, OOV (non-`[a-z]+`) token count, total subword
+    * count and fertility (subwords per word, the tokenizer-efficiency
+    * metric reported for production BPE vocabularies).
+    *
+    * Scale shape: the trainer's corpus-sized shuffle (token→vocab groupBy)
+    * is shared with [[bpeTrain]]; encode itself adds one corpus-sized
+    * explode, an UNHINTED join against the vocabulary segmentation (AQE
+    * broadcasts while the vocab fits — Heaps' law says it does — and
+    * shuffle-joins when it doesn't) and one groupBy(doc_id). Fertility is
+    * rounded half-up in exact integer micro-units, `(2·10⁶·s + w) div
+    * (2·w)` — the [[bigramLm]] doctrine — never through a double divide.
+    * Token-less / all-OOV documents surface zero counts and NULL
+    * fertility rather than vanishing. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val seg = bpeLoop(spark, dir)._2
+      .select($"word",
+        size(split(expr("substring(seg, 2, length(seg) - 2)"), "><"))
+          .cast("long").as("n_sub"))
+    val docs = Tables.documents(spark, dir)
+    val agg = docs
+      .select($"doc_id", explode(Text.tokenize($"text")).as("word"))
+      .withColumn("alpha", $"word".rlike("^[a-z]+$"))
+      .join(seg, Seq("word"), "left")
+      .groupBy($"doc_id")
+      .agg(sum(when($"alpha", 1L).otherwise(0L)).as("w"),
+        sum(when(!$"alpha", 1L).otherwise(0L)).as("o"),
+        sum(when($"alpha", $"n_sub").otherwise(0L)).as("s"))
+    docs.select($"doc_id").join(agg, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"w", lit(0L)).as("n_words"),
+        coalesce($"o", lit(0L)).as("n_oov"),
+        coalesce($"s", lit(0L)).as("n_subwords"))
+      .withColumn("fertility",
+        when($"n_words" > 0,
+          expr("(2 * 1000000 * n_subwords + n_words) div (2 * n_words)")
+            .cast("double") / 1e6))
+      .orderBy($"doc_id")
+  }
+
   /** Interpolation weight of [[bigramLm]] on the bigram MLE; the
     * complement backs off to the unigram distribution. */
   val BigramLambda = 0.75

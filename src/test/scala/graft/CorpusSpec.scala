@@ -221,4 +221,44 @@ class CorpusSpec extends SparkSpec {
         .foreach(java.nio.file.Files.deleteIfExists(_: java.nio.file.Path))
     }
   }
+
+  test("bpeEncode: per-doc accounting reconciles with the final vocabulary") {
+    val sql = SparkSpec.spark
+    import sql.implicits._
+    val dirPath = java.nio.file.Files.createTempDirectory("graft-bpe-enc")
+    try {
+      val docs = Seq(
+        (1L, "low low lower newest 42 !!", "en", "a", 10L),
+        (2L, "newest widest newest", "en", "a", 10L),
+        (3L, "123 ???", "en", "a", 10L)) // all-OOV: no alphabetic token
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dirPath/documents.parquet")
+      val enc = CorpusQueries.bpeEncode(spark, dirPath.toString).collect()
+      val byId = enc.map(r => r.getLong(0) -> r).toMap
+      // token accounting: every whitespace token is a word xor an OOV
+      docs.foreach { case (id, text, _, _, _) =>
+        val r = byId(id)
+        assert(r.getLong(1) + r.getLong(2) ==
+          text.split("\\s+").count(_.nonEmpty), s"doc $id token split")
+      }
+      // all-OOV doc surfaces zero counts and NULL fertility, not NaN/absence
+      assert(byId(3L).getLong(1) == 0 && byId(3L).getLong(3) == 0)
+      assert(byId(3L).isNullAt(4), "fertility must be NULL at n_words = 0")
+      // a segmentation never has fewer than 1 or more symbols than chars
+      Seq(1L, 2L).foreach { id =>
+        val f = byId(id).getDouble(4)
+        assert(f >= 1.0 && f <= 6.0, s"doc $id fertility $f out of range")
+      }
+      // corpus law: total subwords == Σ over the vocabulary of f·n_symbols
+      val vocabSum = CorpusQueries.bpeVocab(spark, dirPath.toString).collect()
+        .map(r => r.getLong(1) * r.getInt(3)).sum
+      assert(enc.map(_.getLong(3)).sum == vocabSum,
+        "per-doc subword total must equal the vocabulary-side total")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_: java.nio.file.Path))
+    }
+  }
 }

@@ -54,4 +54,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges(p) <= 9, s"too many shuffles:\n$p")
     assert(p.contains("BroadcastExchange"), "the 1-row type total must broadcast")
   }
+
+  test("bpeEncode: training cost stays behind the checkpoint; AQE " +
+    "broadcasts the vocabulary join at runtime") {
+    val df = CorpusQueries.bpeEncode(spark, sf)
+    // the vocab side is a checkpointed RDD with no static stats, so the
+    // initial plan SMJs; the documented contract is ADAPTIVE — AQE sees
+    // the tiny vocab stage at runtime and converts to broadcast. Execute,
+    // then pin the final adaptive plan.
+    df.collect()
+    // the executed adaptive plan prints Final + Initial sections; pin the
+    // final one (what actually ran)
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(p.contains("isFinalPlan=true"), "expected an executed adaptive plan")
+    // the trainer's corpus-sized token->vocab groupBy and all 8 merge
+    // rounds run BEFORE the localCheckpoint, so the encode plan must not
+    // rescan the training subtree; remaining shuffles: word stream + vocab
+    // (both AQE-localized into the broadcast build), groupBy(doc_id), docs
+    // scan, orderBy range partition
+    assert(exchanges(p) <= 5, s"too many shuffles:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "AQE must broadcast the vocabulary segmentation side at test scale")
+    assert(!p.contains("SortMergeJoin"),
+      "no sort-merge join may survive in the final plan at test scale")
+  }
 }
