@@ -50,6 +50,7 @@ object SparkEntry {
     "q_dedup_components"   -> ((s, d) => SimilarityQueries.dedupComponents(s, d)),
     "q_dedup_canonical"    -> ((s, d) => SimilarityQueries.dedupCanonical(s, d)),
     "q_dedup_profile"      -> ((s, d) => SimilarityQueries.dedupProfile(s, d)),
+    "q_dedup_split"        -> ((s, d) => SimilarityQueries.dedupSplit(s, d)),
     "q_dedup_corpus"       -> ((s, d) => SimilarityQueries.dedupCorpus(s, d)),
     // --- near-dup / similarity (north-star LLM-pipeline ops) ---
     "q_jaccard_pairs"  -> ((s, d) => SimilarityQueries.jaccardPairs(s, d)),
@@ -1451,6 +1452,46 @@ object SparkEntry {
             sz * count(*) AS n_docs,
             (sz - 1) * count(*) AS n_removed
           FROM cs GROUP BY sz ORDER BY sz"""),
+    // dedup-aware split: unit = cluster label (singletons: own doc_id),
+    // the hashSplit bucket rule on md5(unit); leaked_pairs proves cluster
+    // co-location (0), naive_leaked_pairs is the per-doc counterfactual
+    "q_dedup_split" ->
+      (JaccardCte.replaceFirst("WITH", "WITH RECURSIVE") +
+        """, edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+             UNION ALL SELECT doc_b, doc_a FROM jp),
+          reach(node, comp) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node),
+          lab AS (SELECT node, min(comp) AS component FROM reach GROUP BY node),
+          sp AS (SELECT d.doc_id,
+              coalesce(lab.component, d.doc_id) AS unit,
+              (lab.node IS NOT NULL) AS clustered,
+              CASE WHEN substring(md5(CAST(coalesce(lab.component, d.doc_id) AS VARCHAR)), 1, 1) IN ('d', 'e') THEN 'val'
+                   WHEN substring(md5(CAST(coalesce(lab.component, d.doc_id) AS VARCHAR)), 1, 1) = 'f' THEN 'test'
+                   ELSE 'train' END AS split,
+              CASE WHEN substring(md5(d.text), 1, 1) IN ('d', 'e') THEN 'val'
+                   WHEN substring(md5(d.text), 1, 1) = 'f' THEN 'test'
+                   ELSE 'train' END AS nsplit
+            FROM documents d LEFT JOIN lab ON d.doc_id = lab.node),
+          counts AS (SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(count(DISTINCT unit) AS BIGINT) AS n_units,
+              CAST(sum(CASE WHEN clustered THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered_docs
+            FROM sp GROUP BY 1),
+          lk AS (SELECT a.split,
+              CAST(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS BIGINT) AS lp
+            FROM jp JOIN sp a ON jp.doc_a = a.doc_id
+              JOIN sp b ON jp.doc_b = b.doc_id GROUP BY 1),
+          nk AS (SELECT a.nsplit AS split,
+              CAST(sum(CASE WHEN a.nsplit <> b.nsplit THEN 1 ELSE 0 END) AS BIGINT) AS np
+            FROM jp JOIN sp a ON jp.doc_a = a.doc_id
+              JOIN sp b ON jp.doc_b = b.doc_id GROUP BY 1)
+          SELECT c.split, c.n_docs, c.n_units, c.n_clustered_docs,
+            CAST(coalesce(lk.lp, 0) AS BIGINT) AS leaked_pairs,
+            CAST(coalesce(nk.np, 0) AS BIGINT) AS naive_leaked_pairs
+          FROM counts c LEFT JOIN lk ON c.split = lk.split
+            LEFT JOIN nk ON c.split = nk.split
+          ORDER BY c.split"""),
     // survivors = all docs minus non-keeper cluster members
     "q_dedup_corpus" ->
       (JaccardCte.replaceFirst("WITH", "WITH RECURSIVE") +

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.functions.{Similarity, Text}
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -347,6 +347,65 @@ object SimilarityQueries {
         $"m.score".as("canonical_score"),
         ((-$"m.nd") =!= $"component").as("moved"))
       .orderBy($"component")
+  }
+
+  /** q_dedup_split — dedup-AWARE train/val/test splitting: the split unit
+    * is the near-dup CLUSTER (component label from [[dedupComponents]];
+    * singletons split on their own doc_id), so near-duplicates can never
+    * straddle train and test — the leakage failure mode naive per-document
+    * splitting ships (an eval answer whose paraphrase sits in train).
+    * Split assignment is the [[PipelineQueries.hashSplit]] idiom on the
+    * unit key's md5 (first hex digit: d,e → val, f → test, else train —
+    * ~81/12/6%), deterministic on any cluster at any partitioning.
+    *
+    * Output is one row per split with doc/unit/clustered-member counts and
+    * the leakage PROOF: `leaked_pairs` counts J ≥ 0.8 pairs whose members
+    * land in different splits (0 by construction — the column is the
+    * in-band regression gate) next to `naive_leaked_pairs`, the same count
+    * under per-document content-hash splitting (> 0 whenever a near-dup
+    * pair's texts hash apart — what this operator exists to prevent).
+    * Pairs are attributed to doc_a's split under each scheme.
+    *
+    * Scale shape: the labeling is [[dedupComponents]]'s memoized cost; on
+    * top, one map-only md5 pass, one groupBy(split) whose distinct-unit
+    * count shuffles compact (split, unit) rows, and two pair-frame
+    * aggregates — the pair frame is candidate-mass-sized, and its joins
+    * against the checkpointed doc-split frame broadcast the small side
+    * under AQE. */
+  def dedupSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def bucket(h: Column): Column =
+      when(h.isin("d", "e"), lit("val"))
+        .when(h === "f", lit("test"))
+        .otherwise(lit("train"))
+    val lab = dedupComponents(spark, dir).select($"doc_id", $"component")
+    val sp = Tables.documents(spark, dir).select($"doc_id", $"text")
+      .join(lab, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"component", $"doc_id").as("unit"),
+        $"component".isNotNull.as("clustered"),
+        bucket(substring(md5($"text"), 1, 1)).as("nsplit"))
+      .withColumn("split", bucket(substring(md5($"unit".cast("string")), 1, 1)))
+      .localCheckpoint() // three consumers below; labels stay executor-side
+    val counts = sp.groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"unit").as("n_units"),
+        sum(when($"clustered", 1L).otherwise(0L)).as("n_clustered_docs"))
+    val pa = minhashDedup(spark, dir).select($"doc_a", $"doc_b")
+      .join(sp.select($"doc_id".as("doc_a"), $"split".as("sa"), $"nsplit".as("na")), "doc_a")
+      .join(sp.select($"doc_id".as("doc_b"), $"split".as("sb"), $"nsplit".as("nb")), "doc_b")
+      .localCheckpoint() // pair-count-sized; feeds both leak aggregates
+    val lk = pa.groupBy($"sa")
+      .agg(sum(when($"sa" =!= $"sb", 1L).otherwise(0L)).as("lp"))
+      .withColumnRenamed("sa", "split")
+    val nk = pa.groupBy($"na")
+      .agg(sum(when($"na" =!= $"nb", 1L).otherwise(0L)).as("np"))
+      .withColumnRenamed("na", "split")
+    counts.join(lk, Seq("split"), "left").join(nk, Seq("split"), "left")
+      .select($"split", $"n_docs", $"n_units", $"n_clustered_docs",
+        coalesce($"lp", lit(0L)).as("leaked_pairs"),
+        coalesce($"np", lit(0L)).as("naive_leaked_pairs"))
+      .orderBy($"split")
   }
 
   /** Near-dup cluster-size histogram — the duplication-structure report a

