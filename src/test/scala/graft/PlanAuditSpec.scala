@@ -55,6 +55,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), "the 1-row type total must broadcast")
   }
 
+  test("dedupSplit: split accounting runs off the two checkpointed frames " +
+    "— no corpus rescan, bounded shuffles") {
+    val p = plan(graft.queries.SimilarityQueries.dedupSplit(spark, sf))
+    // the doc-split frame and the labeled pair frame are localCheckpoint'd;
+    // downstream: the countDistinct(unit) expand (2 exchanges), the two
+    // pair-leak aggregates, tiny 3-row joins, and the closing sort
+    assert(!p.contains("Scan parquet"),
+      "post-checkpoint plan must not rescan the corpus")
+    assert(exchanges(p) <= 8, s"too many shuffles:\n$p")
+  }
+
   test("bpeEncode: training cost stays behind the checkpoint; AQE " +
     "broadcasts the vocabulary join at runtime") {
     val df = CorpusQueries.bpeEncode(spark, sf)
