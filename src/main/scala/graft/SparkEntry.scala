@@ -52,6 +52,7 @@ object SparkEntry {
     "q_dedup_profile"      -> ((s, d) => SimilarityQueries.dedupProfile(s, d)),
     "q_dedup_split"        -> ((s, d) => SimilarityQueries.dedupSplit(s, d)),
     "q_dedup_corpus"       -> ((s, d) => SimilarityQueries.dedupCorpus(s, d)),
+    "q_source_dup"         -> ((s, d) => SimilarityQueries.sourceDupMatrix(s, d)),
     // --- near-dup / similarity (north-star LLM-pipeline ops) ---
     "q_jaccard_pairs"  -> ((s, d) => SimilarityQueries.jaccardPairs(s, d)),
     "q_jaccard_prefix" -> ((s, d) => SimilarityQueries.jaccardPairsPrefix(s, d)),
@@ -113,6 +114,7 @@ object SparkEntry {
     "q_hw_seasonal"     -> ((s, d) => TrendQueries.holtWinters(s, d)),
     "q_lr_calibration"  -> ((s, d) => PipelineQueries.lrCalibration(s, d)),
     "q_lr_auc"          -> ((s, d) => PipelineQueries.lrAuc(s, d)),
+    "q_pr_curve"        -> ((s, d) => PipelineQueries.prCurve(s, d)),
     "q_ewma_smooth"     -> ((s, d) => TrendQueries.ewmaSmooth(s, d)),
     "q_chunk_profile"   -> ((s, d) => CorpusQueries.chunkProfile(s, d)),
     "q_chunk_dedup"     -> ((s, d) => CorpusQueries.chunkDedup(s, d)),
@@ -1512,6 +1514,27 @@ object SparkEntry {
     "q_jaccard_prefix" -> JaccardOracle,
     // minhash-LSH misses a J>=0.8 pair with p~5e-8 → same exact oracle
     "q_minhash_dedup" -> JaccardOracle,
+    // cross-source containment matrix off the same verified pair CTE:
+    // directed edges → per-(src_a, src_b) distinct src_a docs with a
+    // partner in src_b, on the full S×S grid (zeros measured, not absent)
+    "q_source_dup" ->
+      (JaccardCte +
+        """, edges AS (SELECT doc_a, doc_b FROM jp
+             UNION ALL SELECT doc_b, doc_a FROM jp),
+          es AS (SELECT s1.source AS src_a, s2.source AS src_b, e.doc_a
+            FROM edges e
+            JOIN documents s1 ON s1.doc_id = e.doc_a
+            JOIN documents s2 ON s2.doc_id = e.doc_b),
+          dup AS (SELECT src_a, src_b,
+              CAST(count(DISTINCT doc_a) AS BIGINT) AS dup_docs
+            FROM es GROUP BY 1, 2),
+          tot AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+          SELECT a.source AS src_a, b.source AS src_b, a.n_docs,
+            COALESCE(dup.dup_docs, 0) AS dup_docs,
+            round(COALESCE(dup.dup_docs, 0) * 1.0 / a.n_docs, 6) AS dup_rate
+          FROM tot a CROSS JOIN tot b
+          LEFT JOIN dup ON dup.src_a = a.source AND dup.src_b = b.source
+          ORDER BY src_a, src_b"""),
     // 1-based element access over the first 8 dims; Spark's posexplode dim
     // is 0-based, hence i - 1
     "q_label_centroids" ->
@@ -1933,6 +1956,34 @@ object SparkEntry {
        SELECT n1 AS n_pos, n - n1 AS n_neg,
          round(CAST(s2 - n1*(n1+1) AS DOUBLE) / CAST(2*n1*(n - n1) AS DOUBLE), 6) AS auc
        FROM a""",
+    // decile-threshold PR/F1 sweep: suffix sums over the shared 10-bin
+    // histogram; F1 directly from integer counts, NULL when undefined
+    "q_pr_curve" ->
+      s"""WITH $LrLabeledCte,
+         binned AS (SELECT least(9, CAST(floor(score * 10) AS INT)) AS bin,
+             count(*) AS n,
+             CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+           FROM lab GROUP BY 1),
+         grid AS (SELECT CAST(range AS INT) AS bin FROM range(10)),
+         filled AS (SELECT g.bin, COALESCE(b.n, 0) AS n,
+             COALESCE(b.n_pos, 0) AS n_pos
+           FROM grid g LEFT JOIN binned b ON b.bin = g.bin),
+         sfx AS (SELECT bin,
+             CAST(sum(n) OVER (ORDER BY bin ROWS BETWEEN CURRENT ROW
+               AND UNBOUNDED FOLLOWING) AS BIGINT) AS pred_pos,
+             CAST(sum(n_pos) OVER (ORDER BY bin ROWS BETWEEN CURRENT ROW
+               AND UNBOUNDED FOLLOWING) AS BIGINT) AS tp,
+             CAST(sum(n_pos) OVER () AS BIGINT) AS pos
+           FROM filled)
+       SELECT bin AS decile, bin / 10.0 AS threshold, pred_pos, tp,
+         pos - tp AS fn, pred_pos - tp AS fp,
+         CASE WHEN pred_pos > 0
+           THEN round(tp * 1.0 / pred_pos, 6) END AS "precision",
+         CASE WHEN pos > 0 THEN round(tp * 1.0 / pos, 6) END AS "recall",
+         CASE WHEN 2*tp + (pred_pos - tp) + (pos - tp) > 0
+           THEN round(2.0 * tp / (2*tp + (pred_pos - tp) + (pos - tp)), 6)
+           END AS f1
+       FROM sfx ORDER BY decile""",
     // MAD robust outliers: medians via quantile_cont (parity with Spark
     // exact `percentile` pinned by q_percentiles); threshold/robust-z by
     // the identical expression; count exact, max fold-order-free

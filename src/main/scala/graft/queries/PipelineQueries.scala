@@ -575,4 +575,53 @@ object PipelineQueries {
         round(($"s2" - $"n1" * ($"n1" + 1L)).cast("double")
           / (lit(2L) * $"n1" * ($"n" - $"n1")).cast("double"), 6).as("auc"))
   }
+
+  /** Precision/recall/F1 of the quality classifier at the ten decile
+    * thresholds t = k/10 — the operating-point sweep that actually picks a
+    * curation filter's cutoff (completes the evaluation family:
+    * [[lrAuc]] is the ranking view, [[lrCalibration]] the probability
+    * view, this the decision view). A doc is predicted positive at
+    * threshold k when score ≥ k/10, i.e. when its decile bin ≥ k — so
+    * tp/predicted-positive at every threshold are SUFFIX SUMS over one
+    * shared 10-bin histogram. Precision, recall and F1 are single closing
+    * divides over exact longs (F1 directly as 2tp/(2tp+fp+fn), never a
+    * composition of already-rounded P and R), NULL — not NaN — when a
+    * denominator is 0.
+    *
+    * Scale shape: one corpus pass folds onto ≤ 10 (bin, n, n_pos) rows;
+    * the threshold grid, the suffix-sum window and the total all run on
+    * that 10-row frame — grid-bounded, never data-sized (the trend-family
+    * doctrine; the single-partition window holds exactly 10 rows). */
+  def prCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val binned = lrScoredLabeled(spark, dir)
+      .groupBy(least(lit(9), floor($"score" * 10).cast("int")).as("bin"))
+      .agg(count(lit(1)).as("n"), sum($"label".cast("long")).as("n_pos"))
+    val grid = spark.range(10).select($"id".cast("int").as("bin"))
+    val filled = grid.join(binned, Seq("bin"), "left")
+      .select($"bin", coalesce($"n", lit(0L)).as("n"),
+        coalesce($"n_pos", lit(0L)).as("n_pos"))
+    val sfx = Window.orderBy($"bin")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val all = Window.orderBy($"bin")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    filled
+      .select($"bin", sum($"n").over(sfx).as("pred_pos"),
+        sum($"n_pos").over(sfx).as("tp"), sum($"n_pos").over(all).as("pos"))
+      .select($"bin".as("decile"),
+        ($"bin".cast("double") / 10).as("threshold"),
+        $"pred_pos", $"tp",
+        ($"pos" - $"tp").as("fn"),
+        ($"pred_pos" - $"tp").as("fp"),
+        when($"pred_pos" > 0,
+          round($"tp".cast("double") / $"pred_pos".cast("double"), 6))
+          .as("precision"),
+        when($"pos" > 0,
+          round($"tp".cast("double") / $"pos".cast("double"), 6)).as("recall"),
+        when(lit(2L) * $"tp" + ($"pred_pos" - $"tp") + ($"pos" - $"tp") > 0,
+          round((lit(2.0) * $"tp") / (lit(2L) * $"tp" + ($"pred_pos" - $"tp")
+            + ($"pos" - $"tp")).cast("double"), 6)).as("f1"))
+      .orderBy($"decile")
+  }
 }

@@ -427,6 +427,50 @@ object SimilarityQueries {
       .orderBy($"cluster_size")
   }
 
+  /** Cross-source near-duplication containment matrix — the curation
+    * diagnostic behind "how much of source A already appears in source B"
+    * (the between-corpus duplication tables web-scale dataset reports
+    * publish when mixing crawl snapshots with curated sources; the
+    * within-source diagonal is internal duplication). For every ordered
+    * source pair, the number of DISTINCT src_a documents with at least one
+    * verified near-dup partner (J ≥ 0.8, the [[minhashDedup]] pair set) in
+    * src_b, next to src_a's corpus size and the containment rate. The full
+    * S×S grid is emitted (zeros included) so the matrix shape is stable
+    * across tiers and missing combinations read as measured-zero, not
+    * unmeasured.
+    *
+    * Scale shape: the only corpus-sized work is [[minhashDedup]]'s own
+    * signature+band pass plus one groupBy(source) count; the verified pair
+    * set is duplication-sized (≪ corpus), so both doc_id-keyed source
+    * lookups run with the pair side as the small frame (AQE broadcasts
+    * it), the distinct-doc count folds onto ≤ S² keys, and the S-row
+    * totals frame is an explicit broadcast cross join. Nothing new
+    * shuffles at 100 TB beyond what the dedup pass already paid. */
+  def sourceDupMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = minhashDedup(spark, dir).select($"doc_a", $"doc_b")
+    // symmetric pair set → directed edges, so each endpoint is counted
+    // from its own source's perspective
+    val directed = pairs.unionByName(
+      pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+    val src = Tables.documents(spark, dir).select($"doc_id", $"source")
+    val dup = directed
+      .join(src.select($"doc_id".as("doc_a"), $"source".as("src_a")), "doc_a")
+      .join(src.select($"doc_id".as("doc_b"), $"source".as("src_b")), "doc_b")
+      .groupBy($"src_a", $"src_b")
+      .agg(countDistinct($"doc_a").as("dup_docs"))
+    val totals = Tables.documents(spark, dir)
+      .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    totals.select($"source".as("src_a"), $"n_docs")
+      .crossJoin(broadcast(totals.select($"source".as("src_b"))))
+      .join(dup, Seq("src_a", "src_b"), "left")
+      .select($"src_a", $"src_b", $"n_docs",
+        coalesce($"dup_docs", lit(0L)).as("dup_docs"),
+        round(coalesce($"dup_docs", lit(0L)).cast("double")
+          / $"n_docs".cast("double"), 6).as("dup_rate"))
+      .orderBy($"src_a", $"src_b")
+  }
+
   /** Incremental ingestion dedup — the CONTINUOUS-crawl shape of
     * [[minhashDedup]]: an incoming batch is near-dup-checked against the
     * already-ingested index WITHOUT re-pairing the index against itself.

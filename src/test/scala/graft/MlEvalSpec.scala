@@ -33,6 +33,42 @@ class MlEvalSpec extends SparkSpec {
       s"auc ${got.getDouble(2)} vs $expect")
   }
 
+  test("prCurve: every decile row replays exactly from driver-side counts") {
+    val scored = PipelineQueries.qualityLr(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val labels = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"lang").collect()
+      .map(r => r.getLong(0) -> (r.getString(1) == "en")).toMap
+    val pos = scored.keys.count(labels)
+    val rows = PipelineQueries.prCurve(spark, sf).collect()
+    assert(rows.length == 10, "one row per decile threshold, always")
+    rows.foreach { r =>
+      val k = r.getInt(0)
+      val predicted = scored.filter { case (_, s) =>
+        math.min(9, math.floor(s * 10).toInt) >= k
+      }
+      val tp = predicted.keys.count(labels)
+      assert(r.getDouble(1) == k / 10.0)
+      assert(r.getLong(2) == predicted.size, s"pred_pos at decile $k")
+      assert(r.getLong(3) == tp, s"tp at decile $k")
+      assert(r.getLong(4) == pos - tp && r.getLong(5) == predicted.size - tp)
+      if (predicted.nonEmpty)
+        assert(math.abs(r.getDouble(6) - tp.toDouble / predicted.size) < 1e-6)
+      else assert(r.isNullAt(6), "precision must be NULL when nothing predicted")
+      if (pos > 0) assert(math.abs(r.getDouble(7) - tp.toDouble / pos) < 1e-6)
+      val f1den = 2L * tp + (predicted.size - tp) + (pos - tp)
+      if (f1den > 0) assert(math.abs(r.getDouble(8) - 2.0 * tp / f1den) < 1e-6)
+      else assert(r.isNullAt(8), "f1 must be NULL, never NaN")
+    }
+    // operating-point laws: widening the threshold never shrinks coverage
+    val preds = rows.map(_.getLong(2))
+    assert(preds.zip(preds.tail).forall { case (a, b) => a >= b },
+      "pred_pos must be non-increasing in the threshold")
+    val tps = rows.map(_.getLong(3))
+    assert(tps.zip(tps.tail).forall { case (a, b) => a >= b })
+    assert(rows.head.getLong(3) == pos, "threshold 0 predicts everything scored → recall 1")
+  }
+
   test("lrCalibration: bins partition the scored corpus and bin means sit inside their decile") {
     val bins = PipelineQueries.lrCalibration(spark, sf).collect()
     val nScored = PipelineQueries.qualityLr(spark, sf).count()

@@ -17,6 +17,36 @@ class SimilaritySpec extends SparkSpec {
     assert(got(2) == Seq("one two three"))
   }
 
+  test("sourceDupMatrix: full S×S grid replaying exactly from the pair set") {
+    val pairs = SimilarityQueries.minhashDedup(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val srcOf = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val nBySrc = srcOf.values.groupBy(identity).view.mapValues(_.size).toMap
+    val sources = nBySrc.keySet
+    // directed containment: distinct docs of s with ≥1 partner in t
+    val directed = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val expect = directed
+      .map { case (d, o) => ((srcOf(d), srcOf(o)), d) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.length).toMap
+    val got = SimilarityQueries.sourceDupMatrix(spark, sf).collect()
+    assert(got.length == sources.size * sources.size,
+      "the grid must cover every ordered source pair, zeros included")
+    got.foreach { r =>
+      val (sa, sb) = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) == nBySrc(sa), s"n_docs of $sa")
+      val dup = expect.getOrElse((sa, sb), 0)
+      assert(r.getLong(3) == dup, s"dup_docs($sa, $sb)")
+      assert(r.getLong(3) <= r.getLong(2), "containment can't exceed the corpus")
+      assert(math.abs(r.getDouble(4) - dup.toDouble / nBySrc(sa)) < 1e-6)
+    }
+    // the pair set is symmetric in doc terms, so total directed mass agrees
+    assert(got.map(_.getLong(3)).sum ==
+      directed.map { case (d, o) => (d, srcOf(o)) }.distinct.length)
+  }
+
   test("minhash aggregator: element-wise min, merge == whole") {
     val agg = new Similarity.MinHashAggregator(16)
     val hs = List(3L, 99L, -5L, 123456789L)
