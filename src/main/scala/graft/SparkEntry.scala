@@ -115,6 +115,7 @@ object SparkEntry {
     "q_lr_calibration"  -> ((s, d) => PipelineQueries.lrCalibration(s, d)),
     "q_lr_auc"          -> ((s, d) => PipelineQueries.lrAuc(s, d)),
     "q_pr_curve"        -> ((s, d) => PipelineQueries.prCurve(s, d)),
+    "q_quality_topk"    -> ((s, d) => PipelineQueries.qualityTopK(s, d)),
     "q_ewma_smooth"     -> ((s, d) => TrendQueries.ewmaSmooth(s, d)),
     "q_chunk_profile"   -> ((s, d) => CorpusQueries.chunkProfile(s, d)),
     "q_chunk_dedup"     -> ((s, d) => CorpusQueries.chunkDedup(s, d)),
@@ -1984,6 +1985,16 @@ object SparkEntry {
            THEN round(2.0 * tp / (2*tp + (pred_pos - tp) + (pos - tp)), 6)
            END AS f1
        FROM sfx ORDER BY decile""",
+    // fixed-budget per-source selection: top-N by (score desc, doc_id)
+    "q_quality_topk" ->
+      s"""WITH $LrLabeledCte,
+         rk AS (SELECT d.source, lab.doc_id, lab.score,
+             CAST(row_number() OVER (PARTITION BY d.source
+               ORDER BY lab.score DESC, lab.doc_id) AS INT) AS rnk
+           FROM lab JOIN documents d ON d.doc_id = lab.doc_id)
+       SELECT source, rnk, doc_id, score FROM rk
+       WHERE rnk <= ${graft.queries.PipelineQueries.TopKPerSource}
+       ORDER BY source, rnk""",
     // MAD robust outliers: medians via quantile_cont (parity with Spark
     // exact `percentile` pinned by q_percentiles); threshold/robust-z by
     // the identical expression; count exact, max fold-order-free

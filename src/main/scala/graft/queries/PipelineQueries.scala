@@ -576,6 +576,35 @@ object PipelineQueries {
           / (lit(2L) * $"n1" * ($"n" - $"n1")).cast("double"), 6).as("auc"))
   }
 
+  /** Docs each source contributes under [[qualityTopK]]'s fixed budget. */
+  val TopKPerSource = 10
+
+  /** Fixed-budget per-source quality selection — "keep the N best
+    * documents of every source by classifier score" (the FineWeb-Edu /
+    * phi-style educational-value selection pattern; public method), the
+    * BUDGET complement of [[CorpusQueries.quantileFilter]]'s percentage
+    * gate: a budget caps volume even when a source is uniformly good, a
+    * quantile can't. Emits the selected rows (source, rnk, doc_id, score)
+    * — ties broken by doc_id so the pick is deterministic on any cluster.
+    *
+    * Scale shape: the rank-≤-N filter under a row_number window compiles
+    * to WindowGroupLimit (plan-pinned in MlEvalSpec) — every task keeps an
+    * N-row bounded buffer per source and the final per-source pass merges
+    * top-N candidates, so no source-sized sort buffer ever materializes;
+    * the output is N·S rows at every tier. The score pass is
+    * [[qualityLr]]'s map-only kernel. */
+  def qualityTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    qualityLr(spark, dir).select($"doc_id", $"score")
+      .join(Tables.documents(spark, dir).select($"doc_id", $"source"), "doc_id")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"source").orderBy($"score".desc, $"doc_id")))
+      .filter($"rnk" <= TopKPerSource)
+      .select($"source", $"rnk", $"doc_id", $"score")
+      .orderBy($"source", $"rnk")
+  }
+
   /** Precision/recall/F1 of the quality classifier at the ten decile
     * thresholds t = k/10 — the operating-point sweep that actually picks a
     * curation filter's cutoff (completes the evaluation family:

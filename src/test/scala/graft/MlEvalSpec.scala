@@ -69,6 +69,32 @@ class MlEvalSpec extends SparkSpec {
     assert(rows.head.getLong(3) == pos, "threshold 0 predicts everything scored → recall 1")
   }
 
+  test("qualityTopK: exact per-source top-N replay, and the plan is a WindowGroupLimit") {
+    val scored = PipelineQueries.qualityLr(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val srcOf = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = scored.toSeq
+      .map { case (id, s) => (srcOf(id), id, s) }
+      .groupBy(_._1).view.mapValues(
+        _.sortBy { case (_, id, s) => (-s, id) }
+          .take(PipelineQueries.TopKPerSource)).toMap
+    val got = PipelineQueries.qualityTopK(spark, sf).collect()
+    assert(got.length == expect.values.map(_.size).sum)
+    got.foreach { r =>
+      val (src, rnk, id, score) =
+        (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))
+      val (_, eid, es) = expect(src)(rnk - 1)
+      assert(id == eid && score == es, s"row $rnk of $src")
+    }
+    // the rank-filter must compile to a bounded per-task buffer, never a
+    // source-sized sort: Spark's WindowGroupLimit node
+    val plan = PipelineQueries.qualityTopK(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"plan lacks WindowGroupLimit:\n$plan")
+  }
+
   test("lrCalibration: bins partition the scored corpus and bin means sit inside their decile") {
     val bins = PipelineQueries.lrCalibration(spark, sf).collect()
     val nScored = PipelineQueries.qualityLr(spark, sf).count()
