@@ -259,23 +259,10 @@ object SimilarityQueries {
     * mid-session forces a fresh labeling instead of serving stale one; the
     * memo is per SparkSession instance and holds a localCheckpoint'ed
     * frame (executor-resident blocks, constant-size plan). */
-  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    md.update(dir.getBytes("UTF-8"))
-    val f = new java.io.File(dir, "documents.parquet")
-    val files =
-      if (f.isDirectory) f.listFiles().sortBy(_.getName) else Array(f)
-    files.filter(_.exists).foreach { p =>
-      md.update(s"${p.getName}:${p.length}:${p.lastModified}".getBytes("UTF-8"))
-    }
-    val tag = md.digest().map("%02x".format(_)).mkString.take(12)
-    componentsMemo.getOrElseUpdate(
-      (System.identityHashCode(spark), tag),
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame =
+    SessionMemo.cached(spark,
+      "components:" + SessionMemo.tableTag(dir, "documents"))(
       computeComponents(spark, dir).localCheckpoint())
-  }
-
-  private val componentsMemo =
-    scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
 
   private def computeComponents(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -632,6 +619,22 @@ object SimilarityQueries {
     * one n×k assignment join at query time scale. */
   val KmeansIters = 2
 
+  /** The session's fitted cosine quantizer over the standard embedding
+    * catalog — [[SessionMemo]]-cached: q_kmeans_centroids, IVF-flat,
+    * SemDeDup and the exact metric join all consume the SAME k=16 fit, and
+    * without the memo each pays the Lloyd rounds again for bit-identical
+    * centroids ([[kmeansCentroids]] ends every round in a localCheckpoint,
+    * so the cached frame is already executor-materialized). */
+  private def fittedCentroids(spark: SparkSession, dir: String, k: Int)
+      : DataFrame =
+    SessionMemo.cached(spark,
+      s"centroids:k=$k:" + SessionMemo.tableTag(dir, "embeddings")) {
+      import spark.implicits._
+      val emb = Tables.embeddings(spark, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      kmeansCentroids(emb, k, KmeansIters)
+    }
+
   /** The fitted k-means centroids as a (cid, dim, mean_val) profile — the
     * registered, ORACLE-CHECKED face of [[kmeansCentroids]]: DuckDB reruns
     * both Lloyd rounds as unrolled CTEs (same seeds, same argmax tiebreak,
@@ -641,9 +644,7 @@ object SimilarityQueries {
     * identical centroids — induction the oracle verifies end-to-end. */
   def kmeansProfile(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val emb = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-    kmeansCentroids(emb, 16, KmeansIters)
+    fittedCentroids(spark, dir, 16)
       .select($"cid", posexplode($"cv").as(Seq("dim", "mean_val")))
       .orderBy($"cid", $"dim")
   }
@@ -660,7 +661,7 @@ object SimilarityQueries {
     val emb = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       .withColumn("nrm", Similarity.l2norm($"v"))
-    val centroids = kmeansCentroids(emb, 16, KmeansIters)
+    val centroids = fittedCentroids(spark, dir, 16)
     // assign every vector to its nearest centroid (argmax cosine, tie →
     // lowest cid) — max_by partial+final aggregate, not a window sort
     val assigned = emb.crossJoin(broadcast(centroids))
@@ -700,7 +701,7 @@ object SimilarityQueries {
     val emb = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       .withColumn("nrm", Similarity.l2norm($"v"))
-    val cents = kmeansCentroids(emb, DupCells, KmeansIters)
+    val cents = fittedCentroids(spark, dir, DupCells)
     val assigned = emb.crossJoin(broadcast(cents))
       .withColumn("cdist",
         unitDist(Similarity.dot($"v", $"cv") / ($"nrm" * $"cn")))
@@ -947,7 +948,7 @@ object SimilarityQueries {
     val emb = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       .withColumn("nrm", Similarity.l2norm($"v"))
-    val cents = kmeansCentroids(emb, 16, KmeansIters)
+    val cents = fittedCentroids(spark, dir, 16)
     // cluster assignment (argmax cosine, tie → lowest cid) — max_by
     // partial+final aggregate, not a window sort
     val assigned = emb.crossJoin(broadcast(cents))
@@ -1037,28 +1038,32 @@ object SimilarityQueries {
     * via a broadcast 16-row crossJoin + min_by argmin — the per-vector
     * cost is 4 subspaces × 16 centroids of 16-dim dots, and no stage ever
     * shuffles the vectors themselves. */
-  private def pqFit(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    import spark.implicits._
-    val emb = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-    val perSub = (0 until PqSub).map { j =>
-      val sub = emb.select($"vec_id",
-        slice($"v", j * PqSubDim + 1, PqSubDim).as("v"))
-      val cb = kmeansL2(sub, PqK, KmeansIters)
-        .withColumn("sub", lit(j))
-      val codes = sub.withColumn("vn2", Similarity.dot($"v", $"v"))
-        .crossJoin(broadcast(cb.select($"cid", $"cv", $"cn2")))
-        .withColumn("d2",
-          ($"vn2" - lit(2.0) * Similarity.dot($"v", $"cv")) + $"cn2")
-        .groupBy($"vec_id")
-        .agg(min_by(struct($"cid", $"d2"), struct($"d2", $"cid")).as("best"))
-        .select($"vec_id", lit(j).as("sub"),
-          $"best.cid".as("code"), $"best.d2".as("d2"))
-      (cb, codes)
+  private def pqFit(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    SessionMemo.cached(spark,
+      "pqfit:" + SessionMemo.tableTag(dir, "embeddings")) {
+      import spark.implicits._
+      val emb = Tables.embeddings(spark, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val perSub = (0 until PqSub).map { j =>
+        val sub = emb.select($"vec_id",
+          slice($"v", j * PqSubDim + 1, PqSubDim).as("v"))
+        val cb = kmeansL2(sub, PqK, KmeansIters)
+          .withColumn("sub", lit(j))
+        val codes = sub.withColumn("vn2", Similarity.dot($"v", $"v"))
+          .crossJoin(broadcast(cb.select($"cid", $"cv", $"cn2")))
+          .withColumn("d2",
+            ($"vn2" - lit(2.0) * Similarity.dot($"v", $"cv")) + $"cn2")
+          .groupBy($"vec_id")
+          .agg(min_by(struct($"cid", $"d2"), struct($"d2", $"cid")).as("best"))
+          .select($"vec_id", lit(j).as("sub"),
+            $"best.cid".as("code"), $"best.d2".as("d2"))
+        (cb, codes)
+      }
+      // three registered faces (codebooks, codes, ADC search) share this
+      // fit; checkpoint both halves so a memo hit reads blocks, not plans
+      (perSub.map(_._1).reduce(_ unionByName _).localCheckpoint(),
+        perSub.map(_._2).reduce(_ unionByName _).localCheckpoint())
     }
-    (perSub.map(_._1).reduce(_ unionByName _),
-      perSub.map(_._2).reduce(_ unionByName _))
-  }
 
   /** q_pq_codebooks — the fitted PQ codebooks as a (sub, cid, dim,
     * mean_val) profile, the ORACLE-CHECKED face of the trainer: DuckDB
@@ -1095,7 +1100,9 @@ object SimilarityQueries {
     * 16-row coarse frame, and the only shuffles are the per-vector
     * min_by partials. */
   private def ivfPqFit(spark: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    SessionMemo.cached(spark,
+      "ivfpqfit:" + SessionMemo.tableTag(dir, "embeddings")) {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
@@ -1125,9 +1132,11 @@ object SimilarityQueries {
         .select($"vec_id", lit(j).as("sub"), $"best.cid".as("code"))
       (cb, codes)
     }
+    // two registered faces (codes, ADC search) share this fit; the coarse
+    // frame and resid are already checkpointed, so materialize the unions
     (coarse, resid.select($"vec_id", $"ccid"),
-      perSub.map(_._1).reduce(_ unionByName _),
-      perSub.map(_._2).reduce(_ unionByName _))
+      perSub.map(_._1).reduce(_ unionByName _).localCheckpoint(),
+      perSub.map(_._2).reduce(_ unionByName _).localCheckpoint())
   }
 
   /** q_ivfpq_codes — the IVFADC compressed representation of each probe
