@@ -165,6 +165,38 @@ object Similarity {
     transform(sequence(lit(0), lit(bands - 1)),
       b => struct(b.as("band"), hash(slice(sig, b * r + lit(1), lit(r))).as("band_hash")))
 
+  /** First band index whose r-slices of the two signatures are equal, or
+    * -1 if none collide. The streaming LSH index uses this to emit each
+    * candidate pair from exactly ONE band bucket without cross-bucket
+    * coordination: every bucket holds both full signatures, so every
+    * bucket computes the same first-collision index locally. */
+  def firstCollidingBand(a: Array[Long], b: Array[Long],
+                         bands: Int = Bands, r: Int = RowsPerBand): Int = {
+    var band = 0
+    while (band < bands) {
+      var i = band * r
+      val end = i + r
+      while (i < end && a(i) == b(i)) i += 1
+      if (i == end) return band
+      band += 1
+    }
+    -1
+  }
+
+  /** Exact Jaccard of two SORTED distinct long arrays (hashed shingle
+    * sets) via a single merge pass — the streaming twin of the batch
+    * verification's intersection-size expression. */
+  def jaccardOfSorted(a: Array[Long], b: Array[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 0.0
+    var i = 0; var j = 0; var common = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { common += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    common.toDouble / (a.length + b.length - common)
+  }
+
   // ----- embedding cosine -----
 
   /** Sequential-fold dot product of two double arrays (same accumulation

@@ -193,6 +193,100 @@ object Pipeline {
       .unionByName(wm.filter(col("text").isNull))
   }
 
+  /** A member of one LSH band bucket in the streaming near-dup index:
+    * full MinHash signature + sorted hashed shingle set + event time. */
+  case class BandMember(doc_id: Long, ts_ms: Long,
+                        sig: Array[Long], sh: Array[Long])
+
+  /** A confirmed streaming near-duplicate pair (doc_a < doc_b). */
+  case class NearDupPair(doc_a: Long, doc_b: Long, jaccard: Double)
+
+  /** Streaming NEAR-duplicate detection — the streaming face of the batch
+    * MinHash(128)+LSH(32×4) dedup ([[graft.queries.SimilarityQueries
+    * .minhashDedup]], same signatures to the bit, same J ≥ 0.8 exact
+    * verification): each arriving document is shingled and signed once
+    * map-side, fanned out to its 32 band buckets, and compared ONLY
+    * against its buckets' members — the LSH index lives in the state
+    * store (RocksDB under the engine's test/production config) instead of
+    * a static table.
+    *
+    * Exactly-once pair emission without cross-bucket coordination: every
+    * bucket holds both FULL signatures, so each bucket evaluates
+    * [[graft.functions.Similarity.firstCollidingBand]] locally and only
+    * the first colliding band emits the pair — no downstream distinct, no
+    * second stateful operator.
+    *
+    * Scale posture: per-bucket state is the same bounded bucket occupancy
+    * the batch LSH join relies on (banding spreads near-uniform corpora;
+    * adversarially hot buckets are a data-quality signal, surfaced by the
+    * batch side's df-caps); the watermark evicts members older than
+    * `lateness`, bounding total state by the window's document volume —
+    * the index never grows past what a restart must replay. A duplicate
+    * arriving after its partner's eviction is missed, the standard
+    * watermark trade dedupStream already makes.
+    *
+    * Input schema: (doc_id long, text string, ts timestamp). Emits
+    * verified pairs in append mode as they are discovered. */
+  def nearDupStream(docs: DataFrame, lateness: String = "10 minutes"): Dataset[NearDupPair] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.functions.Similarity
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id").cast("long"), col("text"), col("ts"))
+      .as[(Long, String, java.sql.Timestamp)]
+      .flatMap { case (id, text, ts) =>
+        val shArr = Similarity.shinglesOf(text, 3)
+        if (shArr.isEmpty) Iterator.empty // < 3 tokens: no shingles, as in batch
+        else {
+          val sig = Similarity.minhashSigOf(shArr)
+          val shh = shArr.map(Similarity.baseHash).distinct.sorted
+          val r = Similarity.RowsPerBand
+          (0 until Similarity.Bands).iterator.map { b =>
+            // exact band key (band + the slice values themselves): no
+            // hash-collision bucket merging, buckets match batch banding
+            val key = b + ":" + sig.slice(b * r, b * r + r).mkString(",")
+            (key, ts, BandMember(id, ts.getTime, sig, shh))
+          }
+        }
+      }
+      // the watermark must attach to THIS frame: typed flatMap drops
+      // event-time metadata, and getCurrentWatermarkMs below requires a
+      // watermark declared on the stateful operator's direct input
+      .toDF("key", "ts", "member")
+      .withWatermark("ts", lateness)
+      .as[(String, java.sql.Timestamp, BandMember)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[BandMember], NearDupPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, java.sql.Timestamp, BandMember)],
+         state: GroupState[Seq[BandMember]]) =>
+          val band = key.takeWhile(_ != ':').toInt
+          val wm = state.getCurrentWatermarkMs()
+          var members = state.getOption.getOrElse(Seq.empty)
+            .filter(m => wm <= 0 || m.ts_ms >= wm)
+          val out = Seq.newBuilder[NearDupPair]
+          // doc_id order within the batch → deterministic pair emission
+          rows.map(_._3).toSeq.sortBy(_.doc_id).foreach { m =>
+            if (!members.exists(_.doc_id == m.doc_id)) { // replay-idempotent
+              members.foreach { o =>
+                if (Similarity.firstCollidingBand(m.sig, o.sig) == band) {
+                  val j = Similarity.jaccardOfSorted(m.sh, o.sh)
+                  if (j >= Similarity.JaccardThreshold)
+                    out += NearDupPair(math.min(m.doc_id, o.doc_id),
+                      math.max(m.doc_id, o.doc_id),
+                      BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                        .toDouble)
+                }
+              }
+              members = members :+ m
+            }
+          }
+          state.update(members)
+          out.result().iterator
+      }
+  }
+
   /** Cross-batch running sentiment totals via managed per-key state
     * (`mapGroupsWithState`) — the engine's answer to the reference's
     * driver-held cross-batch accumulation (cms_stream.py:69): state lives in
