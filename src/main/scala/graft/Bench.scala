@@ -94,6 +94,16 @@ object Bench {
       s""""pass_totals":$passTotals,"sf":"$sfDir",""" +
       s""""queries":${fmt(best)},"queries_cold":${fmt(cold)}}"""
     println(json)
+    // tail-window-proof complement (VERDICT r9 #6): the full line above is
+    // headline-first for head-truncated captures; this maps-free scalar
+    // line is LAST so a tail-truncated capture still parses — the r9
+    // driver artifact's `parsed` was null because its tail window caught
+    // only the middle of the per-query map.
+    val scalarJson = s"""{"metric":"steady_total","value":${r3(total(best))},""" +
+      s""""unit":"sec","method":"min-of-$nPasses-passes",""" +
+      s""""cold_total":${r3(total(cold))},"pass_totals":$passTotals,""" +
+      s""""n_queries":${ordered.size},"sf":"$sfDir"}"""
+    println(scalarJson)
     // file copies (VERDICT r2 #2): sbt log prefixes defeated the driver's
     // stdout parser in r1/r2; the files are always machine-readable. The
     // in-repo BENCH.json survives even if every log capture truncates.

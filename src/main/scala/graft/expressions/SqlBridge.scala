@@ -9,4 +9,11 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+  /** Unique-per-session token (`private[sql]` on the api base class) —
+    * SessionMemo keys on it instead of an identity hash, which the JVM can
+    * reuse after a stopped session is GC'd (ADVICE r9). */
+  def sessionUUID(s: SparkSession): String = s match {
+    case c: classic.SparkSession => c.sessionUUID
+    case other => "idhash:" + System.identityHashCode(other)
+  }
 }

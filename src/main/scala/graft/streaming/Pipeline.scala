@@ -198,6 +198,23 @@ object Pipeline {
   case class BandMember(doc_id: Long, ts_ms: Long,
                         sig: Array[Long], sh: Array[Long])
 
+  /** "10 minutes" → 600000L — the subset of Spark's interval grammar the
+    * streaming lateness parameters use, parsed once driver-side so the
+    * stateful closures capture a plain Long. */
+  private[streaming] def durationMs(s: String): Long = {
+    val parts = s.trim.toLowerCase.split("\\s+")
+    require(parts.length == 2, s"durationMs: expected '<n> <unit>', got '$s'")
+    val v = parts(0).toLong
+    parts(1).stripSuffix("s") match {
+      case "millisecond" | "ms" => v
+      case "second" | "sec"     => v * 1000L
+      case "minute" | "min"     => v * 60000L
+      case "hour" | "hr"        => v * 3600000L
+      case "day"                => v * 86400000L
+      case u => throw new IllegalArgumentException(s"durationMs: unit '$u'")
+    }
+  }
+
   /** A confirmed streaming near-duplicate pair (doc_a < doc_b). */
   case class NearDupPair(doc_a: Long, doc_b: Long, jaccard: Double)
 
@@ -219,14 +236,23 @@ object Pipeline {
     * Scale posture: per-bucket state is the same bounded bucket occupancy
     * the batch LSH join relies on (banding spreads near-uniform corpora;
     * adversarially hot buckets are a data-quality signal, surfaced by the
-    * batch side's df-caps); the watermark evicts members older than
-    * `lateness`, bounding total state by the window's document volume —
-    * the index never grows past what a restart must replay. A duplicate
+    * batch side's df-caps); expired members are evicted BOTH on the data
+    * path (a bucket receiving new rows drops members behind the watermark)
+    * and by event-time timeout — each bucket arms a timeout at
+    * (max member ts + lateness), so quiet buckets are visited and REMOVED
+    * once the watermark passes them instead of persisting forever (ADVICE
+    * r9: under NoTimeout, most of a document's ~32 band keys never saw a
+    * second row and their state grew with all documents ever seen). Total
+    * state is therefore bounded by the window's document volume — the
+    * index never grows past what a restart must replay. A duplicate
     * arriving after its partner's eviction is missed, the standard
     * watermark trade dedupStream already makes.
     *
     * Input schema: (doc_id long, text string, ts timestamp). Emits
-    * verified pairs in append mode as they are discovered. */
+    * verified pairs in append mode as they are discovered. Rows at or
+    * behind the current watermark are dropped by the exec as late data
+    * (standard EventTimeTimeout semantics) — consistent with the member
+    * filter, which would have refused to index them anyway. */
   def nearDupStream(docs: DataFrame, lateness: String = "10 minutes"): Dataset[NearDupPair] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import graft.functions.Similarity
@@ -258,32 +284,48 @@ object Pipeline {
       .as[(String, java.sql.Timestamp, BandMember)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[Seq[BandMember], NearDupPair](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        val latenessMs = durationMs(lateness)
         (key: String, rows: Iterator[(String, java.sql.Timestamp, BandMember)],
          state: GroupState[Seq[BandMember]]) =>
-          val band = key.takeWhile(_ != ':').toInt
-          val wm = state.getCurrentWatermarkMs()
-          var members = state.getOption.getOrElse(Seq.empty)
-            .filter(m => wm <= 0 || m.ts_ms >= wm)
-          val out = Seq.newBuilder[NearDupPair]
-          // doc_id order within the batch → deterministic pair emission
-          rows.map(_._3).toSeq.sortBy(_.doc_id).foreach { m =>
-            if (!members.exists(_.doc_id == m.doc_id)) { // replay-idempotent
-              members.foreach { o =>
-                if (Similarity.firstCollidingBand(m.sig, o.sig) == band) {
-                  val j = Similarity.jaccardOfSorted(m.sh, o.sh)
-                  if (j >= Similarity.JaccardThreshold)
-                    out += NearDupPair(math.min(m.doc_id, o.doc_id),
-                      math.max(m.doc_id, o.doc_id),
-                      BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-                        .toDouble)
+          if (state.hasTimedOut) {
+            // quiet-bucket eviction (ADVICE r9): the watermark has passed
+            // every member's (ts + lateness) — none can still pair with an
+            // admissible arrival, so the whole bucket goes
+            state.remove()
+            Iterator.empty
+          } else {
+            val band = key.takeWhile(_ != ':').toInt
+            val wm = state.getCurrentWatermarkMs()
+            var members = state.getOption.getOrElse(Seq.empty)
+              .filter(m => wm <= 0 || m.ts_ms >= wm)
+            val out = Seq.newBuilder[NearDupPair]
+            // doc_id order within the batch → deterministic pair emission
+            rows.map(_._3).toSeq.sortBy(_.doc_id).foreach { m =>
+              if (!members.exists(_.doc_id == m.doc_id)) { // replay-idempotent
+                members.foreach { o =>
+                  if (Similarity.firstCollidingBand(m.sig, o.sig) == band) {
+                    val j = Similarity.jaccardOfSorted(m.sh, o.sh)
+                    if (j >= Similarity.JaccardThreshold)
+                      out += NearDupPair(math.min(m.doc_id, o.doc_id),
+                        math.max(m.doc_id, o.doc_id),
+                        BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                          .toDouble)
+                  }
                 }
+                members = members :+ m
               }
-              members = members :+ m
             }
+            if (members.isEmpty) state.remove()
+            else {
+              state.update(members)
+              // re-armed every visit: fires once the newest member ages out
+              // (must stay strictly ahead of the current watermark)
+              state.setTimeoutTimestamp(
+                math.max(members.map(_.ts_ms).max + latenessMs, wm + 1))
+            }
+            out.result().iterator
           }
-          state.update(members)
-          out.result().iterator
       }
   }
 

@@ -45,6 +45,31 @@ class SessionMemoSpec extends SparkSpec {
     }
   }
 
+  test("tableTag: missing table path fails fast (no silent dir-only tag); " +
+    "a rewrite inside a nested partition subdir moves the tag") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-memotag2")
+    try {
+      // ADVICE r9: missing path must not degenerate to a hash of the dir
+      // string alone — that tag would never move and could serve stale fits
+      intercept[IllegalArgumentException] {
+        SessionMemo.tableTag(dir.toString, "documents")
+      }
+      val sub = dir.resolve("documents.parquet").resolve("part=0")
+      java.nio.file.Files.createDirectories(sub)
+      java.nio.file.Files.writeString(sub.resolve("f0.parquet"), "v1")
+      val t1 = SessionMemo.tableTag(dir.toString, "documents")
+      // ADVICE r9: a rewrite confined to a nested subdir's files (same
+      // top-level listing) must still move the tag — requires recursion
+      java.nio.file.Files.writeString(sub.resolve("f0.parquet"), "v2-longer")
+      val t2 = SessionMemo.tableTag(dir.toString, "documents")
+      assert(t1 != t2, "nested-subdir rewrite must move the tag")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("dedupComponents: memo hit returns the same frame for the same tier") {
     val a = SimilarityQueries.dedupComponents(spark, sf)
     val b = SimilarityQueries.dedupComponents(spark, sf)
