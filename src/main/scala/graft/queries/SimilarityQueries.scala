@@ -36,6 +36,15 @@ object SimilarityQueries {
     * reason candidate-generation pruning (df ceiling, prefix filter, LSH
     * banding) never changes the reported J value. */
   private def verifyPairs(cand: DataFrame, sets: DataFrame): DataFrame = {
+    val v = verifyPairsUnsorted(cand, sets)
+    v.orderBy(v.col("doc_a"), v.col("doc_b"))
+  }
+
+  /** [[verifyPairs]] without the closing global sort — for callers that
+    * re-aggregate the verified stream (e.g. [[incrementalDedup]]'s per-doc
+    * argmax), where a mid-plan range shuffle + sort would be destroyed by
+    * the very next exchange (VERDICT r9 #7 plan audit). */
+  private def verifyPairsUnsorted(cand: DataFrame, sets: DataFrame): DataFrame = {
     import cand.sparkSession.implicits._
     cand
       .join(sets.as("x"), $"doc_a" === $"x.doc_id")
@@ -47,7 +56,6 @@ object SimilarityQueries {
         $"common".cast("double") / (size($"x.sh") + size($"y.sh") - $"common"))
       .filter($"j" >= Similarity.JaccardThreshold)
       .select($"doc_a", $"doc_b", round($"j", 6).as("jaccard"))
-      .orderBy($"doc_a", $"doc_b")
   }
 
   /** Document-frequency ceiling for [[jaccardPairs]] candidate generation:
@@ -491,8 +499,9 @@ object SimilarityQueries {
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
     // exact-J verification, then per-batch-doc argmax: partial+final
-    // max_by aggregate (no window sort over the match list)
-    verifyPairs(cand, sets)
+    // max_by aggregate (no window sort over the match list; unsorted
+    // verification — the aggregate would destroy a mid-plan sort anyway)
+    verifyPairsUnsorted(cand, sets)
       .groupBy($"doc_b".as("batch_id"))
       .agg(max_by(
         struct($"doc_a", $"jaccard"),

@@ -89,4 +89,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       "no sort-merge join may survive in the final plan at test scale")
   }
+
+  test("incrementalDedup: index x batch probe is a keyed equi-join with " +
+    "batch-linear probe mass — no cartesian shape, no wasted mid-plan sort") {
+    val p = plan(graft.queries.SimilarityQueries.incrementalDedup(spark, sf))
+    // the crawl-shape contract (VERDICT r9 #7, 79.7 s at the sf100 probe):
+    // the index side is probed by (band, band_hash) equality only, so the
+    // per-cycle cost is O(batch * bands) probe rows — a cartesian or
+    // nested-loop shape here would be the O(corpus^2) regression this pin
+    // exists to catch
+    assert(!p.contains("CartesianProduct"), s"cartesian probe:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop probe:\n$p")
+    // shuffles: candidate distinct, the verification joins' repartitions
+    // (broadcast at test scale), the per-batch-doc argmax aggregate, and
+    // the closing orderBy — the verification stream must NOT carry its own
+    // global sort into the argmax (verifyPairsUnsorted)
+    assert(exchanges(p) <= 6, s"too many shuffles:\n$p")
+    val rangeParts = "rangepartitioning".r.findAllIn(p).length
+    assert(rangeParts <= 1,
+      s"only the closing orderBy may range-partition (got $rangeParts):\n$p")
+  }
 }
