@@ -204,6 +204,9 @@ object SparkEntry {
     "q_rand_proj"       -> ((s, d) => CorpusQueries.randProj(s, d)),
     "q_jl_audit"        -> ((s, d) => CorpusQueries.jlAudit(s, d)),
     "q_snm_pairs"       -> ((s, d) => SimilarityQueries.snmPairs(s, d)),
+    // --- round-10: variable-length exact-substring spans via suffix
+    // --- adjacency (Lee et al. 2022 §4's actual construction) ---
+    "q_suffix_spans"    -> ((s, d) => CorpusQueries.suffixSpans(s, d)),
   )
 
   /** Decay expression shared by the EDW oracles (DuckDB `epoch()` returns
@@ -3236,6 +3239,52 @@ object SparkEntry {
        SELECT doc_a, doc_b, gap, jaccard FROM j
        WHERE jaccard >= ${SimilarityQueries.SnmJaccardThreshold}
        ORDER BY doc_a, doc_b"""
+    },
+    // suffix-array adjacency exact-substring spans: sorted W-capped
+    // suffixes, lead(1) neighbor LCP (nullif: DuckDB list_position
+    // returns 0, not NULL, on a full-prefix match), LCP >= L cover on
+    // both endpoints, variable-length gaps-and-islands per doc
+    "q_suffix_spans" -> {
+      val L = CorpusQueries.SuffixMinL
+      val W = CorpusQueries.SuffixCapW
+      s"""WITH t AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\\s+'),
+             x -> length(x) > 0) AS toks
+         FROM documents),
+       sp0 AS (SELECT doc_id, toks,
+           unnest(range(1, greatest(len(toks) - $L + 1, 0) + 1)) AS pos
+         FROM t),
+       s AS (SELECT doc_id, pos, toks[pos : pos + $W - 1] AS suf FROM sp0),
+       r AS (SELECT doc_id, pos, suf,
+           lead(doc_id) OVER wo AS db, lead(pos) OVER wo AS pb,
+           lead(suf) OVER wo AS sufb
+         FROM s WINDOW wo AS (ORDER BY suf, doc_id, pos)),
+       m AS (SELECT doc_id, pos, db, pb,
+           coalesce(nullif(list_position(
+               list_transform(suf, (x,i) -> i <= len(sufb) AND sufb[i] = x),
+               false), 0) - 1,
+             least(len(suf), len(sufb))) AS lcp
+         FROM r WHERE sufb IS NOT NULL),
+       cov AS (SELECT doc_id, pos, lcp FROM m WHERE lcp >= $L
+         UNION ALL SELECT db, pb, lcp FROM m WHERE lcp >= $L),
+       g2 AS (SELECT doc_id, pos, max(lcp) AS lcp FROM cov GROUP BY 1, 2),
+       isl AS (SELECT doc_id, pos, lcp,
+           max(pos + lcp - 1) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         FROM g2),
+       f AS (SELECT doc_id, pos, lcp,
+           CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                THEN 1 ELSE 0 END AS newspan
+         FROM isl),
+       spn AS (SELECT doc_id, pos, lcp,
+           sum(newspan) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+         FROM f)
+       SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         CAST(max(pos + lcp - 1) AS BIGINT) AS span_end,
+         CAST(max(pos + lcp - 1) - min(pos) + 1 AS BIGINT) AS span_tokens,
+         count(*) AS n_positions
+       FROM spn GROUP BY doc_id, span_id
+       ORDER BY span_tokens DESC, doc_id, span_start LIMIT 50"""
     },
   )
 }

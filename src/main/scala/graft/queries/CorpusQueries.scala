@@ -31,6 +31,101 @@ object CorpusQueries {
     * mostly boilerplate/copy and a substring-dedup pass would rewrite it. */
   val DupFracThreshold = 0.2
 
+  /** Minimum repeated-substring length (tokens) for [[suffixSpans]] —
+    * matches [[DupGramK]] so the two span detectors probe the same
+    * granularity and differ only in what they can SEE above it. */
+  val SuffixMinL = 8
+
+  /** LCP evaluation cap for [[suffixSpans]]: adjacent suffixes are
+    * compared over their first `SuffixCapW` tokens only, so a single
+    * reported match is ≤ W tokens — but spans still grow PAST W, because
+    * every position inside a long duplicated run is itself a suffix start
+    * whose (capped) match extends the island. The cap bounds the suffix
+    * payload (W tokens/row instead of whole-document tails) — the knob
+    * that keeps the sort shuffle linear in corpus tokens at 100 TB. */
+  val SuffixCapW = 30
+
+  /** Variable-length exact-substring spans via suffix-array adjacency —
+    * the construction Lee et al. 2022 §4 actually use (sorted suffixes;
+    * a substring repeated anywhere in the corpus makes its occurrences
+    * lexicographic NEIGHBORS), where [[dupSpans]] approximates with
+    * fixed-[[DupGramK]]-gram coverage. What this adds over the gram
+    * detector: the exact repeated-prefix length per position (a 27-token
+    * verbatim quote reports 27, not "some ≥8-gram fired here"), reported
+    * as `n_positions` mass per span, and no gram-vocabulary aggregate —
+    * repeats of ANY length ≥ [[SuffixMinL]] surface from one sort.
+    *
+    * Shape: every token position with ≥ L tokens remaining emits its
+    * W-capped suffix; a global (suffix, doc_id, pos) total order comes
+    * from the zipWithIndex-over-range-partitioned-sort recipe ([[
+    * SimilarityQueries.snmPairs]]'s — never a single-partition window);
+    * rank-adjacent rows join on rnk+1 (plain equi-join) and compare
+    * token LCP; positions whose LCP ≥ L are duplicated-text cover, which
+    * per-doc gaps-and-islands coalesce into maximal spans. The sort IS
+    * the suffix-array construction cost — O(corpus tokens) rows of ≤ W
+    * tokens, one range shuffle, exactly what the published method pays.
+    * Output: top-50 spans by (span_tokens desc, doc_id, span_start),
+    * positions 1-based token indexes. */
+  def suffixSpans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val L = SuffixMinL
+    val W = SuffixCapW
+    val docs = Tables.documents(spark, dir)
+    val sufs = docs
+      .select($"doc_id", Text.tokenize($"text").as("toks"))
+      .filter(size($"toks") >= L)
+      .select($"doc_id",
+        explode(sequence(lit(1), size($"toks") - L + 1)).as("pos"),
+        $"toks")
+      .select($"doc_id", $"pos", slice($"toks", $"pos", lit(W)).as("suf"))
+    // distributed total order (see snmPairs): range-partitioned sort +
+    // zipWithIndex — deterministic because (suf, doc_id, pos) is total
+    val ranked = {
+      val schema = org.apache.spark.sql.types.StructType(
+        sufs.schema.fields :+
+          org.apache.spark.sql.types.StructField("rnk",
+            org.apache.spark.sql.types.LongType, nullable = false))
+      val rdd = sufs.orderBy($"suf", $"doc_id", $"pos").rdd.zipWithIndex().map {
+        case (row, i) => org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i)
+      }
+      spark.createDataFrame(rdd, schema)
+    }
+    val adj = ranked.as("a").join(
+      ranked.select($"doc_id".as("db"), $"pos".as("pb"),
+        $"suf".as("sufb"), ($"rnk" - 1).as("rj")).as("b"),
+      $"a.rnk" === $"b.rj")
+    // token LCP of the two W-capped suffixes: zip_with pads the shorter
+    // side with null and <=> makes the pad a mismatch; array_position
+    // returns 0 when no mismatch exists (full prefix match)
+    val lcped = adj
+      .withColumn("eq", zip_with($"suf", $"sufb", (x, y) => x <=> y))
+      .withColumn("p", array_position($"eq", lit(false)))
+      .withColumn("lcp",
+        coalesce(nullif($"p", lit(0)) - 1, least(size($"suf"), size($"sufb"))))
+      .filter($"lcp" >= L)
+    val cov = lcped.select($"a.doc_id", $"a.pos", $"lcp")
+      .unionByName(lcped.select($"db".as("doc_id"), $"pb".as("pos"), $"lcp"))
+      .groupBy($"doc_id", $"pos").agg(max($"lcp").as("lcp"))
+    // variable-length gaps-and-islands: a new span starts where pos jumps
+    // past the running max covered end + 1 (merge overlap AND touching)
+    val byPos = Window.partitionBy($"doc_id").orderBy($"pos")
+    val prevEnd = byPos.rowsBetween(Window.unboundedPreceding, -1)
+    cov
+      .withColumn("prev_end", max($"pos" + $"lcp" - 1).over(prevEnd))
+      .withColumn("newspan",
+        when($"prev_end".isNull || $"pos" > $"prev_end" + 1, 1).otherwise(0))
+      .withColumn("span_id", sum($"newspan").over(byPos))
+      .groupBy($"doc_id", $"span_id")
+      .agg(min($"pos").cast("long").as("span_start"),
+        max($"pos" + $"lcp" - 1).cast("long").as("span_end"),
+        count(lit(1)).as("n_positions"))
+      .withColumn("span_tokens", $"span_end" - $"span_start" + 1)
+      .select($"doc_id", $"span_start", $"span_end", $"span_tokens",
+        $"n_positions")
+      .orderBy($"span_tokens".desc, $"doc_id", $"span_start")
+      .limit(50)
+  }
+
   /** Exact substring-level duplicate detection (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better" — public
     * method): a [[DupGramK]]-token gram occurring at more than one position

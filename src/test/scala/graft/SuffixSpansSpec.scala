@@ -1,0 +1,102 @@
+package graft
+
+import graft.queries.CorpusQueries
+
+/** Pins the suffix-adjacency exact-substring span detector on a corpus
+  * with PLANTED duplicates of known extent — the property the fixed-gram
+  * detector cannot express: the reported span is the exact maximal
+  * repeated region, whatever its length. */
+class SuffixSpansSpec extends SparkSpec {
+  private val sql = SparkSpec.spark
+  import sql.implicits._
+
+  /** Write a throwaway documents.parquet tier with the given texts. */
+  private def tier(texts: Seq[String]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sufx").toString
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "synth", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def words(prefix: String, n: Int): String =
+    (1 to n).map(i => s"$prefix$i").mkString(" ")
+
+  test("a planted 12-token verbatim quote reports its exact extent " +
+    "(variable length, not gram-clipped)") {
+    val quote = words("q", 12) // 12 unique tokens, repeated verbatim
+    val d0 = words("a", 5) + " " + quote + " " + words("b", 5)
+    val d1 = words("c", 7) + " " + quote + " " + words("d", 3)
+    val dir = tier(Seq(d0, d1))
+    val got = CorpusQueries.suffixSpans(sql, dir)
+      .select($"doc_id", $"span_start", $"span_end", $"span_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // doc 0: quote occupies tokens 6..17; doc 1: tokens 8..19
+    assert(got == Set((0L, 6L, 17L, 12L), (1L, 8L, 19L, 12L)),
+      s"expected the exact 12-token extents, got $got")
+  }
+
+  test("a repeat shorter than SuffixMinL is invisible; exactly L fires") {
+    val shortQ = words("s", CorpusQueries.SuffixMinL - 1)
+    val exactQ = words("e", CorpusQueries.SuffixMinL)
+    val filler1 = words("x", 4)
+    val filler2 = words("y", 4)
+    val dir = tier(Seq(
+      s"$filler1 $shortQ $exactQ",
+      s"$filler2 $shortQ $exactQ"))
+    val got = CorpusQueries.suffixSpans(sql, dir)
+      .select($"doc_id", $"span_tokens").as[(Long, Long)].collect()
+    // the shortQ (7 tokens) alone cannot fire, but shortQ+exactQ are
+    // adjacent in both docs => the maximal repeated region is the full
+    // 15-token run, proving sub-L material is still claimed when it is
+    // part of a longer exact repeat
+    val L = CorpusQueries.SuffixMinL.toLong
+    assert(got.toSet == Set((0L, 2 * L - 1), (1L, 2 * L - 1)),
+      s"expected both docs to span the full ${2 * L - 1}-token repeat: " +
+        got.mkString(", "))
+  }
+
+  test("a duplicated run LONGER than the W cap still reports full extent " +
+    "(islands extend past per-pair LCP)") {
+    val longQ = words("z", CorpusQueries.SuffixCapW + 10) // 40 tokens > W=30
+    val dir = tier(Seq(
+      words("a", 3) + " " + longQ,
+      words("b", 3) + " " + longQ))
+    val got = CorpusQueries.suffixSpans(sql, dir)
+      .select($"doc_id", $"span_start", $"span_end").as[(Long, Long, Long)]
+      .collect().toSet
+    val n = CorpusQueries.SuffixCapW + 10L
+    assert(got == Set((0L, 4L, 3L + n), (1L, 4L, 3L + n)),
+      s"W-capped LCPs must still coalesce to the full $n-token run: $got")
+  }
+
+  test("within-document repetition is caught (Lee et al. dedup any " +
+    "repeated substring, not only cross-doc)") {
+    val rep = words("r", 10)
+    val dir = tier(Seq(
+      rep + " " + words("m", 6) + " " + rep,
+      words("u", 20))) // second doc: no repeats
+    val got = CorpusQueries.suffixSpans(sql, dir)
+      .select($"doc_id", $"span_start", $"span_end").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(got == Set((0L, 1L, 10L), (0L, 17L, 26L)),
+      s"both occurrences inside doc 0 must surface as spans: $got")
+  }
+
+  test("spans within a document are pairwise disjoint and non-adjacent " +
+    "on real testdata") {
+    val rows = CorpusQueries.suffixSpans(sql, sf)
+      .select($"doc_id", $"span_start", $"span_end")
+      .as[(Long, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (_, spans) =>
+      val sorted = spans.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, e1), (_, s2, _)) =>
+          assert(s2 > e1 + 1, s"overlapping/adjacent spans: $sorted")
+        case _ =>
+      }
+    }
+    assert(rows.nonEmpty, "testdata must contain exact repeats")
+  }
+}
