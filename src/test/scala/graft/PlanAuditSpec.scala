@@ -109,4 +109,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(rangeParts <= 1,
       s"only the closing orderBy may range-partition (got $rangeParts):\n$p")
   }
+
+  test("suffixSpans: adjacency is a keyed rank equi-join over the suffix " +
+    "total order — no cartesian shape, bounded shuffles") {
+    val p = plan(graft.queries.CorpusQueries.suffixSpans(spark, sf))
+    // the suffix-array construction cost is ONE range-partitioned sort
+    // (inside the zipWithIndex subtree, upstream of this executed plan's
+    // scan of the RDD) — everything after it must stay keyed: the rnk+1
+    // adjacency join, the cover groupBy, the per-doc island window, the
+    // span aggregate, and the closing TakeOrdered
+    assert(!p.contains("CartesianProduct"), s"cartesian adjacency:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop adjacency:\n$p")
+    assert(exchanges(p) <= 7, s"too many shuffles:\n$p")
+    // per-doc islands must window on doc_id partitions, never globally
+    assert(!p.contains("No Partition Defined"), "global window in span pass")
+  }
 }
