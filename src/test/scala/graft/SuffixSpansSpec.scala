@@ -84,6 +84,42 @@ class SuffixSpansSpec extends SparkSpec {
       s"both occurrences inside doc 0 must surface as spans: $got")
   }
 
+  test("suffixScrub: n_tokens = n_removed + n_kept on real testdata, and " +
+    "a verbatim-duplicated doc pair scrubs to its non-repeated fringe") {
+    val rows = CorpusQueries.suffixScrub(sql, sf)
+      .select($"doc_id", $"n_tokens", $"n_removed", $"n_kept")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, t, r, k) =>
+      assert(t == r + k, s"doc $id: $t != $r + $k")
+    }
+    assert(rows.exists(_._3 > 0), "testdata must contain scrubbed docs")
+    // planted pair: two identical 20-token docs => everything is repeated,
+    // nothing survives the cut
+    val twin = words("t", 20)
+    val dir = tier(Seq(twin, twin))
+    val got = CorpusQueries.suffixScrub(sql, dir)
+      .select($"doc_id", $"n_removed", $"n_kept", $"cleaned_fp")
+      .as[(Long, Long, Long, String)].collect().toSeq.sortBy(_._1)
+    assert(got.map(g => (g._2, g._3)) == Seq((20L, 0L), (20L, 0L)),
+      s"verbatim twins must scrub fully: $got")
+    // md5 of the empty string — the fingerprint of a fully-cut doc
+    assert(got.forall(_._4 == "d41d8cd98f00b204e9800998ecf8427e"))
+  }
+
+  test("suffixScrub cuts exactly the planted duplicate, keeping unique " +
+    "material (no gram-granularity fringe)") {
+    val quote = words("q", 12)
+    val d0 = words("a", 5) + " " + quote + " " + words("b", 5)
+    val d1 = words("c", 7) + " " + quote + " " + words("d", 3)
+    val dir = tier(Seq(d0, d1))
+    val got = CorpusQueries.suffixScrub(sql, dir)
+      .select($"doc_id", $"n_tokens", $"n_removed", $"n_kept")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((0L, 22L, 12L, 10L), (1L, 22L, 12L, 10L)),
+      s"exactly the 12 quoted tokens must go: $got")
+  }
+
   test("spans within a document are pairwise disjoint and non-adjacent " +
     "on real testdata") {
     val rows = CorpusQueries.suffixSpans(sql, sf)
