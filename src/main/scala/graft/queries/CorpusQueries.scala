@@ -56,14 +56,16 @@ object CorpusQueries {
     * repeats of ANY length ≥ [[SuffixMinL]] surface from one sort.
     *
     * Shape: every token position with ≥ L tokens remaining emits its
-    * W-capped suffix; a global (suffix, doc_id, pos) total order comes
-    * from the zipWithIndex-over-range-partitioned-sort recipe ([[
-    * SimilarityQueries.snmPairs]]'s — never a single-partition window);
-    * rank-adjacent rows join on rnk+1 (plain equi-join) and compare
-    * token LCP; positions whose LCP ≥ L are duplicated-text cover, which
-    * per-doc gaps-and-islands coalesce into maximal spans. The sort IS
-    * the suffix-array construction cost — O(corpus tokens) rows of ≤ W
-    * tokens, one range shuffle, exactly what the published method pays.
+    * W-capped suffix; ONE range-partitioned sort puts repeated
+    * substrings adjacent, and a single mapPartitions pass compares each
+    * row with its successor (partition-boundary pairs via a broadcast of
+    * every partition's first row — numPartitions tiny rows, the standard
+    * distributed adjacent-difference recipe; no zipWithIndex, no
+    * self-join, no second scan of the sorted data). Positions whose LCP
+    * ≥ L are duplicated-text cover, which per-doc gaps-and-islands
+    * coalesce into maximal spans. The sort IS the suffix-array
+    * construction cost — O(corpus tokens) rows of ≤ W tokens, one range
+    * shuffle, exactly what the published method pays.
     * Output: top-50 spans by (span_tokens desc, doc_id, span_start),
     * positions 1-based token indexes. */
   def suffixSpans(spark: SparkSession, dir: String): DataFrame = {
@@ -90,38 +92,47 @@ object CorpusQueries {
         explode(sequence(lit(1), size($"toks") - L + 1)).as("pos"),
         $"toks")
       .select($"doc_id", $"pos", slice($"toks", $"pos", lit(W)).as("suf"))
-    // distributed total order (see snmPairs): range-partitioned sort +
-    // zipWithIndex — deterministic because (suf, doc_id, pos) is total.
-    // localCheckpoint: the adjacency self-join reads this frame on BOTH
-    // sides, and zipWithIndex itself runs a partition-count job first —
-    // without the checkpoint the corpus-sized suffix sort executes three
-    // times (it was the sf10 bench's 98 s #1 tail); with it, once.
-    val ranked = {
-      val schema = org.apache.spark.sql.types.StructType(
-        sufs.schema.fields :+
-          org.apache.spark.sql.types.StructField("rnk",
-            org.apache.spark.sql.types.LongType, nullable = false))
-      val rdd = sufs.orderBy($"suf", $"doc_id", $"pos").rdd.zipWithIndex().map {
-        case (row, i) => org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i)
+    // ONE range-partitioned sort (the suffix-array construction), cached
+    // as tuples so the boundary-row job and the adjacency pass both read
+    // the sorted blocks instead of re-sorting (the uncached zipWithIndex/
+    // self-join formulation ran the corpus sort three times — the r10
+    // sf10 bench's 98 s #1 tail)
+    val sorted = sufs.orderBy($"suf", $"doc_id", $"pos")
+      .as[(Long, Int, Seq[String])].rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // every partition's first row, broadcast (numPartitions tiny rows) —
+    // partition-boundary adjacency without a second shuffle
+    val firsts = sorted
+      .mapPartitionsWithIndex((i, it) =>
+        if (it.hasNext) Iterator((i, it.next())) else Iterator.empty)
+      .collect().toMap
+    val nParts = sorted.getNumPartitions
+    val bcFirsts = spark.sparkContext.broadcast(firsts)
+    val minL = L
+    // single adjacency pass: consecutive rows in-partition, plus each
+    // partition's last row vs the next non-empty partition's first.
+    // Emits BOTH endpoints of every LCP >= L pair as duplicated cover.
+    val cover = sorted.mapPartitionsWithIndex { (pi, it) =>
+      def lcpOf(a: Seq[String], b: Seq[String]): Int = {
+        val n = math.min(a.length, b.length)
+        var i = 0
+        while (i < n && a(i) == b(i)) i += 1
+        i
       }
-      spark.createDataFrame(rdd, schema).localCheckpoint()
-    }
-    val adj = ranked.as("a").join(
-      ranked.select($"doc_id".as("db"), $"pos".as("pb"),
-        $"suf".as("sufb"), ($"rnk" - 1).as("rj")).as("b"),
-      $"a.rnk" === $"b.rj")
-    // token LCP of the two W-capped suffixes: zip_with pads the shorter
-    // side with null and <=> makes the pad a mismatch; array_position
-    // returns 0 when no mismatch exists (full prefix match)
-    val lcped = adj
-      .withColumn("eq", zip_with($"suf", $"sufb", (x, y) => x <=> y))
-      .withColumn("p", array_position($"eq", lit(false)))
-      .withColumn("lcp",
-        coalesce(nullif($"p", lit(0)) - 1, least(size($"suf"), size($"sufb"))))
-      .filter($"lcp" >= L)
-    val cov = lcped.select($"a.doc_id", $"a.pos", $"lcp")
-      .unionByName(lcped.select($"db".as("doc_id"), $"pb".as("pos"), $"lcp"))
-      .groupBy($"doc_id", $"pos").agg(max($"lcp").as("lcp"))
+      val laterFirsts = ((pi + 1) until nParts).iterator
+        .flatMap(bcFirsts.value.get)
+      val nextFirst =
+        if (laterFirsts.hasNext) Iterator.single(laterFirsts.next())
+        else Iterator.empty
+      (it ++ nextFirst).sliding(2).withPartial(false).flatMap {
+        case Seq(a, b) =>
+          val l = lcpOf(a._3, b._3)
+          if (l >= minL) Iterator((a._1, a._2, l), (b._1, b._2, l))
+          else Iterator.empty
+        case _ => Iterator.empty
+      }
+    }.toDF("doc_id", "pos", "lcp")
+    val cov = cover.groupBy($"doc_id", $"pos").agg(max($"lcp").as("lcp"))
     // variable-length gaps-and-islands: a new span starts where pos jumps
     // past the running max covered end + 1 (merge overlap AND touching)
     val byPos = Window.partitionBy($"doc_id").orderBy($"pos")

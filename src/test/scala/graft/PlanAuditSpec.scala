@@ -110,18 +110,15 @@ class PlanAuditSpec extends SparkSpec {
       s"only the closing orderBy may range-partition (got $rangeParts):\n$p")
   }
 
-  test("suffixSpans: adjacency is a keyed rank equi-join over the suffix " +
-    "total order — no cartesian shape, bounded shuffles") {
+  test("suffixSpans: single-pass adjacency over the cached suffix sort — " +
+    "no join downstream at all, bounded shuffles") {
     val p = plan(graft.queries.CorpusQueries.suffixSpans(spark, sf))
-    // the suffix-array construction cost is ONE range-partitioned sort
-    // (inside the zipWithIndex subtree, upstream of this executed plan's
-    // scan of the RDD) — everything after it must stay keyed: the rnk+1
-    // adjacency join, the cover groupBy, the per-doc island window, the
-    // span aggregate, and the closing TakeOrdered
-    assert(!p.contains("CartesianProduct"), s"cartesian adjacency:\n$p")
-    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop adjacency:\n$p")
-    assert(exchanges(p) <= 7, s"too many shuffles:\n$p")
-    // per-doc islands must window on doc_id partitions, never globally
-    assert(!p.contains("No Partition Defined"), "global window in span pass")
+    // the suffix-array construction cost is ONE range-partitioned sort,
+    // cached as tuples; adjacency is a mapPartitions pass with broadcast
+    // boundary rows, so the executed plan downstream of the RDD scan holds
+    // NO join of any kind — just the cover groupBy, the per-doc island
+    // window, the span aggregate, and the closing TakeOrdered
+    assert(!p.contains("Join"), s"adjacency must not join:\n$p")
+    assert(exchanges(p) <= 5, s"too many shuffles:\n$p")
   }
 }
