@@ -79,8 +79,20 @@ object CorpusQueries {
     * the unlimited frame behind [[suffixSpans]] (detector face) and
     * [[suffixScrub]] (rewrite face): `(doc_id, span_start, span_end,
     * span_tokens, n_positions)`, 1-based token indexes, spans per doc
-    * pairwise disjoint and non-adjacent by construction. */
-  private def suffixSpanFrames(spark: SparkSession, dir: String): DataFrame = {
+    * pairwise disjoint and non-adjacent by construction.
+    * [[SessionMemo]]-cached: the span set is an artifact of the corpus
+    * (the fitted-quantizer doctrine), and without the memo each consumer
+    * face pays the corpus-sized suffix sort again for a bit-identical
+    * frame (61 s + 52 s at the sf10 bench); the checkpointed result is
+    * span-sized — tiny. */
+  private def suffixSpanFrames(spark: SparkSession, dir: String): DataFrame =
+    SessionMemo.cached(spark,
+      "suffixspans:" + SessionMemo.tableTag(dir, "documents")) {
+      suffixSpanFramesUncached(spark, dir).localCheckpoint()
+    }
+
+  private def suffixSpanFramesUncached(spark: SparkSession, dir: String)
+      : DataFrame = {
     import spark.implicits._
     val L = SuffixMinL
     val W = SuffixCapW
