@@ -3171,27 +3171,24 @@ object SparkEntry {
        sp AS (SELECT doc_id, min(pos) AS span_start,
            max(pos) + 7 AS span_end
          FROM s GROUP BY doc_id, sid),
-       rmv AS (SELECT doc_id, sum(span_end - span_start + 1) AS n_rm
-         FROM sp GROUP BY doc_id),
-       posn AS (SELECT doc_id, t, unnest(range(1, len(t)+1)) AS pos FROM t),
-       keptp AS (SELECT p.doc_id, p.pos, list_extract(p.t, p.pos) AS tok
-         FROM posn p
-         WHERE NOT EXISTS (SELECT 1 FROM sp
-           WHERE sp.doc_id = p.doc_id
-             AND p.pos BETWEEN sp.span_start AND sp.span_end)),
-       ka AS (SELECT doc_id, count(*) AS n_kept,
-           string_agg(tok, ' ' ORDER BY pos) AS ktext
-         FROM keptp GROUP BY doc_id)
-       SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
-         CAST(coalesce(rmv.n_rm, 0) AS BIGINT) AS n_removed,
-         CAST(coalesce(ka.n_kept, 0) AS BIGINT) AS n_kept,
-         CASE WHEN len(t.t) > 0 THEN
-           round(CAST(coalesce(ka.n_kept, 0) AS DOUBLE) / len(t.t), 6)
+       spd AS (SELECT doc_id, list(span_start ORDER BY span_start) AS ss,
+           list(span_end ORDER BY span_start) AS ee,
+           sum(span_end - span_start + 1) AS n_rm FROM sp GROUP BY doc_id),
+       sel AS (SELECT t.doc_id, t.t AS toks, coalesce(spd.ss, []) AS ss,
+           coalesce(spd.ee, []) AS ee, coalesce(spd.n_rm, 0) AS n_rm
+         FROM t LEFT JOIN spd USING (doc_id)),
+       kt AS (SELECT doc_id, toks, n_rm,
+           list_filter(toks, (x, i) ->
+             len(list_filter(ss, (q, j) -> i >= q AND i <= ee[j])) = 0) AS kept
+         FROM sel)
+       SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(n_rm AS BIGINT) AS n_removed,
+         CAST(len(kept) AS BIGINT) AS n_kept,
+         CASE WHEN len(toks) > 0 THEN
+           round(CAST(len(kept) AS DOUBLE) / len(toks), 6)
          END AS kept_frac,
-         md5(coalesce(ka.ktext, '')) AS cleaned_fp
-       FROM t LEFT JOIN rmv USING (doc_id)
-         LEFT JOIN ka ON t.doc_id = ka.doc_id
-       ORDER BY t.doc_id""",
+         md5(coalesce(array_to_string(kept, ' '), '')) AS cleaned_fp
+       FROM kt ORDER BY doc_id""",
     "q_kcore" -> KcoreOracle,
     "q_label_prop" -> LpaOracle,
     // full projected matrix of the JL sign projection, 6-dp grid
