@@ -88,7 +88,7 @@ object CorpusQueries {
   private def suffixSpanFrames(spark: SparkSession, dir: String): DataFrame =
     SessionMemo.cached(spark,
       "suffixspans:" + SessionMemo.tableTag(dir, "documents")) {
-      suffixSpanFramesUncached(spark, dir).localCheckpoint()
+      suffixSpanFramesUncached(spark, dir)
     }
 
   private def suffixSpanFramesUncached(spark: SparkSession, dir: String)
@@ -149,7 +149,7 @@ object CorpusQueries {
     // past the running max covered end + 1 (merge overlap AND touching)
     val byPos = Window.partitionBy($"doc_id").orderBy($"pos")
     val prevEnd = byPos.rowsBetween(Window.unboundedPreceding, -1)
-    cov
+    val out = cov
       .withColumn("prev_end", max($"pos" + $"lcp" - 1).over(prevEnd))
       .withColumn("newspan",
         when($"prev_end".isNull || $"pos" > $"prev_end" + 1, 1).otherwise(0))
@@ -161,6 +161,14 @@ object CorpusQueries {
       .withColumn("span_tokens", $"span_end" - $"span_start" + 1)
       .select($"doc_id", $"span_start", $"span_end", $"span_tokens",
         $"n_positions")
+      // eager: the span-sized result materializes here, so the corpus-
+      // sized sorted-suffix blocks and the firsts broadcast can be
+      // released immediately instead of pinning executor memory/disk for
+      // the rest of the session (ADVICE r10)
+      .localCheckpoint()
+    sorted.unpersist(blocking = false)
+    bcFirsts.destroy()
+    out
   }
 
   /** The rewrite half of suffix-adjacency exact-substring dedup — cuts

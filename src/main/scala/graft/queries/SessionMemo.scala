@@ -41,7 +41,13 @@ private[graft] object SessionMemo {
     require(root.exists,
       s"SessionMemo.tableTag: missing table path ${root.getPath}")
     def walk(f: java.io.File): Unit =
-      if (f.isDirectory) f.listFiles().sortBy(_.getName).foreach(walk)
+      // listFiles() returns null (not empty) on a transient IO/permission
+      // failure — fail with the descriptive require, not an NPE (ADVICE r10)
+      if (f.isDirectory) {
+        val kids = Option(f.listFiles()).getOrElse(
+          sys.error(s"SessionMemo.tableTag: unlistable directory ${f.getPath}"))
+        kids.sortBy(_.getName).foreach(walk)
+      }
       else md.update(
         s"${f.getPath}:${f.length}:${f.lastModified}".getBytes("UTF-8"))
     walk(root)

@@ -973,7 +973,14 @@ object SimilarityQueries {
     val emb = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       .withColumn("nrm", Similarity.l2norm($"v"))
-    val k = semDedupK(Tables.embeddings(spark, dir).count())
+    // the catalog count is an artifact of the table — memoized so a memo
+    // hit on the fitted centroids isn't preceded by a fresh full-table
+    // count job on every invocation (ADVICE r10)
+    val n = SessionMemo.cached(spark,
+      "embcount:" + SessionMemo.tableTag(dir, "embeddings")) {
+      java.lang.Long.valueOf(Tables.embeddings(spark, dir).count())
+    }
+    val k = semDedupK(n)
     val cents = fittedCentroids(spark, dir, k)
     // cluster assignment (argmax cosine, tie → lowest cid) — max_by
     // partial+final aggregate, not a window sort

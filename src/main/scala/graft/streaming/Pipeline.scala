@@ -201,17 +201,23 @@ object Pipeline {
   /** "10 minutes" → 600000L — the subset of Spark's interval grammar the
     * streaming lateness parameters use, parsed once driver-side so the
     * stateful closures capture a plain Long. */
-  private[streaming] def durationMs(s: String): Long = {
+  private[graft] def durationMs(s: String): Long = {
     val parts = s.trim.toLowerCase.split("\\s+")
     require(parts.length == 2, s"durationMs: expected '<n> <unit>', got '$s'")
     val v = parts(0).toLong
-    parts(1).stripSuffix("s") match {
+    // match bare "ms"/"s" before the plural strip — stripSuffix("s")
+    // would turn "ms" into "m" (minutes!) and "s" into "" (ADVICE r10)
+    parts(1) match {
+      case "ms" => v
+      case "s"  => v * 1000L
+      case u => u.stripSuffix("s") match {
       case "millisecond" | "ms" => v
       case "second" | "sec"     => v * 1000L
       case "minute" | "min"     => v * 60000L
       case "hour" | "hr"        => v * 3600000L
       case "day"                => v * 86400000L
-      case u => throw new IllegalArgumentException(s"durationMs: unit '$u'")
+      case o => throw new IllegalArgumentException(s"durationMs: unit '$o'")
+      }
     }
   }
 

@@ -574,4 +574,18 @@ class StreamingSpec extends SparkSpec {
       assert(q.exception.isEmpty)
     } finally q.stop()
   }
+
+  test("durationMs parses every advertised unit, including bare ms/s") {
+    // "ms"/"s" must not be mangled by the plural strip (ADVICE r10:
+    // stripSuffix("s") turned "ms" into minutes and "s" into nothing)
+    assert(Pipeline.durationMs("500 ms") == 500L)
+    assert(Pipeline.durationMs("5 s") == 5000L)
+    assert(Pipeline.durationMs("5 seconds") == 5000L)
+    assert(Pipeline.durationMs("2 milliseconds") == 2L)
+    assert(Pipeline.durationMs("10 minutes") == 600000L)
+    assert(Pipeline.durationMs("1 min") == 60000L)
+    assert(Pipeline.durationMs("3 hours") == 10800000L)
+    assert(Pipeline.durationMs("1 day") == 86400000L)
+    intercept[IllegalArgumentException](Pipeline.durationMs("5 fortnights"))
+  }
 }
