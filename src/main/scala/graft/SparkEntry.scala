@@ -208,6 +208,13 @@ object SparkEntry {
     // --- adjacency (Lee et al. 2022 §4's actual construction) ---
     "q_suffix_spans"    -> ((s, d) => CorpusQueries.suffixSpans(s, d)),
     "q_suffix_scrub"    -> ((s, d) => CorpusQueries.suffixScrub(s, d)),
+    // --- round-11: chain steady state, independence/AB tests, takedown
+    // --- cascade, MMR diversified retrieval ---
+    "q_markov_steady"   -> ((s, d) => AnalyticQueries.markovSteady(s, d)),
+    "q_chi2_assoc"      -> ((s, d) => AnalyticQueries.chi2Assoc(s, d)),
+    "q_welch_ttest"     -> ((s, d) => AnalyticQueries.welchTTest(s, d)),
+    "q_takedown"        -> ((s, d) => TextQueries.takedownScrub(s, d)),
+    "q_mmr_rerank"      -> ((s, d) => SimilarityQueries.mmrRerank(s, d)),
   )
 
   /** Decay expression shared by the EDW oracles (DuckDB `epoch()` returns
@@ -542,6 +549,86 @@ object SparkEntry {
        SELECT r.node, n.n_name, CAST(r.pr AS DOUBLE) AS pr
        FROM r${GraphQueries.PrIters} r JOIN nodes n ON r.node = n.node
        ORDER BY r.node"""
+  }
+
+  /** Markov steady-state oracle: [[graft.queries.AnalyticQueries.MarkovIters]]
+    * power-iteration rounds unrolled as CTEs over the 6-dp-rounded
+    * transition matrix (absorbing states self-looped), every per-edge term
+    * quantized to the 6-dp grid and summed in DECIMAL — the pagerank
+    * doctrine on the event-type chain. */
+  private val MarkovOracle: String = {
+    val iters = (1 to AnalyticQueries.MarkovIters).map { k =>
+      s"""n$k AS (SELECT tr.to_type AS st,
+             sum(CAST(round(CAST(pi AS DOUBLE) * p, 6) AS DECIMAL(28,6))) AS m
+           FROM tr JOIN p${k - 1} ON tr.from_type = p${k - 1}.st GROUP BY 1),
+       p$k AS (SELECT s.st, CAST(coalesce(n$k.m, 0) AS DECIMAL(18,6)) AS pi
+           FROM states s LEFT JOIN n$k USING (st))"""
+    }.mkString(",\n       ", ",\n       ", "")
+    s"""WITH pr AS (SELECT user_id, event_type AS from_type,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+         FROM events),
+       c AS (SELECT from_type, to_type, count(*) AS n FROM pr
+         WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       states AS (SELECT DISTINCT event_type AS st FROM events),
+       noout AS (SELECT st AS from_type, st AS to_type, CAST(1 AS BIGINT) AS n
+         FROM states WHERE st NOT IN (SELECT from_type FROM c)),
+       cc AS (SELECT * FROM c UNION ALL SELECT * FROM noout),
+       tr AS (SELECT from_type, to_type,
+           round(CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+         FROM cc),
+       p0 AS (SELECT st, CAST(round(1.0::DOUBLE
+           / (SELECT count(*) FROM states), 6) AS DECIMAL(18,6)) AS pi
+         FROM states)$iters
+       SELECT st AS event_type, CAST(pi AS DOUBLE) AS pi
+       FROM p${AnalyticQueries.MarkovIters} ORDER BY event_type"""
+  }
+
+  /** MMR oracle: the greedy diversified-selection rounds of
+    * [[graft.queries.SimilarityQueries.mmrRerank]] unrolled as CTEs (the
+    * Lloyd-round pattern) — per round, the un-selected candidate maximizing
+    * λ·cos − (1−λ)·max-sim-to-selected, ties → lowest cid. λ is emitted as
+    * `::DOUBLE` casts so both engines run the identical IEEE dag. */
+  private val MmrOracle: String = {
+    val lam = s"${SimilarityQueries.MmrLambda}::DOUBLE"
+    val sc = s"$lam * c.cos - (1.0::DOUBLE - $lam) * m.msim"
+    val rounds = (2 to SimilarityQueries.MmrK).map { r =>
+      s"""ms$r AS (SELECT pc.query_id, pc.a, max(pc.pcos) AS msim
+           FROM pc JOIN sel${r - 1} s
+             ON pc.query_id = s.query_id AND pc.b = s.cid
+           GROUP BY 1, 2),
+       pk$r AS (SELECT query_id, cid, cos, sc, $r AS rank FROM (
+           SELECT c.query_id, c.cid, c.cos, $sc AS sc,
+             row_number() OVER (PARTITION BY c.query_id
+               ORDER BY $sc DESC, c.cid) AS rn
+           FROM cand c JOIN ms$r m ON c.query_id = m.query_id AND c.cid = m.a
+           WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} s
+             WHERE s.query_id = c.query_id AND s.cid = c.cid)
+         ) WHERE rn = 1),
+       sel$r AS (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM pk$r)"""
+    }.mkString(",\n       ", ",\n       ", "")
+    s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+             CAST(embedding AS DOUBLE[]))) AS nrm
+         FROM embeddings),
+       j AS (SELECT q.vec_id AS query_id, c.vec_id AS cid, c.v, c.nrm,
+           round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos
+         FROM n q JOIN n c ON c.vec_id != q.vec_id WHERE q.vec_id < 10),
+       cand AS MATERIALIZED (SELECT query_id, cid, v, nrm, cos FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, cid) AS rn FROM j
+         ) WHERE rn <= ${SimilarityQueries.MmrCandidates}),
+       pc AS MATERIALIZED (SELECT x.query_id, x.cid AS a, y.cid AS b,
+           round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS pcos
+         FROM cand x JOIN cand y
+           ON x.query_id = y.query_id AND x.cid != y.cid),
+       sel1 AS (SELECT query_id, cid, cos, $lam * cos AS sc, 1 AS rank
+         FROM (SELECT query_id, cid, cos, row_number() OVER (
+             PARTITION BY query_id ORDER BY cos DESC, cid) AS rn
+           FROM cand) WHERE rn = 1)$rounds
+       SELECT query_id, rank, cid AS neighbor_id, cos AS cosine,
+         sc AS mmr_score
+       FROM sel${SimilarityQueries.MmrK} ORDER BY query_id, rank"""
   }
 
   /** Label-propagation oracle: [[graft.queries.GraphQueries.LpaIters]]
@@ -3356,5 +3443,77 @@ object SparkEntry {
          md5(coalesce(array_to_string(kept, ' '), '')) AS cleaned_fp
        FROM kt ORDER BY doc_id"""
     },
+    // --- round-11 additions ---
+    "q_markov_steady" -> MarkovOracle,
+    // margins are windows over the |langs|×|sources| cell frame; expected
+    // stays unrounded for the contrib term, rounds only for output
+    "q_chi2_assoc" ->
+      """WITH cells AS (SELECT lang, source, count(*) AS obs
+           FROM documents GROUP BY 1, 2),
+         m AS (SELECT lang, source, obs,
+             CAST(sum(obs) OVER (PARTITION BY lang) AS DOUBLE)
+               * CAST(sum(obs) OVER (PARTITION BY source) AS DOUBLE)
+               / CAST(sum(obs) OVER () AS DOUBLE) AS ex
+           FROM cells)
+         SELECT lang, source, CAST(obs AS BIGINT) AS obs,
+           round(ex, 6) AS expected,
+           round((CAST(obs AS DOUBLE) - ex) * (CAST(obs AS DOUBLE) - ex)
+             / ex, 6) AS contrib
+         FROM m ORDER BY lang, source""",
+    // DECIMAL(18,2)-quantized sums (exact under any fold order), then a
+    // fixed dag of double ops — identical IEEE arithmetic to the engine
+    "q_welch_ttest" ->
+      """WITH g AS (SELECT event_type, count(*) AS n1,
+             sum(CAST(value AS DECIMAL(18,2))) AS s1,
+             sum(CAST(value AS DECIMAL(18,2))
+               * CAST(value AS DECIMAL(18,2))) AS q1
+           FROM events GROUP BY 1),
+         t AS (SELECT event_type, n1, s1, q1,
+             sum(n1) OVER () AS nt, sum(s1) OVER () AS st,
+             sum(q1) OVER () AS qt
+           FROM g),
+         d AS (SELECT event_type, n1, nt - n1 AS n2,
+             CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+             CAST(st - s1 AS DOUBLE) / CAST(nt - n1 AS DOUBLE) AS m2,
+             (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+               / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0) AS v1,
+             (CAST(qt - q1 AS DOUBLE) - CAST(st - s1 AS DOUBLE)
+               * CAST(st - s1 AS DOUBLE) / CAST(nt - n1 AS DOUBLE))
+               / (CAST(nt - n1 AS DOUBLE) - 1.0) AS v2
+           FROM t),
+         e AS (SELECT event_type, n1, n2, m1, m2, v1, v2,
+             v1 / CAST(n1 AS DOUBLE) AS se1,
+             v2 / CAST(n2 AS DOUBLE) AS se2
+           FROM d)
+         SELECT event_type, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(m1, 6) AS mean_a, round(m2, 6) AS mean_b,
+           round(v1, 6) AS var_a, round(v2, 6) AS var_b,
+           round((m1 - m2) / sqrt(se1 + se2), 6) AS t_stat,
+           round((se1 + se2) * (se1 + se2)
+             / (se1 * se1 / (CAST(n1 AS DOUBLE) - 1.0)
+               + se2 * se2 / (CAST(n2 AS DOUBLE) - 1.0)), 6) AS dof
+         FROM e ORDER BY event_type""",
+    // ban-list = fingerprints spanning >= 2 sources; embeddings cascade on
+    // the doc_id = vec_id alignment
+    "q_takedown" ->
+      """WITH fps AS (SELECT doc_id, source,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+           FROM documents),
+         banned AS (SELECT fp FROM fps GROUP BY fp
+           HAVING count(DISTINCT source) >= 2),
+         removed AS (SELECT doc_id, source FROM fps
+           WHERE fp IN (SELECT fp FROM banned)),
+         rv AS (SELECT r.source, count(*) AS vr FROM removed r
+           JOIN embeddings e ON r.doc_id = e.vec_id GROUP BY 1),
+         rc AS (SELECT source, count(*) AS dr FROM removed GROUP BY 1),
+         tot AS (SELECT source, count(*) AS docs_total
+           FROM documents GROUP BY 1)
+         SELECT t.source, t.docs_total,
+           coalesce(rc.dr, 0) AS docs_removed,
+           t.docs_total - coalesce(rc.dr, 0) AS docs_kept,
+           coalesce(rv.vr, 0) AS vecs_removed
+         FROM tot t LEFT JOIN rc USING (source) LEFT JOIN rv USING (source)
+         ORDER BY source""",
+    "q_mmr_rerank" -> MmrOracle,
   )
 }

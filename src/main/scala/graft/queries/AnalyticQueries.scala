@@ -660,4 +660,151 @@ object AnalyticQueries {
         round($"n".cast("double") / $"tot".cast("double"), 6).as("p"))
       .orderBy($"from_type", $"to_type")
   }
+
+  /** Power-iteration rounds for [[markovSteady]]. */
+  val MarkovIters = 20
+
+  /** Stationary distribution of the event-type Markov chain — the
+    * long-run fraction of time a user spends in each state, the summary
+    * number the per-edge [[eventTransitions]] matrix feeds (where does the
+    * funnel SETTLE, not just where does each step go). Power iteration
+    * from the uniform start: π′(t) = Σ_s π(s)·P(s,t) for [[MarkovIters]]
+    * rounds; states with no outgoing transition self-loop (absorbing)
+    * so no mass leaks.
+    *
+    * Determinism doctrine (the [[GraphQueries.pagerank]] recipe): P is
+    * the 6-dp rounded row-normalized count matrix, every per-edge term
+    * quantizes to the 6-dp grid and sums in DECIMAL — exact under any
+    * fold order — so the DuckDB oracle unrolls all rounds as CTEs and
+    * hash-matches bit-for-bit.
+    *
+    * Scale shape: the corpus-sized work (lead window + count) runs ONCE;
+    * the iteration runs on the ≤|types|² transition frame with the
+    * |types|-row π vector — constant-size per round regardless of event
+    * count, `localCheckpoint` keeping plans flat. */
+  def markovSteady(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val raw = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+      .withColumn("to_type", lead($"event_type", 1).over(w))
+      .filter($"to_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"to_type")
+      .agg(count(lit(1)).as("n"))
+    val states = Tables.events(spark, dir)
+      .select($"event_type".as("st")).distinct()
+    // absorbing states: no observed out-transition → unit self-loop
+    val noOut = states
+      .join(raw.select($"from_type").distinct(),
+        $"st" === $"from_type", "left_anti")
+      .select($"st".as("from_type"), $"st".as("to_type"), lit(1L).as("n"))
+    val wTot = Window.partitionBy($"from_type")
+    val tr = raw.unionByName(noOut)
+      .withColumn("tot", sum($"n").over(wTot))
+      .select($"from_type", $"to_type",
+        round($"n".cast("double") / $"tot".cast("double"), 6).as("p"))
+      .localCheckpoint()
+    // uniform start on the 6-dp grid (k is a window count over the tiny
+    // state frame — the corpus is not re-scanned)
+    var pi = states
+      .withColumn("pi",
+        round(lit(1.0) / count(lit(1)).over(Window.partitionBy()), 6)
+          .cast("decimal(18,6)"))
+      .localCheckpoint()
+    for (_ <- 1 to MarkovIters) {
+      val next = tr.join(pi, $"st" === $"from_type")
+        .select($"to_type",
+          round($"pi".cast("double") * $"p", 6).cast("decimal(28,6)").as("c"))
+        .groupBy($"to_type").agg(sum($"c").as("m"))
+      pi = states.join(next, $"st" === $"to_type", "left")
+        .select($"st",
+          coalesce($"m", lit(0)).cast("decimal(18,6)").as("pi"))
+        .localCheckpoint()
+    }
+    pi.select($"st".as("event_type"), $"pi".cast("double").as("pi"))
+      .orderBy($"event_type")
+  }
+
+  /** Chi-square test of independence between document language and source
+    * — the corpus-composition diagnostic a curation pipeline runs before
+    * trusting per-source language mixes (is lang independent of where the
+    * doc came from, or does src7 skew English?). One row per observed
+    * (lang, source) cell: observed count, expected count under
+    * independence (row·col/n), and the cell's χ² contribution
+    * ((obs−exp)²/exp) — Σ contrib is the statistic, and the per-cell
+    * residuals say WHICH cells drive it.
+    *
+    * Determinism: obs/row/col/n are exact integers; exp and contrib are
+    * single double expressions over those integers (identical IEEE ops in
+    * both engines) rounded to 6 dp for output. Scale shape: one corpus
+    * scan → |langs|×|sources| cell frame; the margins are windows over
+    * the cell frame, NOT re-scans of the corpus. */
+  def chi2Assoc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.documents(spark, dir)
+      .groupBy($"lang", $"source").agg(count(lit(1)).as("obs"))
+    val wL = Window.partitionBy($"lang")
+    val wS = Window.partitionBy($"source")
+    val wAll = Window.partitionBy()
+    cells
+      .withColumn("row_tot", sum($"obs").over(wL))
+      .withColumn("col_tot", sum($"obs").over(wS))
+      .withColumn("n", sum($"obs").over(wAll))
+      .withColumn("exp",
+        $"row_tot".cast("double") * $"col_tot".cast("double")
+          / $"n".cast("double"))
+      .select($"lang", $"source", $"obs",
+        round($"exp", 6).as("expected"),
+        round(($"obs".cast("double") - $"exp") * ($"obs".cast("double") - $"exp")
+          / $"exp", 6).as("contrib"))
+      .orderBy($"lang", $"source")
+  }
+
+  /** One-vs-rest Welch t-test on event value per event type — the unequal-
+    * variance A/B statistic (Welch 1947): does this event type's value
+    * distribution differ from everything else's? Emits per type the group
+    * sizes/means/variances, the t statistic, and the Welch–Satterthwaite
+    * degrees of freedom.
+    *
+    * Determinism: values quantize to DECIMAL(18,2) (the engine-wide raw-
+    * double-sum ban), so Σx and Σx² are exact under any fold order; the
+    * "rest" group's sums are global-minus-group DECIMAL subtractions;
+    * means/variances/t/dof are then a fixed dag of double ops on exact
+    * inputs — bit-identical across engines. Scale shape: ONE partial+final
+    * aggregate over the corpus; the global row is a window over the
+    * |types|-row frame. */
+  def welchTTest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = Tables.events(spark, dir)
+      .select($"event_type", $"value".cast("decimal(18,2)").as("x"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n1"), sum($"x").as("s1"),
+        sum($"x" * $"x").as("q1"))
+    val wAll = Window.partitionBy()
+    val d = g
+      .withColumn("nt", sum($"n1").over(wAll))
+      .withColumn("st", sum($"s1").over(wAll))
+      .withColumn("qt", sum($"q1").over(wAll))
+      .withColumn("n2", $"nt" - $"n1")
+      .withColumn("s2", ($"st" - $"s1").cast("decimal(38,2)"))
+      .withColumn("q2", ($"qt" - $"q1").cast("decimal(38,4)"))
+      .withColumn("m1", $"s1".cast("double") / $"n1".cast("double"))
+      .withColumn("m2", $"s2".cast("double") / $"n2".cast("double"))
+      .withColumn("v1",
+        ($"q1".cast("double") - $"s1".cast("double") * $"s1".cast("double")
+          / $"n1".cast("double")) / ($"n1".cast("double") - 1.0))
+      .withColumn("v2",
+        ($"q2".cast("double") - $"s2".cast("double") * $"s2".cast("double")
+          / $"n2".cast("double")) / ($"n2".cast("double") - 1.0))
+      .withColumn("se1", $"v1" / $"n1".cast("double"))
+      .withColumn("se2", $"v2" / $"n2".cast("double"))
+    d.select($"event_type", $"n1", $"n2",
+        round($"m1", 6).as("mean_a"), round($"m2", 6).as("mean_b"),
+        round($"v1", 6).as("var_a"), round($"v2", 6).as("var_b"),
+        round(($"m1" - $"m2") / sqrt($"se1" + $"se2"), 6).as("t_stat"),
+        round(($"se1" + $"se2") * ($"se1" + $"se2")
+          / ($"se1" * $"se1" / ($"n1".cast("double") - 1.0)
+            + $"se2" * $"se2" / ($"n2".cast("double") - 1.0)), 6).as("dof"))
+      .orderBy($"event_type")
+  }
 }

@@ -567,6 +567,92 @@ object SimilarityQueries {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Relevance weight λ for [[mmrRerank]] (diversity weight = 1 − λ). */
+  val MmrLambda = 0.7
+  /** Relevance-ranked candidate pool size per query for [[mmrRerank]]. */
+  val MmrCandidates = 20
+  /** Diversified results selected per query by [[mmrRerank]]. */
+  val MmrK = 5
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998) —
+    * the diversified-retrieval complement of [[knnCosine]]: from each
+    * query's top-[[MmrCandidates]] cosine candidates, greedily select
+    * [[MmrK]] results maximizing λ·cos(q,d) − (1−λ)·max_{s∈selected}
+    * cos(d,s) — relevance minus redundancy, so near-duplicate hits can't
+    * monopolize the result page. First pick is pure relevance (empty
+    * selected set ⇒ diversity term 0); ties break on lowest vec_id.
+    *
+    * Determinism: query and pairwise cosines are rounded to 6 dp BEFORE
+    * any comparison, and every score is the same fixed dag of IEEE double
+    * ops in both engines, so the DuckDB oracle (greedy rounds unrolled as
+    * CTEs, the Lloyd-round pattern) hash-matches exactly.
+    *
+    * Scale shape: the candidate pool is a broadcast-query scan + per-query
+    * top-k window (the [[knnCosine]] plan); everything after runs on
+    * Q×[[MmrCandidates]] rows — the pairwise frame is Q×20×20 and each
+    * greedy round is a join + argmax aggregate on those tiny frames,
+    * independent of catalog size. `localCheckpoint` keeps the per-round
+    * plans flat. */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.l2norm($"v"))
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("cid"), $"v", $"nrm",
+        round(Similarity.dot($"qv", $"v") / ($"qn" * $"nrm"), 6).as("cos"))
+    val wq = Window.partitionBy($"query_id").orderBy($"cos".desc, $"cid")
+    val cand = scored.withColumn("rn", row_number().over(wq))
+      .filter($"rn" <= MmrCandidates)
+      .select($"query_id", $"cid", $"v", $"nrm", $"cos")
+      .localCheckpoint()
+    // directed pairwise candidate cosines: Q × 20 × 20 rows
+    val pc = cand.as("x")
+      .join(cand.as("y"),
+        $"x.query_id" === $"y.query_id" && $"x.cid" =!= $"y.cid")
+      .select($"x.query_id".as("query_id"), $"x.cid".as("a"),
+        $"y.cid".as("b"),
+        round(Similarity.dot($"x.v", $"y.v") / ($"x.nrm" * $"y.nrm"), 6)
+          .as("pcos"))
+      .localCheckpoint()
+    val slim = cand.select($"query_id", $"cid", $"cos")
+    var sel = slim.groupBy($"query_id")
+      .agg(max_by(struct($"cid", $"cos"), struct($"cos", -$"cid")).as("p"))
+      .select($"query_id", $"p.cid".as("cid"), $"p.cos".as("cos"),
+        (lit(MmrLambda) * $"p.cos").as("score"), lit(1).as("rank"))
+      .localCheckpoint()
+    for (r <- 2 to MmrK) {
+      // per remaining candidate: max similarity to the selected set
+      val ms = pc
+        .join(sel.select($"query_id".as("qq"), $"cid".as("sid")),
+          $"query_id" === $"qq" && $"b" === $"sid")
+        .groupBy($"query_id", $"a").agg(max($"pcos").as("msim"))
+        .withColumnRenamed("query_id", "mq")
+      val pick = slim
+        .join(sel.select($"query_id", $"cid"), Seq("query_id", "cid"),
+          "left_anti")
+        .join(ms, $"cid" === $"a" && $"query_id" === $"mq")
+        .withColumn("sc",
+          lit(MmrLambda) * $"cos" - lit(1.0 - MmrLambda) * $"msim")
+        .groupBy($"query_id")
+        .agg(max_by(struct($"cid", $"cos", $"sc"), struct($"sc", -$"cid"))
+          .as("p"))
+        .select($"query_id", $"p.cid".as("cid"), $"p.cos".as("cos"),
+          $"p.sc".as("score"), lit(r).as("rank"))
+      sel = sel.unionByName(pick).localCheckpoint()
+    }
+    // mmr_score stays UNROUNDED: it is a fixed dag of IEEE ops over 6-dp
+    // inputs (bit-identical across engines), and λ·cos lands exactly on
+    // the 7th-decimal .5 whenever cos's 6th digit is odd — rounding it
+    // would diverge on shortest-repr vs raw-double tie handling
+    sel.select($"query_id", $"rank", $"cid".as("neighbor_id"), $"cos".as("cosine"),
+        $"score".as("mmr_score"))
+      .orderBy($"query_id", $"rank")
+  }
+
   /** Lloyd iterations for the coarse quantizers: distributed k-means over a
     * (vec_id, v) frame — VERDICT r2 #5, composing the [[labelCentroids]]
     * building block into the ANN/dedup operators.

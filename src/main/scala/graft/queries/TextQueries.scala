@@ -173,4 +173,45 @@ object TextQueries {
         md5(concat_ws(" ", $"ctoks")).as("chunk_fp"))
       .orderBy($"doc_id", $"chunk_id")
   }
+
+  /** Takedown-cascade scrub — the right-to-be-forgotten / opt-out operator
+    * a 100-TB corpus store must run routinely: given a ban-list of content
+    * fingerprints, remove every matching document AND cascade the removal
+    * to the derived embedding catalog (doc_id = vec_id alignment, the
+    * [[RetrievalQueries]] linkage), reporting per-source accounting
+    * (total / removed / kept docs, embeddings cascaded). The ban-list
+    * frame is pluggable; the registered face derives a deterministic one
+    * from the data itself — fingerprints whose copies span ≥ 2 distinct
+    * sources (cross-source contamination, the same signal a takedown
+    * notice against one source forces you to scrub everywhere).
+    *
+    * Scale shape: fingerprint + two-phase countDistinct over the corpus,
+    * one fp-keyed semi-join (no row ever widens), doc_id-keyed cascade
+    * join against the vector catalog; the accounting frames are
+    * |sources|-sized. No step is quadratic and nothing collects. */
+  def takedownScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fps = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", Text.fingerprint($"text").as("fp"))
+    val banned = fps.groupBy($"fp")
+      .agg(countDistinct($"source").as("ns"))
+      .filter($"ns" >= 2).select($"fp")
+    val removed = fps.join(banned, Seq("fp"), "left_semi")
+      .select($"doc_id", $"source")
+    val vecs = Tables.embeddings(spark, dir).select($"vec_id")
+    val remVec = removed
+      .join(vecs, removed("doc_id") === vecs("vec_id"), "left_semi")
+      .groupBy($"source").agg(count(lit(1)).as("vr"))
+    val remCnt = removed.groupBy($"source")
+      .agg(count(lit(1)).as("dr"))
+    Tables.documents(spark, dir)
+      .groupBy($"source").agg(count(lit(1)).as("docs_total"))
+      .join(remCnt, Seq("source"), "left")
+      .join(remVec, Seq("source"), "left")
+      .select($"source", $"docs_total",
+        coalesce($"dr", lit(0L)).as("docs_removed"),
+        ($"docs_total" - coalesce($"dr", lit(0L))).as("docs_kept"),
+        coalesce($"vr", lit(0L)).as("vecs_removed"))
+      .orderBy($"source")
+  }
 }
