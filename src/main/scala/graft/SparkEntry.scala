@@ -215,6 +215,7 @@ object SparkEntry {
     "q_welch_ttest"     -> ((s, d) => AnalyticQueries.welchTTest(s, d)),
     "q_takedown"        -> ((s, d) => TextQueries.takedownScrub(s, d)),
     "q_mmr_rerank"      -> ((s, d) => SimilarityQueries.mmrRerank(s, d)),
+    "q_wordpiece_encode" -> ((s, d) => CorpusQueries.wordpieceEncode(s, d)),
   )
 
   /** Decay expression shared by the EDW oracles (DuckDB `epoch()` returns
@@ -489,6 +490,82 @@ object SparkEntry {
          END AS fertility
        FROM documents d LEFT JOIN agg a USING (doc_id)
        ORDER BY d.doc_id"""
+
+  /** WordPiece oracle: symbol inventory = corpus character set ∪ the
+    * [[BpeCte]] merge symbols; the greedy longest-match walk is a
+    * recursive CTE (one row per un-consumed word per step, the longest
+    * vocabulary prefix via a correlated argmax, whole-word `[UNK]` on a
+    * matchless position); the doc face re-joins the per-word piece lists
+    * in token order and mirrors the engine's md5 stream + micro-unit
+    * fertility exactly. */
+  private val WordPieceOracle: String = {
+    val mergeUnion = (1 to CorpusQueries.BpeMerges)
+      .map(k => s"SELECT merged[2:length(merged)-1] AS sym FROM b$k")
+      .mkString(" UNION ")
+    raw"""${BpeCte.replaceFirst("WITH", "WITH RECURSIVE")},
+       vocab AS MATERIALIZED (
+         SELECT DISTINCT unnest(list_transform(range(1, length(word) + 1),
+             i -> word[i])) AS sym
+         FROM words
+         UNION $mergeUnion),
+       bestm AS MATERIALIZED (
+         SELECT word, pos, sym FROM (
+           SELECT wp.word, wp.pos, v.sym, row_number() OVER (
+               PARTITION BY wp.word, wp.pos
+               ORDER BY length(v.sym) DESC) AS rn
+           FROM (SELECT word,
+               unnest(range(1, length(word) + 1)) AS pos FROM words) wp
+           JOIN vocab v
+             ON v.sym = wp.word[wp.pos:wp.pos + length(v.sym) - 1])
+         WHERE rn = 1),
+       walk(word, pos, ps) AS (
+         SELECT word, 1, CAST([] AS VARCHAR[]) FROM words
+         UNION ALL
+         SELECT word,
+           CASE WHEN best = '' THEN length(word) + 1
+                ELSE pos + length(best) END,
+           CASE WHEN best = '' THEN ['[UNK]']
+                WHEN len(ps) = 0 THEN list_append(ps, best)
+                ELSE list_append(ps, '##' || best) END
+         FROM (
+           SELECT w.word, w.pos, w.ps, coalesce(b.sym, '') AS best
+           FROM walk w LEFT JOIN bestm b
+             ON b.word = w.word AND b.pos = w.pos
+           WHERE w.pos <= length(w.word))),
+       wp AS MATERIALIZED (
+         SELECT word, ps FROM walk WHERE pos > length(word)),
+       dw AS (SELECT doc_id, unnest(range(len(t))) AS p, unnest(t) AS word
+         FROM (SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'),
+               q -> length(q) > 0) AS t
+           FROM documents)),
+       enc AS (SELECT d.doc_id, d.p, d.word,
+           regexp_matches(d.word, '^[a-z]+$$') AS alpha,
+           CASE WHEN regexp_matches(d.word, '^[a-z]+$$')
+             THEN s.ps ELSE [d.word] END AS pp
+         FROM dw d LEFT JOIN wp s USING (word)),
+       agg AS (SELECT doc_id,
+           CAST(sum(CASE WHEN alpha THEN 1 ELSE 0 END) AS BIGINT) AS w,
+           CAST(sum(CASE WHEN NOT alpha THEN 1 ELSE 0 END) AS BIGINT) AS o,
+           CAST(sum(CASE WHEN alpha AND pp[1] = '[UNK]' THEN 1 ELSE 0 END)
+             AS BIGINT) AS u,
+           CAST(coalesce(sum(CASE WHEN alpha THEN len(pp) ELSE 0 END), 0)
+             AS BIGINT) AS s,
+           md5(string_agg(array_to_string(pp, ' '), ' ' ORDER BY p)) AS fp
+         FROM enc GROUP BY 1)
+       SELECT d.doc_id,
+         coalesce(a.w, 0) AS n_words,
+         coalesce(a.o, 0) AS n_oov,
+         coalesce(a.u, 0) AS n_unk,
+         coalesce(a.s, 0) AS n_pieces,
+         CASE WHEN coalesce(a.w, 0) > 0
+           THEN CAST((2 * 1000000 * a.s + a.w) // (2 * a.w) AS DOUBLE)
+             / 1000000.0
+         END AS fertility,
+         coalesce(a.fp, md5('')) AS seg_fp
+       FROM documents d LEFT JOIN agg a USING (doc_id)
+       ORDER BY d.doc_id"""
+  }
 
   /** The sign-LSH bucket id as SQL (VERDICT r4 #5): the 4 hyperplanes are
     * deterministic compile-time constants (Similarity.Planes, seeded RNG),
@@ -3515,5 +3592,6 @@ object SparkEntry {
          FROM tot t LEFT JOIN rc USING (source) LEFT JOIN rv USING (source)
          ORDER BY source""",
     "q_mmr_rerank" -> MmrOracle,
+    "q_wordpiece_encode" -> WordPieceOracle,
   )
 }

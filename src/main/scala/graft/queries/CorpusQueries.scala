@@ -1063,6 +1063,97 @@ object CorpusQueries {
       .orderBy($"doc_id")
   }
 
+  /** q_wordpiece_encode — greedy longest-match-first WordPiece
+    * segmentation (Wu et al. 2016; the BERT tokenizer's inference rule)
+    * over the [[bpeTrain]]-derived symbol inventory: per word, repeatedly
+    * take the LONGEST vocabulary symbol prefixing the remainder
+    * (continuations display with the `##` mark); a position with no match
+    * makes the whole word `[UNK]` (the BERT rule). The algorithmic
+    * complement of [[bpeEncode]]: BPE segments by replaying merge ORDER,
+    * WordPiece by longest-match against the final inventory — the two can
+    * disagree, and production tokenizers ship the latter.
+    *
+    * Per-doc output: word/OOV/`[UNK]` counts, piece count, fertility
+    * (micro-unit integer rounding, the [[bigramLm]] idiom), and the md5 of
+    * the document's full piece stream in token order (OOV tokens pass
+    * through verbatim) — a per-token-exact oracle signal.
+    *
+    * Scale shape: segmentation runs once per DISTINCT word (the word-count
+    * trick every tokenizer uses) as one codegen'd HOF pass — the
+    * best-match-at-position table is a `transform` over positions, the
+    * greedy walk an `aggregate` fold over the same sequence; the symbol
+    * inventory rides along as a broadcast 1-row array. The corpus pays one
+    * explode + one unhinted join against the vocab-sized piece table (AQE
+    * broadcasts while Heaps' law holds) + one groupBy(doc_id).
+    * The in-order stream md5 folds via array_sort(collect_list) on
+    * (position, piece) pairs — deterministic under any arrival order. */
+  def wordpieceEncode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (merges, seg) = bpeLoop(spark, dir)
+    val words = seg.select($"word", $"f")
+    val chars = words
+      .select(explode(split($"word", "")).as("sym"))
+      .filter(length($"sym") === 1).distinct()
+    val msyms = merges
+      .select(expr("substring(merged, 2, length(merged) - 2)").as("sym"))
+    val varr = chars.union(msyms).distinct()
+      .agg(sort_array(collect_list($"sym")).as("vs"))
+    val wp = words.crossJoin(broadcast(varr))
+      // longest vocabulary match at every start position (empty = none)
+      .withColumn("ba", expr(
+        """transform(sequence(1, length(word)),
+             p -> aggregate(
+               filter(vs, v -> substr(word, p, length(v)) = v),
+               '', (b, v) -> IF(length(v) > length(b), v, b)))"""))
+      // greedy walk: consume the longest match, advance, '##'-mark
+      // continuations; a matchless position voids the word to [UNK]
+      .withColumn("pieces", expr(
+        """aggregate(
+             sequence(1, length(word)),
+             named_struct('pos', 1, 'ps', cast(array() as array<string>)),
+             (st, i) -> IF(i = st.pos,
+               IF(element_at(ba, st.pos) = '',
+                 named_struct('pos', length(word) + 1,
+                   'ps', array('[UNK]')),
+                 named_struct(
+                   'pos', st.pos + length(element_at(ba, st.pos)),
+                   'ps', array_append(st.ps,
+                     IF(size(st.ps) = 0, element_at(ba, st.pos),
+                       concat('##', element_at(ba, st.pos)))))),
+               st),
+             st -> st.ps)"""))
+      .select($"word", $"pieces")
+      .localCheckpoint()
+    val docs = Tables.documents(spark, dir)
+    val agg = docs
+      .select($"doc_id", posexplode(Text.tokenize($"text")).as(Seq("p", "word")))
+      .withColumn("alpha", $"word".rlike("^[a-z]+$"))
+      .join(wp, Seq("word"), "left")
+      .withColumn("pp", when($"alpha", $"pieces").otherwise(array($"word")))
+      .groupBy($"doc_id")
+      .agg(sum(when($"alpha", 1L).otherwise(0L)).as("w"),
+        sum(when(!$"alpha", 1L).otherwise(0L)).as("o"),
+        sum(when($"alpha" && $"pp"(0) === "[UNK]", 1L).otherwise(0L)).as("u"),
+        sum(when($"alpha", size($"pp").cast("long")).otherwise(0L)).as("s"),
+        md5(concat_ws(" ",
+          expr("transform(array_sort(collect_list(named_struct('p', p, 's', concat_ws(' ', pp)))), x -> x.s)")))
+          .as("fp"))
+    docs.select($"doc_id").join(agg, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"w", lit(0L)).as("n_words"),
+        coalesce($"o", lit(0L)).as("n_oov"),
+        coalesce($"u", lit(0L)).as("n_unk"),
+        coalesce($"s", lit(0L)).as("n_pieces"),
+        coalesce($"fp", md5(lit(""))).as("seg_fp"))
+      .withColumn("fertility",
+        when($"n_words" > 0,
+          expr("(2 * 1000000 * n_pieces + n_words) div (2 * n_words)")
+            .cast("double") / 1e6))
+      .select($"doc_id", $"n_words", $"n_oov", $"n_unk", $"n_pieces",
+        $"fertility", $"seg_fp")
+      .orderBy($"doc_id")
+  }
+
   /** Interpolation weight of [[bigramLm]] on the bigram MLE; the
     * complement backs off to the unigram distribution. */
   val BigramLambda = 0.75
