@@ -121,4 +121,72 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), s"adjacency must not join:\n$p")
     assert(exchanges(p) <= 5, s"too many shuffles:\n$p")
   }
+
+  test("markovSteady: the iteration result is checkpointed — the final " +
+    "plan reads no parquet and re-runs no corpus work") {
+    val p = plan(graft.queries.AnalyticQueries.markovSteady(spark, sf))
+    // 20 power-iteration rounds run on |types|-row frames behind
+    // localCheckpoints; what remains is the tiny final projection + sort
+    assert(!p.toLowerCase.contains("parquet"),
+      s"corpus scan leaked past the checkpoint:\n$p")
+    assert(exchanges(p) <= 2, s"too many shuffles:\n$p")
+  }
+
+  test("mmrRerank: greedy rounds stay behind checkpoints — final plan is " +
+    "the checkpointed selection plus one closing sort") {
+    val p = plan(graft.queries.SimilarityQueries.mmrRerank(spark, sf))
+    assert(!p.toLowerCase.contains("parquet"),
+      s"catalog scan leaked past the checkpoint:\n$p")
+    assert(!p.contains("Join"), s"post-selection join:\n$p")
+    assert(exchanges(p) <= 2, s"too many shuffles:\n$p")
+  }
+
+  test("chi2Assoc: one corpus scan; margins are windows over the cell " +
+    "frame, never corpus re-scans") {
+    val p = plan(graft.queries.AnalyticQueries.chi2Assoc(spark, sf))
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 corpus scan, got $scans:\n$p")
+    assert(!p.contains("Join"), s"margin join where a window should be:\n$p")
+    // cell aggregate + three window repartitions + closing orderBy
+    assert(exchanges(p) <= 6, s"too many shuffles:\n$p")
+  }
+
+  test("welchTTest: one corpus scan feeding one partial+final aggregate; " +
+    "the global row is a window over the per-type frame") {
+    val p = plan(graft.queries.AnalyticQueries.welchTTest(spark, sf))
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 corpus scan, got $scans:\n$p")
+    assert(!p.contains("Join"), s"global-row join where a window should be:\n$p")
+    assert(p.contains("HashAggregate"), "partial+final aggregate expected")
+    assert(exchanges(p) <= 4, s"too many shuffles:\n$p")
+  }
+
+  test("takedownScrub: fp-keyed semi-joins only — no cartesian shapes, " +
+    "accounting joins collapse to broadcasts at runtime") {
+    val df = graft.queries.TextQueries.takedownScrub(spark, sf)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(p.contains("isFinalPlan=true"), "expected an executed adaptive plan")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"unkeyed join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"accounting joins must broadcast at test scale:\n$p")
+  }
+
+  test("wordpieceEncode: segmentation cost stays behind the checkpoint; " +
+    "AQE broadcasts the piece-table join at runtime") {
+    val df = graft.queries.CorpusQueries.wordpieceEncode(spark, sf)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(p.contains("isFinalPlan=true"), "expected an executed adaptive plan")
+    // the per-word HOF segmentation (and the BPE trainer feeding it) runs
+    // before the localCheckpoint; encode adds the corpus explode, the
+    // vocab-sized piece join (AQE-broadcast), groupBy(doc_id), the docs
+    // left join and the closing orderBy
+    assert(p.contains("BroadcastHashJoin"),
+      "AQE must broadcast the piece table at test scale")
+    assert(!p.contains("SortMergeJoin"),
+      s"no sort-merge join may survive at test scale:\n$p")
+    assert(exchanges(p) <= 6, s"too many shuffles:\n$p")
+  }
 }
