@@ -685,14 +685,18 @@ object AnalyticQueries {
   def markovSteady(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    // checkpointed: the |types|²-row count frame feeds BOTH union branches
+    // of the transition matrix — uncheckpointed, the corpus lead-window
+    // would run twice
     val raw = Tables.events(spark, dir)
       .select($"user_id", $"event_type", $"ts", $"event_id")
       .withColumn("to_type", lead($"event_type", 1).over(w))
       .filter($"to_type".isNotNull)
       .groupBy($"event_type".as("from_type"), $"to_type")
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val states = Tables.events(spark, dir)
-      .select($"event_type".as("st")).distinct()
+      .select($"event_type".as("st")).distinct().localCheckpoint()
     // absorbing states: no observed out-transition → unit self-loop
     val noOut = states
       .join(raw.select($"from_type").distinct(),
@@ -711,7 +715,7 @@ object AnalyticQueries {
         round(lit(1.0) / count(lit(1)).over(Window.partitionBy()), 6)
           .cast("decimal(18,6)"))
       .localCheckpoint()
-    for (_ <- 1 to MarkovIters) {
+    for (k <- 1 to MarkovIters) {
       val next = tr.join(pi, $"st" === $"from_type")
         .select($"to_type",
           round($"pi".cast("double") * $"p", 6).cast("decimal(28,6)").as("c"))
@@ -719,7 +723,10 @@ object AnalyticQueries {
       pi = states.join(next, $"st" === $"to_type", "left")
         .select($"st",
           coalesce($"m", lit(0)).cast("decimal(18,6)").as("pi"))
-        .localCheckpoint()
+      // checkpoint every 5th round only: each checkpoint is a full job
+      // (fixed ~0.1 s overhead on |types|-row frames), while 5 stacked
+      // tiny joins cost the optimizer nothing — 4 jobs instead of 20
+      if (k % 5 == 0) pi = pi.localCheckpoint()
     }
     pi.select($"st".as("event_type"), $"pi".cast("double").as("pi"))
       .orderBy($"event_type")

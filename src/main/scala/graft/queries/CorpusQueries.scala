@@ -968,8 +968,20 @@ object CorpusQueries {
   }
 
   /** The trained loop's two artifacts: the merge table and the final
-    * vocabulary segmentation (word, f, seg). */
-  private def bpeLoop(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    * vocabulary segmentation (word, f, seg). [[SessionMemo]]-cached (the
+    * fitted-quantizer doctrine): four registered faces — train, vocab,
+    * encode, WordPiece — consume the SAME trained artifacts, and without
+    * the memo each pays the corpus token->vocab groupBy and all
+    * [[BpeMerges]] rounds again for bit-identical frames. Both returned
+    * frames end in localCheckpoints, so the cached values are
+    * executor-materialized and vocabulary-sized. */
+  private def bpeLoop(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    SessionMemo.cached(spark,
+      "bpeloop:" + SessionMemo.tableTag(dir, "documents")) {
+      bpeLoopUncached(spark, dir)
+    }
+
+  private def bpeLoopUncached(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
     val words = Tables.documents(spark, dir)
       .select(explode(Text.tokenize($"text")).as("word"))
