@@ -216,6 +216,7 @@ object SparkEntry {
     "q_takedown"        -> ((s, d) => TextQueries.takedownScrub(s, d)),
     "q_mmr_rerank"      -> ((s, d) => SimilarityQueries.mmrRerank(s, d)),
     "q_wordpiece_encode" -> ((s, d) => CorpusQueries.wordpieceEncode(s, d)),
+    "q_rnn_pairs"       -> ((s, d) => SimilarityQueries.rnnPairs(s, d)),
   )
 
   /** Decay expression shared by the EDW oracles (DuckDB `epoch()` returns
@@ -3593,5 +3594,27 @@ object SparkEntry {
          ORDER BY source""",
     "q_mmr_rerank" -> MmrOracle,
     "q_wordpiece_encode" -> WordPieceOracle,
+    // reciprocal top-5 within the scaled-k clusters: the semantic-dedup
+    // assignment CTEs, one directed pair frame, ranks via row_number on
+    // the shared 6-dp cosines, mutuality as a swapped-key self-join
+    "q_rnn_pairs" ->
+      (SemKmeansCte +
+        s""", a3 AS (SELECT e.vec_id, e.v, e.vn, c.cid,
+             list_dot_product(e.v, c.cv) / (e.vn * sqrt(list_dot_product(c.cv, c.cv))) AS ccos
+           FROM emb e CROSS JOIN c2 c),
+         s3 AS (SELECT vec_id, v, vn, cid FROM (
+             SELECT vec_id, v, vn, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+             FROM a3) WHERE rn = 1),
+         pr AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+             round(list_dot_product(a.v, b.v) / (a.vn * b.vn), 6) AS cos
+           FROM s3 a JOIN s3 b ON a.cid = b.cid AND a.vec_id != b.vec_id),
+         tk AS (SELECT va, vb, cos, row_number() OVER (
+             PARTITION BY va ORDER BY cos DESC, vb) AS rn
+           FROM pr QUALIFY rn <= ${SimilarityQueries.RnnK})
+         SELECT x.va AS vec_a, x.vb AS vec_b, x.cos AS cosine,
+           x.rn AS rank_ab, y.rn AS rank_ba
+         FROM tk x JOIN tk y ON x.va = y.vb AND x.vb = y.va AND x.va < x.vb
+         ORDER BY vec_a, vec_b"""),
   )
 }

@@ -1059,14 +1059,7 @@ object SimilarityQueries {
     val emb = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       .withColumn("nrm", Similarity.l2norm($"v"))
-    // the catalog count is an artifact of the table — memoized so a memo
-    // hit on the fitted centroids isn't preceded by a fresh full-table
-    // count job on every invocation (ADVICE r10)
-    val n = SessionMemo.cached(spark,
-      "embcount:" + SessionMemo.tableTag(dir, "embeddings")) {
-      java.lang.Long.valueOf(Tables.embeddings(spark, dir).count())
-    }
-    val k = semDedupK(n)
+    val k = semDedupK(embCatalogCount(spark, dir))
     val cents = fittedCentroids(spark, dir, k)
     // cluster assignment (argmax cosine, tie → lowest cid) — max_by
     // partial+final aggregate, not a window sort
@@ -1089,6 +1082,68 @@ object SimilarityQueries {
       .filter($"cos" >= EmbedDupThreshold)
       .select($"a.cid".as("cluster"), $"a.vec_id".as("vec_a"),
         $"b.vec_id".as("vec_b"), round($"cos", 6).as("cosine"))
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  /** The catalog count as a memoized table artifact — a memo hit on the
+    * fitted centroids must not be preceded by a fresh full-scan count job
+    * on every invocation (ADVICE r10). */
+  private def embCatalogCount(spark: SparkSession, dir: String): Long =
+    SessionMemo.cached[java.lang.Long](spark,
+      "embcount:" + SessionMemo.tableTag(dir, "embeddings")) {
+      java.lang.Long.valueOf(Tables.embeddings(spark, dir).count())
+    }.longValue()
+
+  /** Mutual top-K depth for [[rnnPairs]]. */
+  val RnnK = 5
+
+  /** Reciprocal nearest neighbors within the fitted coarse clusters — the
+    * rank-based near-duplicate signal (RNN-DBSCAN / de-duplication
+    * pruning literature): a pair qualifies when EACH vector ranks in the
+    * other's within-cluster top-[[RnnK]] by cosine. Rank mutuality is
+    * threshold-free — it adapts to local density where
+    * [[semanticDedup]]'s fixed cosine cut-off can't — and the two views
+    * disagree exactly on the pairs a curator should eyeball.
+    *
+    * Scale shape: the same scaled-k assignment as [[semanticDedup]]
+    * (k grows with n, within-cluster pair mass ≈ n·target — linear), the
+    * same salted (cid, salt) pair join; per-vector ranks are one window
+    * over the pair frame, the mutuality check a self-join of the
+    * [[RnnK]]·n-row top-k frame on the swapped key. Cosines round to
+    * 6 dp BEFORE ranking (the [[knnCosine]] doctrine) so both engines
+    * rank identically; ties break on neighbor id. */
+  def rnnPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.l2norm($"v"))
+    val k = semDedupK(embCatalogCount(spark, dir))
+    val cents = fittedCentroids(spark, dir, k)
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("ccos", Similarity.dot($"v", $"cv") / ($"nrm" * $"cn"))
+      .groupBy($"vec_id")
+      .agg(max_by(struct($"cid", $"v", $"nrm"), struct($"ccos", -$"cid")).as("best"))
+      .select($"vec_id", $"best.v".as("v"), $"best.nrm".as("nrm"), $"best.cid".as("cid"))
+    val probe = assigned.as("a")
+      .withColumn("salt", pmod(hash($"a.vec_id"), lit(EmbedDupSalt)))
+    val build = assigned.as("b")
+      .withColumn("salt", explode(sequence(lit(0), lit(EmbedDupSalt - 1))))
+    val scored = probe
+      .join(build,
+        $"a.cid" === $"b.cid" && probe("salt") === build("salt") &&
+          $"a.vec_id" =!= $"b.vec_id")
+      .select($"a.vec_id".as("va"), $"b.vec_id".as("vb"),
+        round(Similarity.dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm"), 6)
+          .as("cos"))
+    val wRank = Window.partitionBy($"va").orderBy($"cos".desc, $"vb")
+    val top = scored.withColumn("rn", row_number().over(wRank))
+      .filter($"rn" <= RnnK)
+      .localCheckpoint()
+    top.as("x")
+      .join(top.as("y"),
+        $"x.va" === $"y.vb" && $"x.vb" === $"y.va" && $"x.va" < $"x.vb")
+      .select($"x.va".as("vec_a"), $"x.vb".as("vec_b"),
+        $"x.cos".as("cosine"), $"x.rn".as("rank_ab"), $"y.rn".as("rank_ba"))
       .orderBy($"vec_a", $"vec_b")
   }
 

@@ -164,4 +164,51 @@ class StatsMmrSpec extends SparkSpec {
         s"score mismatch: got $g expected $e")
     }
   }
+
+  test("rnnPairs matches a plain-Scala reciprocal-top-5 twin built from " +
+    "the oracle-checked fitted centroids") {
+    def r6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var (d, i) = (0.0, 0); while (i < a.length) { d += a(i) * b(i); i += 1 }; d
+    }
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    // at sf0.001 the scaled k collapses to the fixed 16-centroid fit, so
+    // the oracle-checked kmeansProfile face exposes the same quantizer
+    val cents = SimilarityQueries.kmeansProfile(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (cid, rs) =>
+        cid -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+      }
+    val nrm = emb.view.mapValues(v => math.sqrt(dot(v, v))).toMap
+    val cn = cents.view.mapValues(c => math.sqrt(dot(c, c))).toMap
+    val assign = emb.map { case (id, v) =>
+      id -> cents.keys.toSeq
+        .map(c => (c, dot(v, cents(c)) / (nrm(id) * cn(c))))
+        .minBy { case (c, s) => (-s, c) }._1
+    }
+    val byCluster = assign.groupBy(_._2).view.mapValues(_.keys.toSeq)
+    val top = byCluster.values.flatMap { ids =>
+      ids.flatMap { a =>
+        ids.filter(_ != a)
+          .map(b => (a, b, r6(dot(emb(a), emb(b)) / (nrm(a) * nrm(b)))))
+          .sortBy { case (_, b, c) => (-c, b) }
+          .take(SimilarityQueries.RnnK).zipWithIndex
+          .map { case ((_, b, c), i) => (a, b) -> (c, i + 1) }
+      }
+    }.toMap
+    val expected = top.collect {
+      case ((a, b), (c, rab)) if a < b && top.contains((b, a)) =>
+        (a, b, c, rab, top((b, a))._2)
+    }.toSeq.sortBy(t => (t._1, t._2))
+    val got = SimilarityQueries.rnnPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3),
+        r.getInt(4)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.nonEmpty && got.toSeq == expected,
+      s"got ${got.length} pairs, expected ${expected.length}")
+  }
 }
