@@ -436,7 +436,7 @@ object SparkEntry {
          v$k AS (SELECT v.word, replace(v.seg, b.pair, b.merged) AS seg, v.f
              FROM v${k - 1} v CROSS JOIN b$k b)"""
     }.mkString(",\n       ")
-    raw"""WITH words AS (SELECT w AS word, count(*) AS f
+    raw"""WITH words AS MATERIALIZED (SELECT w AS word, count(*) AS f
            FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
                    q -> length(q) > 0)) AS w FROM documents)
            WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY 1),
@@ -645,13 +645,13 @@ object SparkEntry {
     s"""WITH pr AS (SELECT user_id, event_type AS from_type,
            lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
          FROM events),
-       c AS (SELECT from_type, to_type, count(*) AS n FROM pr
+       c AS MATERIALIZED (SELECT from_type, to_type, count(*) AS n FROM pr
          WHERE to_type IS NOT NULL GROUP BY 1, 2),
-       states AS (SELECT DISTINCT event_type AS st FROM events),
+       states AS MATERIALIZED (SELECT DISTINCT event_type AS st FROM events),
        noout AS (SELECT st AS from_type, st AS to_type, CAST(1 AS BIGINT) AS n
          FROM states WHERE st NOT IN (SELECT from_type FROM c)),
        cc AS (SELECT * FROM c UNION ALL SELECT * FROM noout),
-       tr AS (SELECT from_type, to_type,
+       tr AS MATERIALIZED (SELECT from_type, to_type,
            round(CAST(n AS DOUBLE)
              / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
          FROM cc),
