@@ -23,18 +23,19 @@ object Bench {
     // the queries whose tables exist there
     val onlySet = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    // the uncapped exact metric join q_embed_dup carries a disclosed
-    // quadratic isotropic floor (562 s = 67% of the r5 sf10 bench). It
-    // stays registered as the small-tier oracle twin of the capped join,
-    // but above sf1 the bench demotes it: q_embed_dup_capped is the
-    // registered scale path, and a headline dominated by a query whose
-    // own docstring disowns it at scale measures nothing.
+    // q_embed_dup_smalltier is the uncapped exact metric join, scoped by
+    // name to the ≤sf1 tiers (quadratic isotropic floor: 562 s = 67% of
+    // the r5 sf10 bench). It exists as the oracle ground-truth twin of
+    // q_embed_dup_capped — the registered scale path — so above sf1 the
+    // bench drops it: a headline dominated by a deliberately small-tier
+    // query measures nothing.
     val sfNum = "sf([0-9.]+)".r
       .findFirstMatchIn(new java.io.File(sfDir).getName)
       .map(_.group(1).toDouble)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => onlySet.forall(_.contains(n)) }
-      .filter { case (n, _) => n != "q_embed_dup" || sfNum.forall(_ <= 1.0) }
+      .filter { case (n, _) =>
+        n != "q_embed_dup_smalltier" || sfNum.forall(_ <= 1.0) }
     // warmup (not reported): smallest SF sibling of the target, same plans
     val warmDir = new java.io.File(sfDir).getParentFile match {
       case null => "/root/testdata/sf0.001"

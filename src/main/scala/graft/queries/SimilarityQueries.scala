@@ -827,8 +827,11 @@ object SimilarityQueries {
     * data (this testdata) it degrades to a blocked distributed all-pairs —
     * the exact join's lower bound — but memory stays bounded: no executor
     * ever holds more than a join partition, and nothing scales with table
-    * size on the driver. The old broadcast nested-loop survives as
-    * [[embedDupBrute]], the test-only recall oracle. */
+    * size on the driver. Registered as `q_embed_dup_smalltier`: the name
+    * scopes it to the ≤sf1 tiers where exact all-pairs verification is the
+    * POINT (it is the ground-truth twin that certifies [[embedDupCapped]],
+    * the registered 100-TB path). The old broadcast nested-loop survives
+    * as [[embedDupBrute]], the test-only recall oracle. */
   def embedDupPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val t = EmbedDupThreshold
