@@ -179,6 +179,7 @@ object SparkEntry {
     "q_bpe_train"       -> ((s, d) => CorpusQueries.bpeTrain(s, d)),
     "q_bpe_vocab"       -> ((s, d) => CorpusQueries.bpeVocab(s, d)),
     "q_bpe_encode"      -> ((s, d) => CorpusQueries.bpeEncode(s, d)),
+    "q_unigram_tok"     -> ((s, d) => CorpusQueries.unigramTok(s, d)),
     "q_quality_lr"      -> ((s, d) => PipelineQueries.qualityLr(s, d)),
     "q_source_entropy"  -> ((s, d) => CorpusQueries.sourceEntropy(s, d)),
     "q_source_kl"       -> ((s, d) => CorpusQueries.sourceKl(s, d)),
@@ -571,6 +572,79 @@ object SparkEntry {
          coalesce(a.fp, md5('')) AS seg_fp
        FROM documents d LEFT JOIN agg a USING (doc_id)
        ORDER BY d.doc_id"""
+  }
+
+  /** Unigram-LM trainer oracle: the [[graft.queries.CorpusQueries.unigramTok]]
+    * hard-EM rounds unrolled — per round a MATERIALIZED integer micro-log
+    * score table, a position-by-position Viterbi DP
+    * ([[graft.queries.CorpusQueries.UnigramMaxLen]] stages over a cumulative
+    * MATERIALIZED best-prefix frame; argmax ties → longer piece, exactly the
+    * engine's fold rule), then the usage re-count with single-char
+    * protection. Integer micro-log scores make every DP comparison exact in
+    * both engines — no float path-sum ambiguity. */
+  private val UnigramOracle: String = {
+    val L = CorpusQueries.UnigramMaxLen
+    val R = CorpusQueries.UnigramIters
+    val rounds = (1 to R).map { r =>
+      val dp = (1 to L).map { j =>
+        s"""b${r}_$j AS (SELECT word, pos, sc, seg FROM (
+             SELECT w.word, $j AS pos, p.sc + v.lp AS sc,
+               CASE WHEN p.seg = '' THEN v.piece
+                    ELSE p.seg || ' ' || v.piece END AS seg,
+               row_number() OVER (PARTITION BY w.word
+                 ORDER BY p.sc + v.lp DESC, v.pl DESC) AS rn
+             FROM words w
+             JOIN v$r v ON v.pl <= $j
+               AND substring(w.word, $j - v.pl + 1, v.pl) = v.piece
+             JOIN bb${r}_${j - 1} p ON p.word = w.word AND p.pos = $j - v.pl
+             WHERE length(w.word) >= $j) WHERE rn = 1),
+         bb${r}_$j AS MATERIALIZED (
+           SELECT * FROM bb${r}_${j - 1} UNION ALL SELECT * FROM b${r}_$j)"""
+      }.mkString(",\n       ")
+      s"""v$r AS MATERIALIZED (SELECT piece, length(piece) AS pl,
+           CAST(round(log10(CAST(n AS DOUBLE) / CAST(t.tot AS DOUBLE))
+             * 1000000, 0) AS BIGINT) AS lp
+         FROM c${r - 1}, (SELECT sum(n) AS tot FROM c${r - 1} WHERE n > 0) t
+         WHERE n > 0),
+       bb${r}_0 AS (SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS sc, '' AS seg
+         FROM words),
+       $dp,
+       u$r AS (SELECT piece, CAST(sum(f) AS BIGINT) AS n FROM (
+           SELECT w.f, unnest(string_split(b.seg, ' ')) AS piece
+           FROM words w JOIN bb${r}_$L b
+             ON b.word = w.word AND b.pos = length(w.word))
+         GROUP BY 1),
+       c$r AS MATERIALIZED (SELECT s.piece,
+           CAST(CASE WHEN length(s.piece) = 1
+                THEN greatest(coalesce(u.n, 0), 1)
+                ELSE coalesce(u.n, 0) END AS BIGINT) AS n
+         FROM c0 s LEFT JOIN u$r u USING (piece))"""
+    }.mkString(",\n       ")
+    raw"""WITH words AS MATERIALIZED (SELECT w AS word, count(*) AS f
+         FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                 q -> length(q) > 0)) AS w FROM documents)
+         WHERE regexp_matches(w, '^[a-z]+$$')
+           AND length(w) <= $L GROUP BY 1),
+       sub AS MATERIALIZED (SELECT piece, CAST(sum(f) AS BIGINT) AS n FROM (
+           SELECT f, unnest(flatten(list_transform(
+             range(1, length(word) + 1),
+             i -> list_transform(
+               range(1, least(${CorpusQueries.UnigramMaxPiece},
+                 length(word) - i + 1) + 1),
+               l -> substring(word, i, l))))) AS piece
+         FROM words) GROUP BY 1),
+       c0 AS MATERIALIZED (
+         SELECT piece, n FROM sub WHERE length(piece) = 1
+         UNION ALL
+         SELECT piece, n FROM (
+           SELECT piece, n, row_number() OVER (ORDER BY n DESC, piece) AS rk
+           FROM sub WHERE length(piece) >= 2)
+         WHERE rk <= ${CorpusQueries.UnigramSeedMulti}),
+       $rounds
+       SELECT piece, n,
+         round(CAST(n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS p
+       FROM c$R, (SELECT sum(n) AS tot FROM c$R WHERE n > 0) t
+       WHERE n > 0 ORDER BY n DESC, piece"""
   }
 
   /** The sign-LSH bucket id as SQL (VERDICT r4 #5): the 4 hyperplanes are
@@ -2951,6 +3025,7 @@ object SparkEntry {
          FROM pairs GROUP BY 1 ORDER BY n DESC, pair LIMIT 50""",
     "q_bpe_train" -> BpeTrainOracle,
     "q_bpe_vocab" -> BpeVocabOracle,
+    "q_unigram_tok" -> UnigramOracle,
     "q_bpe_encode" -> BpeEncodeOracle,
     // LR quality filter: identical feature arithmetic (exact integer token
     // sums -> double division), z rounded to the 6-dp grid BEFORE exp so

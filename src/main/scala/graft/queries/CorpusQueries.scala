@@ -1492,4 +1492,123 @@ object CorpusQueries {
         md5(concat_ws(" ", $"kept")).as("cleaned_fp"))
       .orderBy($"doc_id")
   }
+
+  /** Words longer than this are excluded from unigram-LM training — the
+    * bound that lets the DuckDB oracle unroll the Viterbi DP to a fixed
+    * position count (corpus alpha words are ≤ 8 chars at every tier;
+    * ScaleUp's `_c<i>` suffixing keeps new tokens non-alpha). */
+  val UnigramMaxLen = 12
+
+  /** Maximum piece length in the unigram seed inventory. */
+  val UnigramMaxPiece = 4
+
+  /** Multi-character seed pieces retained (top by substring count). */
+  val UnigramSeedMulti = 40
+
+  /** Hard-EM (Viterbi) re-estimation rounds of [[unigramTok]]. */
+  val UnigramIters = 3
+
+  /** Viterbi DP over one word as a codegen'd HOF fold: position j's state
+    * appends best[j] = argmax over vocabulary pieces v ending at j of
+    * best[j−|v|].sc + lp(v), ties → longer piece (a tie needs distinct
+    * lengths: same end + same length = same piece). `st` is the growing
+    * best-prefix array (element i+1 = best over prefix length i), `vs`
+    * the broadcast (sym, lp) vocabulary array. Integer micro-log scores
+    * make every comparison exact — no float-order ambiguity for the
+    * oracle to diverge on. */
+  private val UnigramDp =
+    """aggregate(
+         sequence(1, length(word)),
+         array(named_struct('sc', cast(0 as bigint),
+                            'ps', cast(array() as array<string>))),
+         (st, j) -> array_append(st,
+           aggregate(
+             filter(vs, v -> length(v.sym) <= j
+               and substring(word, j - length(v.sym) + 1, length(v.sym)) = v.sym),
+             cast(null as struct<sc:bigint, ps:array<string>, l:int>),
+             (b, v) -> if(b is null
+                 or element_at(st, j - length(v.sym) + 1).sc + v.lp > b.sc
+                 or (element_at(st, j - length(v.sym) + 1).sc + v.lp = b.sc
+                     and length(v.sym) > b.l),
+               named_struct(
+                 'sc', element_at(st, j - length(v.sym) + 1).sc + v.lp,
+                 'ps', array_append(
+                   element_at(st, j - length(v.sym) + 1).ps, v.sym),
+                 'l', length(v.sym)),
+               b),
+             b -> named_struct('sc', b.sc, 'ps', b.ps))))"""
+
+  /** q_unigram_tok — unigram-LM tokenizer trainer (Kudo 2018, the
+    * SentencePiece default; hard-EM variant): seed the piece inventory
+    * with every ≤[[UnigramMaxPiece]]-char substring of the corpus
+    * vocabulary (all single chars + the [[UnigramSeedMulti]] most frequent
+    * multi-char pieces, occurrence-weighted), then [[UnigramIters]] rounds
+    * of (1) score pieces by log10 relative frequency, (2) Viterbi-segment
+    * every distinct word under those scores, (3) re-count piece usage over
+    * the best segmentations. Single characters never drop below count 1
+    * (SentencePiece's required-character protection — coverage stays
+    * total, every word segmentable in every round). Output: the trained
+    * inventory — surviving pieces with final counts and 6-dp relative
+    * frequencies. Completes the production-tokenizer triad next to the
+    * [[bpeTrain]] merge trainer and [[wordpieceEncode]] greedy inference.
+    *
+    * Determinism doctrine: piece scores are integer MICRO-LOGS
+    * (round(log10(n/tot)·10⁶) as BIGINT), so every Viterbi comparison and
+    * path sum is exact integer arithmetic — the DuckDB oracle unrolls the
+    * DP per position ([[UnigramMaxLen]] stages/round) and reproduces every
+    * argmax bit-for-bit; local ties prefer the longer piece.
+    *
+    * Scale shape: ONE corpus-sized shuffle (token → word histogram,
+    * Heaps-law bounded); seeding, scoring, Viterbi (a codegen'd HOF fold
+    * per DISTINCT word against the broadcast 1-row vocab array) and
+    * re-counting are all vocabulary-sized, constant per round regardless
+    * of corpus size — the [[bpeTrain]] loop doctrine. */
+  def unigramTok(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = Tables.documents(spark, dir)
+      .select(explode(Text.tokenize($"text")).as("word"))
+      .filter($"word".rlike("^[a-z]+$") && length($"word") <= UnigramMaxLen)
+      .groupBy($"word").agg(count(lit(1)).as("f"))
+      .localCheckpoint()
+    val subs = words
+      .select($"f", explode(expr(
+        s"""flatten(transform(sequence(1, length(word)),
+             i -> transform(
+               sequence(1, least($UnigramMaxPiece, length(word) - i + 1)),
+               l -> substring(word, i, l))))""")).as("piece"))
+      .groupBy($"piece").agg(sum($"f").as("n"))
+    val chars = subs.filter(length($"piece") === 1)
+    val multi = subs.filter(length($"piece") >= 2)
+      .withColumn("rk", row_number().over(Window.orderBy($"n".desc, $"piece")))
+      .filter($"rk" <= UnigramSeedMulti).drop("rk")
+    // the seed piece SET is fixed; only counts evolve across rounds
+    var counts = chars.unionByName(multi).localCheckpoint()
+    val wAll = Window.partitionBy()
+    for (_ <- 1 to UnigramIters) {
+      val lp = counts.filter($"n" > 0)
+        .withColumn("tot", sum($"n").over(wAll))
+        .select($"piece",
+          round(log10($"n".cast("double") / $"tot".cast("double")) * 1e6, 0)
+            .cast("long").as("lp"))
+      val varr = lp.agg(sort_array(
+        collect_list(struct($"piece".as("sym"), $"lp".as("lp")))).as("vs"))
+      val used = words.crossJoin(broadcast(varr))
+        .withColumn("dp", expr(UnigramDp))
+        .select($"f",
+          explode(expr("element_at(dp, length(word) + 1).ps")).as("piece"))
+        .groupBy($"piece").agg(sum($"f").as("n"))
+      counts = counts.select($"piece")
+        .join(used, Seq("piece"), "left")
+        .select($"piece",
+          when(length($"piece") === 1,
+            greatest(coalesce($"n", lit(0L)), lit(1L)))
+            .otherwise(coalesce($"n", lit(0L))).as("n"))
+        .localCheckpoint()
+    }
+    counts.filter($"n" > 0)
+      .withColumn("tot", sum($"n").over(wAll))
+      .select($"piece", $"n",
+        round($"n".cast("double") / $"tot".cast("double"), 6).as("p"))
+      .orderBy($"n".desc, $"piece")
+  }
 }

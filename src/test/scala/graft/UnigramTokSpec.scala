@@ -1,0 +1,116 @@
+package graft
+
+import graft.queries.CorpusQueries
+import org.apache.spark.sql.functions._
+
+/** q_unigram_tok: hard-EM unigram-LM tokenizer trainer (Kudo 2018). The
+  * DuckDB oracle pins exact values; this spec replays the WHOLE trainer —
+  * seed counts, micro-log scoring, Viterbi DP with the longer-piece
+  * tie-break, protected-char re-count, all [[CorpusQueries.UnigramIters]]
+  * rounds — as an independent plain-Scala twin, plus the structural
+  * invariants a trained unigram inventory must satisfy.
+  */
+class UnigramTokSpec extends SparkSpec {
+  private val sql = SparkSpec.spark
+  import sql.implicits._
+
+  /** Viterbi best segmentation of `word` under integer micro-log scores:
+    * max path score; local ties prefer the longer ending piece. */
+  private def viterbi(word: String, lp: Map[String, Long]): Seq[String] = {
+    val L = word.length
+    // best(j) = (score, pieces) over prefix j
+    val best = new Array[(Long, Vector[String])](L + 1)
+    best(0) = (0L, Vector.empty)
+    for (j <- 1 to L) {
+      var sel: (Long, Vector[String], Int) = null
+      for (l <- 1 to math.min(CorpusQueries.UnigramMaxPiece, j)) {
+        val piece = word.substring(j - l, j)
+        lp.get(piece).foreach { w =>
+          val prev = best(j - l)
+          if (prev != null) {
+            val sc = prev._1 + w
+            if (sel == null || sc > sel._1 || (sc == sel._1 && l > sel._3))
+              sel = (sc, prev._2 :+ piece, l)
+          }
+        }
+      }
+      best(j) = if (sel == null) null else (sel._1, sel._2)
+    }
+    assert(best(L) != null, s"word $word not coverable")
+    best(L)._2
+  }
+
+  private def microLog(n: Long, tot: Long): Long =
+    math.round(math.log10(n.toDouble / tot.toDouble) * 1e6)
+
+  test("unigramTok matches a full plain-Scala EM replay: every piece, " +
+    "count and 6-dp relative frequency") {
+    // corpus word histogram via the engine's own tokenizer semantics
+    val words = graft.sources.Tables.documents(spark, sf)
+      .select(explode(split($"text", "\\s+")).as("w"))
+      .filter(length($"w") > 0)
+      .filter($"w".rlike("^[a-z]+$") &&
+        length($"w") <= CorpusQueries.UnigramMaxLen)
+      .groupBy($"w").agg(count(lit(1)).as("f"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // seed: all substrings of length <= UnigramMaxPiece per occurrence
+    val subCounts = collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    words.foreach { case (w, f) =>
+      for (i <- 0 until w.length;
+           l <- 1 to math.min(CorpusQueries.UnigramMaxPiece, w.length - i))
+        subCounts(w.substring(i, i + l)) += f
+    }
+    val chars = subCounts.filter(_._1.length == 1)
+    val multi = subCounts.filter(_._1.length >= 2).toSeq
+      .sortBy { case (p, n) => (-n, p) }
+      .take(CorpusQueries.UnigramSeedMulti)
+    var counts: Map[String, Long] = (chars ++ multi).toMap
+    for (_ <- 1 to CorpusQueries.UnigramIters) {
+      val alive = counts.filter(_._2 > 0)
+      val tot = alive.values.sum
+      val lp = alive.map { case (p, n) => p -> microLog(n, tot) }
+      val used = collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      words.foreach { case (w, f) =>
+        viterbi(w, lp).foreach(p => used(p) += f)
+      }
+      counts = counts.map { case (p, _) =>
+        p -> (if (p.length == 1) math.max(used(p), 1L) else used(p))
+      }
+    }
+    val aliveF = counts.filter(_._2 > 0)
+    val totF = aliveF.values.sum
+    val expected = aliveF.toSeq.map { case (p, n) =>
+      (p, n, math.rint(n.toDouble / totF.toDouble * 1e6) / 1e6)
+    }.sortBy { case (p, n, _) => (-n, p) }
+    val got = CorpusQueries.unigramTok(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == expected.length,
+      s"inventory size: got ${got.length} expected ${expected.length}")
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2, s"got $g expected $e")
+      assert(math.abs(g._3 - e._3) < 5e-7, s"p for ${g._1}: $g vs $e")
+    }
+  }
+
+  test("structural invariants: chars protected, counts conserve corpus " +
+    "mass, probabilities sum to ~1") {
+    val rows = CorpusQueries.unigramTok(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // every surviving piece is one of the seed shapes
+    rows.foreach { case (p, n, _) =>
+      assert(p.length >= 1 && p.length <= CorpusQueries.UnigramMaxPiece)
+      assert(n >= 1L)
+    }
+    // every corpus character survives (the protection rule)
+    val corpusChars = graft.sources.Tables.documents(spark, sf)
+      .select(explode(split($"text", "\\s+")).as("w"))
+      .filter($"w".rlike("^[a-z]+$") &&
+        length($"w") <= CorpusQueries.UnigramMaxLen)
+      .collect().flatMap(_.getString(0).toSeq).map(_.toString).toSet
+    val pieces = rows.map(_._1).toSet
+    corpusChars.foreach(c => assert(pieces.contains(c), s"char $c dropped"))
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-3)
+    // the trainer actually learned something beyond characters
+    assert(rows.exists(_._1.length >= 2), "no multi-char piece survived")
+  }
+}
