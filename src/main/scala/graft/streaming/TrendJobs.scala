@@ -80,5 +80,42 @@ object TrendJobs {
         }
       }, onError, trigger)
 
+  /** Takedown-cascade job — the streaming face of
+    * [[graft.queries.TextQueries.takedownScrub]]: per micro-batch, drop
+    * every document whose content fingerprint ([[graft.functions.Text
+    * .fingerprint]], the same md5-of-normalized-text key the batch scrub
+    * uses) appears in the ban-list dimension; survivors go to `sink`, the
+    * scrubbed rows to `removedSink` (the audit trail a right-to-be-
+    * forgotten pipeline must keep).
+    *
+    * The ban list is a SLOWLY CHANGING DIMENSION: `banList` is a thunk
+    * re-evaluated at every micro-batch (a parquet / JDBC re-read in
+    * production), so a takedown notice landing mid-stream takes effect on
+    * the NEXT batch with no query restart. The anti-join broadcasts the
+    * ban side and is STATE-FREE — nothing to watermark, no state-store
+    * growth at any stream length, unlike a stream-stream formulation.
+    * Rows with NULL text (malformed JSON, PERMISSIVE parse) have no
+    * fingerprint and pass through to `sink` un-scrubbed — a takedown can
+    * only name content, and dropping unparsed rows would hide ingest
+    * errors from the error-table path. */
+  def takedownJob(raw: DataFrame, checkpointDir: String,
+                  banList: () => DataFrame,
+                  sink: (DataFrame, Long) => Unit,
+                  removedSink: (DataFrame, Long) => Unit = (_, _) => (),
+                  onError: (Long, Throwable) => Unit = rethrow,
+                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    start(Pipeline.parseTweets(raw), checkpointDir,
+      (batch, id) => {
+        if (!batch.isEmpty) {
+          val bans = broadcast(
+            banList().select(col("fp")).distinct())
+          val fp = batch.withColumn("fp",
+            graft.functions.Text.fingerprint(col("text")))
+          sink(fp.join(bans, Seq("fp"), "left_anti").drop("fp"), id)
+          removedSink(fp.filter(col("fp").isNotNull)
+            .join(bans, Seq("fp"), "left_semi").drop("fp"), id)
+        }
+      }, onError, trigger)
+
   private def rethrow: (Long, Throwable) => Unit = (_, e) => throw e
 }

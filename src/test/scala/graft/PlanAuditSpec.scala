@@ -173,6 +173,34 @@ class PlanAuditSpec extends SparkSpec {
       s"accounting joins must broadcast at test scale:\n$p")
   }
 
+  test("jaccardPairsPrefix: candidate generation is a keyed equi-join over " +
+    "the prefix index — no cartesian shapes, bounded shuffles, one closing " +
+    "range partition (VERDICT r11 #2: the 290 s sf100 tail must stay " +
+    "prefix-linear)") {
+    val p = plan(graft.queries.SimilarityQueries.jaccardPairsPrefix(spark, sf))
+    // the only quadratic regression available here is an unkeyed join —
+    // the prefix self-join must stay an equi-join on the shingle key
+    assert(!p.contains("CartesianProduct"), s"cartesian candidates:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop:\n$p")
+    // shuffles: shingle df aggregate, the df join, the per-doc rarity
+    // window, the cnt join, the prefix self-join, candidate distinct, the
+    // two verification joins, and the closing orderBy
+    assert(exchanges(p) <= 12, s"too many shuffles:\n$p")
+    val rangeParts = "rangepartitioning".r.findAllIn(p).length
+    assert(rangeParts <= 1,
+      s"only the closing orderBy may range-partition (got $rangeParts):\n$p")
+  }
+
+  test("unigramTok: EM rounds stay behind checkpoints — the final plan " +
+    "reads no parquet and re-runs no corpus or Viterbi work") {
+    val p = plan(graft.queries.CorpusQueries.unigramTok(spark, sf))
+    assert(!p.toLowerCase.contains("parquet"),
+      s"corpus scan leaked past the checkpoint:\n$p")
+    assert(!p.contains("Join"), s"post-EM join:\n$p")
+    // the surviving work: the tot window over the piece frame + closing sort
+    assert(exchanges(p) <= 3, s"too many shuffles:\n$p")
+  }
+
   test("wordpieceEncode: segmentation cost stays behind the checkpoint; " +
     "AQE broadcasts the piece-table join at runtime") {
     val df = graft.queries.CorpusQueries.wordpieceEncode(spark, sf)

@@ -588,4 +588,56 @@ class StreamingSpec extends SparkSpec {
     assert(Pipeline.durationMs("1 day") == 86400000L)
     intercept[IllegalArgumentException](Pipeline.durationMs("5 fortnights"))
   }
+
+  test("takedownJob: stream-static anti-join scrubs banned fingerprints, " +
+    "and a ban added MID-STREAM takes effect on the next batch without a " +
+    "query restart (slowly changing dimension)") {
+    implicit val ctx = sql.sqlContext
+    import sql.implicits._
+    val banDir = java.nio.file.Files
+      .createTempDirectory("graft_bans").toString + "/bans"
+    def writeBans(texts: String*): Unit =
+      texts.toDF("text")
+        .select(graft.functions.Text.fingerprint($"text").as("fp"))
+        .write.mode("overwrite").parquet(banDir)
+    writeBans("banned from the start")
+    val kept = collection.mutable.ArrayBuffer[String]()
+    val removed = collection.mutable.ArrayBuffer[String]()
+    val in = MemoryStream[String]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_takedown_ckpt").toString
+    def runBatch(): Unit = {
+      // AvailableNow drains what's queued then stops — each call is "the
+      // next micro-batches", with the checkpoint carrying offsets across
+      val q = graft.streaming.TrendJobs.takedownJob(
+        in.toDF(), ckpt,
+        banList = () => sql.read.parquet(banDir),
+        sink = (b, _) => kept ++=
+          b.select("text").collect().map(r => Option(r.getString(0)).orNull),
+        removedSink = (b, _) => removed ++=
+          b.select("text").collect().map(_.getString(0)))
+      q.awaitTermination()
+    }
+    in.addData(
+      tweetJson("banned from the start", "2024-01-01 00:00:00", "Positive"),
+      tweetJson("fine text", "2024-01-01 00:00:01", "Neutral"),
+      tweetJson("later banned", "2024-01-01 00:00:02", "Negative"),
+      "{not json at all")
+    runBatch()
+    assert(!kept.contains("banned from the start"))
+    assert(kept.contains("fine text"))
+    assert(kept.contains("later banned"), "not yet banned — must pass batch 1")
+    assert(kept.contains(null), "malformed rows pass through un-scrubbed")
+    assert(removed.toSeq == Seq("banned from the start"))
+    // the takedown notice lands: extend the dimension between batches
+    writeBans("banned from the start", "later banned")
+    in.addData(
+      tweetJson("later banned", "2024-01-01 00:01:00", "Negative"),
+      tweetJson("another fine", "2024-01-01 00:01:01", "Positive"))
+    runBatch()
+    assert(kept.count(_ == "later banned") == 1,
+      "the mid-stream ban must scrub the second arrival")
+    assert(kept.contains("another fine"))
+    assert(removed.count(_ == "later banned") == 1)
+  }
 }
