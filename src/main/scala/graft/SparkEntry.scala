@@ -2042,26 +2042,29 @@ object SparkEntry {
     // per-bit majority vote over md5-top-64 token hashes → 64-bit
     // fingerprint; 4×16-bit band collisions → candidates; hamming ≤ 6.
     // Same bit patterns as the Spark side's signed-long fingerprints.
+    // Tier-budgeted formulation (r12): the majority vote runs as 64 sum
+    // aggregates in ONE per-doc GROUP BY (the old h × range(0,64) explosion
+    // is a 13G-row / 320M-group agg at sf100), and the hamming filter sits
+    // INSIDE the candidate DISTINCT so only qualifying pairs materialize.
+    // Votes, fingerprints and the emitted pair set are unchanged.
     "q_simhash_pairs" ->
-      """WITH tok AS (SELECT doc_id,
+      raw"""WITH tok AS (SELECT doc_id,
              unnest(list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0)) AS tok
            FROM documents),
          h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 16) AS UBIGINT) AS h FROM tok),
-         bits AS (SELECT doc_id, i,
-             CASE WHEN sum(CASE WHEN (h >> CAST(i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) > 0
-                  THEN 1 ELSE 0 END AS b
-           FROM h CROSS JOIN range(0, 64) t(i) GROUP BY 1, 2),
-         fp AS (SELECT doc_id, CAST(sum(b * (1::HUGEINT << CAST(i AS INT))) AS UBIGINT) AS fp
-           FROM bits GROUP BY 1),
-         bands AS (SELECT doc_id, fp, b, (fp >> CAST(b*16 AS INT)) & 65535 AS bh
+         fp AS (SELECT doc_id, CAST(${(0 until 64).map(i =>
+               s"(CASE WHEN sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN (1::HUGEINT << $i) ELSE 0::HUGEINT END)")
+               .mkString("\n             + ")} AS UBIGINT) AS fp
+           FROM h GROUP BY 1),
+         bands AS MATERIALIZED (SELECT doc_id, fp, b, (fp >> CAST(b*16 AS INT)) & 65535 AS bh
            FROM fp CROSS JOIN range(0, 4) t(b)),
          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             a.fp AS fpa, b.fp AS fpb
+             bit_count(xor(a.fp, b.fp)) AS hamming
            FROM bands a JOIN bands b
-             ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)
-         SELECT doc_a, doc_b, CAST(bit_count(xor(fpa, fpb)) AS INT) AS hamming
-         FROM cand WHERE bit_count(xor(fpa, fpb)) <= 6
-         ORDER BY doc_a, doc_b""",
+             ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.fp, b.fp)) <= 6)
+         SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+         FROM cand ORDER BY doc_a, doc_b""",
     // Spark session_window: event at exactly last+gap starts a NEW session,
     // hence >= in the gaps-and-islands islanding below.
     "q_session_windows" ->
