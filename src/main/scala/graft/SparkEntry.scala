@@ -68,6 +68,7 @@ object SparkEntry {
     "q_embed_dup_smalltier" -> ((s, d) => SimilarityQueries.embedDupPairs(s, d)),
     "q_embed_dup_capped" -> ((s, d) => SimilarityQueries.embedDupCapped(s, d)),
     "q_ann_ivf"        -> ((s, d) => SimilarityQueries.annIvf(s, d)),
+    "q_silhouette"     -> ((s, d) => SimilarityQueries.silhouette(s, d)),
     "q_pq_codebooks"   -> ((s, d) => SimilarityQueries.pqCodebooks(s, d)),
     "q_pq_codes"       -> ((s, d) => SimilarityQueries.pqCodes(s, d)),
     "q_ann_pq"         -> ((s, d) => SimilarityQueries.annPq(s, d)),
@@ -180,6 +181,7 @@ object SparkEntry {
     "q_bpe_vocab"       -> ((s, d) => CorpusQueries.bpeVocab(s, d)),
     "q_bpe_encode"      -> ((s, d) => CorpusQueries.bpeEncode(s, d)),
     "q_unigram_tok"     -> ((s, d) => CorpusQueries.unigramTok(s, d)),
+    "q_nmf_topics"      -> ((s, d) => CorpusQueries.nmfTopics(s, d)),
     "q_quality_lr"      -> ((s, d) => PipelineQueries.qualityLr(s, d)),
     "q_source_entropy"  -> ((s, d) => CorpusQueries.sourceEntropy(s, d)),
     "q_source_kl"       -> ((s, d) => CorpusQueries.sourceKl(s, d)),
@@ -645,6 +647,71 @@ object SparkEntry {
          round(CAST(n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS p
        FROM c$R, (SELECT sum(n) AS tot FROM c$R WHERE n > 0) t
        WHERE n > 0 ORDER BY n DESC, piece"""
+  }
+
+  /** NMF oracle: [[graft.queries.CorpusQueries.nmfTopics]]'s Lee–Seung
+    * multiplicative updates unrolled — per round the four matrix products
+    * as join-aggregates (each term quantized to 6 dp, DECIMAL fold), the
+    * k×k Gram frames cast to DOUBLE exactly where the engine casts, and
+    * the W/H entry updates re-quantized to 6 dp behind the same den > 0
+    * guard, so every round is a fixed IEEE dag both engines replay
+    * bit-identically. Inits mirror the engine's pure key arithmetic and
+    * md5-prefix seeds. */
+  private val NmfOracle: String = {
+    val k = CorpusQueries.NmfTopics
+    val rounds = (1 to CorpusQueries.NmfIters).map { r =>
+      val (pw, ph) = (s"w${r - 1}", s"h${r - 1}")
+      s"""vh$r AS (SELECT v.doc_id, h.t,
+             sum(CAST(round(v.x * h.hv, 6) AS DECIMAL(28,6))) AS num
+           FROM v JOIN $ph h ON v.term = h.term GROUP BY 1, 2),
+       hht$r AS (SELECT p.t AS t, q.t AS t2,
+             CAST(sum(CAST(round(p.hv * q.hv, 6) AS DECIMAL(28,6))) AS DOUBLE) AS g
+           FROM $ph p JOIN $ph q ON p.term = q.term GROUP BY 1, 2),
+       whh$r AS (SELECT w.doc_id, g.t2 AS t,
+             sum(CAST(round(w.wv * g.g, 6) AS DECIMAL(28,6))) AS den
+           FROM $pw w JOIN hht$r g ON w.t = g.t GROUP BY 1, 2),
+       w$r AS MATERIALIZED (SELECT w.doc_id, w.t,
+             CASE WHEN CAST(d.den AS DOUBLE) > 0.0
+               THEN round(w.wv * (CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE)), 6)
+               ELSE 0.0 END AS wv
+           FROM $pw w
+           JOIN vh$r n ON w.doc_id = n.doc_id AND w.t = n.t
+           JOIN whh$r d ON w.doc_id = d.doc_id AND w.t = d.t),
+       wtv$r AS (SELECT w.t, v.term,
+             sum(CAST(round(v.x * w.wv, 6) AS DECIMAL(28,6))) AS num
+           FROM v JOIN w$r w ON v.doc_id = w.doc_id GROUP BY 1, 2),
+       wtw$r AS (SELECT p.t AS t, q.t AS t2,
+             CAST(sum(CAST(round(p.wv * q.wv, 6) AS DECIMAL(28,6))) AS DOUBLE) AS g
+           FROM w$r p JOIN w$r q ON p.doc_id = q.doc_id GROUP BY 1, 2),
+       wtwh$r AS (SELECT g.t, h.term,
+             sum(CAST(round(g.g * h.hv, 6) AS DECIMAL(28,6))) AS den
+           FROM wtw$r g JOIN $ph h ON g.t2 = h.t GROUP BY 1, 2),
+       h$r AS MATERIALIZED (SELECT h.term, h.t,
+             CASE WHEN CAST(d.den AS DOUBLE) > 0.0
+               THEN round(h.hv * (CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE)), 6)
+               ELSE 0.0 END AS hv
+           FROM $ph h
+           JOIN wtv$r n ON h.t = n.t AND h.term = n.term
+           JOIN wtwh$r d ON h.t = d.t AND h.term = d.term)"""
+    }.mkString(",\n       ")
+    raw"""WITH v AS MATERIALIZED (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS x
+         FROM (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'),
+             q -> length(q) > 0)) AS term FROM documents)
+         GROUP BY 1, 2),
+       w0 AS MATERIALIZED (SELECT doc_id, t,
+           ((doc_id * 7 + t * 13) % 10 + 1) / 10.0 AS wv
+         FROM (SELECT DISTINCT doc_id FROM v) CROSS JOIN range(0, $k) r(t)),
+       h0 AS MATERIALIZED (SELECT term, t,
+           ((CAST(CAST('0x' || substr(md5(term), 1, 8) AS UBIGINT) AS BIGINT)
+             + t * 13) % 10 + 1) / 10.0 AS hv
+         FROM (SELECT DISTINCT term FROM v) CROSS JOIN range(0, $k) r(t)),
+       $rounds
+       SELECT t AS topic, rank, term, hv AS weight FROM (
+         SELECT t, term, hv, row_number() OVER (
+             PARTITION BY t ORDER BY hv DESC, term) AS rank
+         FROM h${CorpusQueries.NmfIters})
+       WHERE rank <= ${CorpusQueries.NmfTopTerms}
+       ORDER BY topic, rank"""
   }
 
   /** The sign-LSH bucket id as SQL (VERDICT r4 #5): the 4 hyperplanes are
@@ -3029,6 +3096,34 @@ object SparkEntry {
     "q_bpe_train" -> BpeTrainOracle,
     "q_bpe_vocab" -> BpeVocabOracle,
     "q_unigram_tok" -> UnigramOracle,
+    "q_nmf_topics" -> NmfOracle,
+    // simplified (centroid-based) silhouette over the SAME fitted k=16
+    // quantizer the IVF/dedup family replays: per vector the chord
+    // distances to nearest / second-nearest centroid rank by (cdist, cid)
+    // — sqrt can collapse adjacent cosines, so the replay never ranks by
+    // ccos — then s = (b−a)/max(a,b) quantizes to 6 dp and folds DECIMAL
+    "q_silhouette" ->
+      (KmeansCte + raw""",
+         a5 AS (SELECT e.vec_id, c.cid,
+             sqrt(greatest(0.0, 2.0 - 2.0 *
+               (list_dot_product(e.v, c.cv)
+                 / (e.vn * sqrt(list_dot_product(c.cv, c.cv)))))) AS cdist
+           FROM emb e CROSS JOIN c2 c),
+         r5 AS (SELECT vec_id, cid, cdist, row_number() OVER (
+             PARTITION BY vec_id ORDER BY cdist, cid) AS rn FROM a5),
+         ab AS (SELECT vec_id,
+             max(CASE WHEN rn = 1 THEN cid END) AS cid,
+             max(CASE WHEN rn = 1 THEN cdist END) AS a,
+             max(CASE WHEN rn = 2 THEN cdist END) AS b
+           FROM r5 WHERE rn <= 2 GROUP BY 1),
+         sil AS (SELECT cid,
+             CASE WHEN greatest(a, b) > 0.0
+               THEN round((b - a) / greatest(a, b), 6) ELSE 0.0 END AS s
+           FROM ab)
+         SELECT cid, count(*) AS n_members,
+           round(CAST(sum(CAST(s AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6)
+             AS mean_silhouette
+         FROM sil GROUP BY 1 ORDER BY cid"""),
     "q_bpe_encode" -> BpeEncodeOracle,
     // LR quality filter: identical feature arithmetic (exact integer token
     // sums -> double division), z rounded to the 6-dp grid BEFORE exp so

@@ -1611,4 +1611,115 @@ object CorpusQueries {
         round($"n".cast("double") / $"tot".cast("double"), 6).as("p"))
       .orderBy($"n".desc, $"piece")
   }
+
+  // ---------------------------------------------------------------------
+  // Topic modeling: non-negative matrix factorization with Lee & Seung
+  // (NIPS 2000) multiplicative updates on the Frobenius objective —
+  // ‖V − W·H‖², V the docs×terms count matrix. The classic distributed
+  // formulation: every matrix product is a join linear in nnz(V) or in
+  // |vocab|·k² — W ∘ (VHᵀ)/(WHHᵀ) and H ∘ (WᵀV)/(WᵀWH) never materialize
+  // a dense matrix, because HHᵀ / WᵀW are k×k broadcasts and the V-side
+  // products stream over the sparse count frame.
+  // ---------------------------------------------------------------------
+
+  /** Number of NMF topics (k). */
+  val NmfTopics = 4
+
+  /** Multiplicative-update rounds — enough for the factor ranking to
+    * stabilize while keeping the DuckDB oracle's unrolled CTE chain flat. */
+  val NmfIters = 2
+
+  /** Terms reported per topic. */
+  val NmfTopTerms = 10
+
+  /** NMF topic model over the whitespace docs×terms count matrix: the
+    * registered face emits each topic's top [[NmfTopTerms]] terms by final
+    * H weight (ties → term asc).
+    *
+    * Determinism doctrine (the PageRank / Lloyd playbook): deterministic
+    * inits — W₀(d,t) from pure key arithmetic, H₀(t,term) from the md5
+    * prefix both engines compute bit-identically — every sum quantizes its
+    * terms to 6 dp and folds in DECIMAL (order-exact), every update entry
+    * re-quantizes to 6 dp, and division guards den > 0 explicitly, so the
+    * whole iteration is a fixed IEEE dag the DuckDB oracle replays as
+    * unrolled CTEs.
+    *
+    * Scale shape at 100 TB: nnz(V) is the only corpus-sized frame
+    * (localCheckpointed once, scanned 2× per round); VHᵀ / WᵀV shuffle on
+    * (doc,t) / (t,term) keys with map-side partial aggregation; HHᵀ and
+    * WᵀW are k²-row broadcasts; W and H stay k-times-entity-sized. No
+    * all-pairs product anywhere. */
+  def nmfTopics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (_, _, _, _, h) = nmfFactors(spark, dir)
+    val byWeight = Window.partitionBy($"t").orderBy($"hv".desc, $"term")
+    h.withColumn("rank", row_number().over(byWeight))
+      .filter($"rank" <= NmfTopTerms)
+      .select($"t".as("topic"), $"rank", $"term", $"hv".as("weight"))
+      .orderBy($"topic", $"rank")
+  }
+
+  /** The NMF iteration itself: (V, W₀, H₀, W, H) — the registered face
+    * ranks H; the spec checks the Frobenius objective decreases from the
+    * deterministic inits to the returned factors. */
+  private[graft] def nmfFactors(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    val topics = spark.range(NmfTopics).toDF("t")
+    val v = Tables.documents(spark, dir)
+      .select($"doc_id", explode(Text.tokenize($"text")).as("term"))
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).cast("double").as("x"))
+      .localCheckpoint()
+    val w0 = v.select($"doc_id").distinct().crossJoin(topics)
+      .withColumn("wv",
+        ((($"doc_id" * 7 + $"t" * 13) % 10 + 1).cast("double") / lit(10.0)))
+      .localCheckpoint()
+    val h0 = v.select($"term").distinct().crossJoin(topics)
+      .withColumn("hv",
+        (((conv(substring(md5($"term"), 1, 8), 16, 10).cast("long") +
+          $"t" * 13) % 10 + 1).cast("double") / lit(10.0)))
+      .localCheckpoint()
+    var w = w0
+    var h = h0
+    for (_ <- 0 until NmfIters) {
+      // W ← W ∘ (VHᵀ) / (W·HHᵀ)
+      val vh = v.join(h, "term")
+        .groupBy($"doc_id", $"t")
+        .agg(sum(round($"x" * $"hv", 6).cast("decimal(28,6)")).as("num"))
+      val hht = h.as("p").join(h.as("q"), $"p.term" === $"q.term")
+        .groupBy($"p.t".as("t"), $"q.t".as("t2"))
+        .agg(sum(round($"p.hv" * $"q.hv", 6).cast("decimal(28,6)"))
+          .cast("double").as("g"))
+      val whh = w.join(broadcast(hht), "t")
+        .groupBy($"doc_id", $"t2")
+        .agg(sum(round($"wv" * $"g", 6).cast("decimal(28,6)")).as("den"))
+        .withColumnRenamed("t2", "t")
+      w = w.join(vh, Seq("doc_id", "t")).join(whh, Seq("doc_id", "t"))
+        .select($"doc_id", $"t",
+          when($"den".cast("double") > 0.0,
+            round($"wv" * ($"num".cast("double") / $"den".cast("double")), 6))
+            .otherwise(lit(0.0)).as("wv"))
+        .localCheckpoint()
+      // H ← H ∘ (WᵀV) / (WᵀW·H)
+      val wtv = v.join(w, "doc_id")
+        .groupBy($"t", $"term")
+        .agg(sum(round($"x" * $"wv", 6).cast("decimal(28,6)")).as("num"))
+      val wtw = w.as("p").join(w.as("q"), $"p.doc_id" === $"q.doc_id")
+        .groupBy($"p.t".as("t"), $"q.t".as("t2"))
+        .agg(sum(round($"p.wv" * $"q.wv", 6).cast("decimal(28,6)"))
+          .cast("double").as("g"))
+      val wtwh = broadcast(wtw).as("g")
+        .join(h.as("hh"), $"g.t2" === $"hh.t")
+        .groupBy($"g.t".as("t"), $"hh.term".as("term"))
+        .agg(sum(round($"g.g" * $"hh.hv", 6).cast("decimal(28,6)")).as("den"))
+      h = h.join(wtv, Seq("t", "term")).join(wtwh, Seq("t", "term"))
+        .select($"term", $"t",
+          when($"den".cast("double") > 0.0,
+            round($"hv" * ($"num".cast("double") / $"den".cast("double")), 6))
+            .otherwise(lit(0.0)).as("hv"))
+        .localCheckpoint()
+    }
+    (v, w0, h0, w, h)
+  }
 }

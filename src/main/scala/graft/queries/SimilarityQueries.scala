@@ -1150,6 +1150,46 @@ object SimilarityQueries {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  /** Per-cell simplified silhouette of the fitted k=16 cosine quantizer
+    * (Hruschka et al.'s centroid-based variant of Rousseeuw 1987): for
+    * each vector, a = chord distance to its nearest centroid, b = chord
+    * distance to the second-nearest, s = (b−a)/max(a,b) — the O(n·k)
+    * replacement for the O(n²) pairwise silhouette, the standard cluster-
+    * quality gauge an embedding-curation pipeline reports next to the fit.
+    *
+    * Determinism doctrine: distances rank by (cdist, cid) — the
+    * [[embedDupCapped]] ordering, since sqrt can collapse adjacent
+    * cosines — s quantizes to 6 dp per vector, and the per-cell mean is a
+    * DECIMAL sum over the 6-dp grid divided by the member count, so fold
+    * order cannot perturb the hash. Scale shape: one broadcast crossJoin
+    * against the 16-row centroid frame (reusing the session's memoized
+    * fit), a 16-element sorted-struct collect per vector, one final
+    * 16-group aggregate — linear, no shuffle beyond the per-vector agg. */
+  def silhouette(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("vn", Similarity.l2norm($"v"))
+    val cents = fittedCentroids(spark, dir, 16)
+    val ab = emb.crossJoin(broadcast(cents))
+      .withColumn("cdist", sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) *
+        (Similarity.dot($"v", $"cv") / ($"vn" * $"cn")))))
+      .groupBy($"vec_id")
+      .agg(array_sort(collect_list(struct($"cdist", $"cid"))).as("ds"))
+      .select($"vec_id",
+        $"ds".getItem(0).getField("cid").as("cid"),
+        $"ds".getItem(0).getField("cdist").as("a"),
+        $"ds".getItem(1).getField("cdist").as("b"))
+    ab.withColumn("s", when(greatest($"a", $"b") > 0.0,
+        round(($"b" - $"a") / greatest($"a", $"b"), 6)).otherwise(lit(0.0)))
+      .groupBy($"cid")
+      .agg(count(lit(1)).as("n_members"),
+        sum($"s".cast("decimal(28,6)")).as("ssum"))
+      .select($"cid", $"n_members",
+        round($"ssum".cast("double") / $"n_members", 6).as("mean_silhouette"))
+      .orderBy($"cid")
+  }
+
   // ---------------------------------------------------------------------
   // Product quantization (Jégou, Douze & Schmid 2011, "Product
   // Quantization for Nearest Neighbor Search", IEEE TPAMI) — the
