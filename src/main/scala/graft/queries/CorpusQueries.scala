@@ -108,9 +108,22 @@ object CorpusQueries {
     // as tuples so the boundary-row job and the adjacency pass both read
     // the sorted blocks instead of re-sorting (the uncached zipWithIndex/
     // self-join formulation ran the corpus sort three times — the r10
-    // sf10 bench's 98 s #1 tail)
-    val sorted = sufs.orderBy($"suf", $"doc_id", $"pos")
-      .as[(Long, Int, Seq[String])].rdd
+    // sf10 bench's 98 s #1 tail).
+    //
+    // The sort key is the suffix joined on NUL, not the array<string>
+    // itself: array ordering drops the comparator out of codegen into an
+    // interpreted per-element BaseOrdering (r12 profile: every 5M-doc-tier
+    // sort task pinned in BaseOrdering.compare), while a single string
+    // key compares as one memcmp. NUL sits strictly below every token
+    // byte (tokens are whitespace-split, hence non-empty and control-free)
+    // so the joined order is EXACTLY the element-wise lexicographic order
+    // the DuckDB oracle's list comparison uses — including the
+    // shorter-array-is-prefix rule. The sorted blocks also shed the
+    // per-element object headers.
+    val sorted = sufs
+      .select($"doc_id", $"pos", array_join($"suf", "\u0000").as("sufkey"))
+      .orderBy($"sufkey", $"doc_id", $"pos")
+      .as[(Long, Int, String)].rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // every partition's first row, broadcast (numPartitions tiny rows) —
     // partition-boundary adjacency without a second shuffle
@@ -124,12 +137,24 @@ object CorpusQueries {
     // single adjacency pass: consecutive rows in-partition, plus each
     // partition's last row vs the next non-empty partition's first.
     // Emits BOTH endpoints of every LCP >= L pair as duplicated cover.
+    val Sep = '\u0000'
     val cover = sorted.mapPartitionsWithIndex { (pi, it) =>
-      def lcpOf(a: Seq[String], b: Seq[String]): Int = {
+      // token-level LCP straight off the NUL-joined keys: common char
+      // prefix, count the separators inside it, plus one when BOTH sides
+      // sit on a token boundary (end-of-string or NUL) at the divergence
+      // point — equivalent to counting matching leading tokens, without
+      // re-splitting. (Both at NUL is impossible at a divergence: equal
+      // chars would have extended the prefix.)
+      def lcpOf(a: String, b: String): Int = {
         val n = math.min(a.length, b.length)
         var i = 0
-        while (i < n && a(i) == b(i)) i += 1
-        i
+        while (i < n && a.charAt(i) == b.charAt(i)) i += 1
+        var toks = 0
+        var j = 0
+        while (j < i) { if (a.charAt(j) == Sep) toks += 1; j += 1 }
+        val aBound = i == a.length || a.charAt(i) == Sep
+        val bBound = i == b.length || b.charAt(i) == Sep
+        if (i > 0 && aBound && bBound) toks + 1 else toks
       }
       val laterFirsts = ((pi + 1) until nParts).iterator
         .flatMap(bcFirsts.value.get)
