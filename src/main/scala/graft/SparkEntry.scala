@@ -182,6 +182,7 @@ object SparkEntry {
     "q_bpe_encode"      -> ((s, d) => CorpusQueries.bpeEncode(s, d)),
     "q_unigram_tok"     -> ((s, d) => CorpusQueries.unigramTok(s, d)),
     "q_nmf_topics"      -> ((s, d) => CorpusQueries.nmfTopics(s, d)),
+    "q_textrank"        -> ((s, d) => TextQueries.textrank(s, d)),
     "q_quality_lr"      -> ((s, d) => PipelineQueries.qualityLr(s, d)),
     "q_source_entropy"  -> ((s, d) => CorpusQueries.sourceEntropy(s, d)),
     "q_source_kl"       -> ((s, d) => CorpusQueries.sourceKl(s, d)),
@@ -647,6 +648,45 @@ object SparkEntry {
          round(CAST(n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS p
        FROM c$R, (SELECT sum(n) AS tot FROM c$R WHERE n > 0) t
        WHERE n > 0 ORDER BY n DESC, piece"""
+  }
+
+  /** TextRank oracle: [[graft.queries.TextQueries.textrank]]'s weighted
+    * PageRank over the token co-occurrence graph, all iterations unrolled
+    * (the PagerankOracle doctrine: per-edge contributions 6-dp-quantized
+    * and DECIMAL-folded, score updates re-quantized, teleport/damping
+    * literals printed from the SAME Scala doubles the engine folds). */
+  private val TextrankOracle: String = {
+    val d = GraphQueries.Damping
+    val iters = (1 to TextQueries.TrIters).map { k =>
+      s"""c$k AS (SELECT f.dst,
+             sum(CAST(round(r${k - 1}.s * f.frac, 6) AS DECIMAL(28,6))) AS insum
+           FROM f JOIN r${k - 1} ON f.src = r${k - 1}.w GROUP BY 1),
+       r$k AS (SELECT n.w,
+             ${1.0 - d} + $d * coalesce(CAST(insum AS DOUBLE), 0.0) AS s
+           FROM n LEFT JOIN c$k ON n.w = c$k.dst)"""
+    }.mkString(",\n       ")
+    val shifts = (1 to TextQueries.TrWindow).map { off =>
+      s"""SELECT a.w AS src, b.w AS dst FROM tok a JOIN tok b
+           ON a.doc_id = b.doc_id AND b.pos = a.pos + $off AND a.w != b.w"""
+    }.mkString("\n         UNION ALL\n         ")
+    raw"""WITH tok AS (SELECT doc_id, pos, t[pos] AS w FROM (
+           SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos, t FROM (
+             SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+               q -> length(q) > 0) AS t
+             FROM documents))),
+       pair AS ($shifts),
+       e AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS DOUBLE) AS ew
+         FROM (SELECT src, dst FROM pair
+               UNION ALL SELECT dst AS src, src AS dst FROM pair)
+         GROUP BY 1, 2),
+       o AS (SELECT src, sum(ew) AS outw FROM e GROUP BY 1),
+       f AS MATERIALIZED (SELECT e.src, e.dst, e.ew / o.outw AS frac
+         FROM e JOIN o USING (src)),
+       n AS MATERIALIZED (SELECT DISTINCT src AS w FROM e),
+       r0 AS (SELECT w, 1.0 AS s FROM n),
+       $iters
+       SELECT w AS word, s AS score FROM r${TextQueries.TrIters}
+       ORDER BY score DESC, word LIMIT ${TextQueries.TrTop}"""
   }
 
   /** NMF oracle: [[graft.queries.CorpusQueries.nmfTopics]]'s Lee–Seung
@@ -3097,6 +3137,7 @@ object SparkEntry {
     "q_bpe_vocab" -> BpeVocabOracle,
     "q_unigram_tok" -> UnigramOracle,
     "q_nmf_topics" -> NmfOracle,
+    "q_textrank" -> TextrankOracle,
     // simplified (centroid-based) silhouette over the SAME fitted k=16
     // quantizer the IVF/dedup family replays: per vector the chord
     // distances to nearest / second-nearest centroid rank by (cdist, cid)

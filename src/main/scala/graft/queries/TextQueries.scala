@@ -214,4 +214,69 @@ object TextQueries {
         coalesce($"vr", lit(0L)).as("vecs_removed"))
       .orderBy($"source")
   }
+
+  /** Co-occurrence window of [[textrank]] (±[[TrWindow]] token positions —
+    * Mihalcea & Tarau use 2–10; 2 keeps the edge mass tight). */
+  val TrWindow = 2
+
+  /** Synchronous TextRank iterations. */
+  val TrIters = 5
+
+  /** Keywords reported by [[textrank]]. */
+  val TrTop = 30
+
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004): weighted
+    * PageRank over the token co-occurrence graph — words are nodes, an
+    * undirected edge weighted by how often two words appear within
+    * [[TrWindow]] positions of each other, top-[[TrTop]] words by
+    * stationary score.
+    *
+    * Scale shape: pair generation is [[TrWindow]] equi-joins on
+    * (doc_id, pos+off) — exactly n·W pair rows, never a per-document
+    * position cross join — and each iteration is one edge-frame join +
+    * vocabulary-sized aggregate, the [[GraphQueries.pagerank]] loop shape
+    * with the edge frame checkpointed once. Determinism doctrine: per-edge
+    * contributions quantize to 6 dp and fold in DECIMAL; the score update
+    * itself stays UNROUNDED (the mmrRerank rule — it is a fixed IEEE dag
+    * over a DECIMAL-exact insum, bit-identical across engines, while
+    * re-rounding it would diverge on 7th-decimal ties between Spark's
+    * exact-binary HALF_UP and DuckDB's ×1e6 double round); init exactly 1,
+    * so the DuckDB oracle unrolls all [[TrIters]] iterations
+    * bit-identically. */
+  def textrank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", posexplode(Text.tokenize($"text")).as(Seq("pos", "w")))
+    // (doc, pos) ⋈ (doc, pos+off) for off = 1..W — n·W equi-join pairs;
+    // both directions of every co-occurrence, self-pairs dropped
+    val shifted = (1 to TrWindow).map { off =>
+      toks.as("a").join(toks.as("b"),
+          $"a.doc_id" === $"b.doc_id" && $"b.pos" === $"a.pos" + off &&
+            $"a.w" =!= $"b.w")
+        .select($"a.w".as("src"), $"b.w".as("dst"))
+    }.reduce(_ unionByName _)
+    val edges = shifted
+      .unionByName(shifted.select($"dst".as("src"), $"src".as("dst")))
+      .groupBy($"src", $"dst").agg(count(lit(1)).cast("double").as("ew"))
+    val outw = edges.groupBy($"src").agg(sum($"ew").as("outw"))
+    val frac = edges.join(outw, "src")
+      .select($"src", $"dst", ($"ew" / $"outw").as("frac"))
+      .localCheckpoint()
+    val nodes = edges.select($"src".as("w")).distinct().localCheckpoint()
+    var scores = nodes.select($"w", lit(1.0).as("s"))
+    for (_ <- 1 to TrIters) {
+      val contrib = frac.join(scores, frac("src") === scores("w"))
+        .select($"dst", round($"s" * $"frac", 6)
+          .cast("decimal(28,6)").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("insum"))
+      scores = nodes
+        .join(contrib, $"w" === $"dst", "left")
+        .select($"w",
+          (lit(1.0 - GraphQueries.Damping) + lit(GraphQueries.Damping) *
+            coalesce($"insum".cast("double"), lit(0.0))).as("s"))
+        .localCheckpoint()
+    }
+    scores.orderBy($"s".desc, $"w").limit(TrTop)
+      .select($"w".as("word"), $"s".as("score"))
+  }
 }
