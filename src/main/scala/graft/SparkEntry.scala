@@ -544,24 +544,31 @@ object SparkEntry {
            WHERE w.pos <= length(w.word))),
        wp AS MATERIALIZED (
          SELECT word, ps FROM walk WHERE pos > length(word)),
+       -- tier-budget (r12): flatten the per-word piece LIST to a string +
+       -- count + unk flag ONCE per distinct word (vocabulary-sized), so
+       -- the corpus-sized doc face joins scalars, never 200M lists — the
+       -- formulation that exceeded an 80 GB DuckDB budget at sf100 (r11)
+       wps AS MATERIALIZED (SELECT word, array_to_string(ps, ' ') AS pstr,
+           CAST(len(ps) AS BIGINT) AS pn, ps[1] = '[UNK]' AS unk FROM wp),
        dw AS (SELECT doc_id, unnest(range(len(t))) AS p, unnest(t) AS word
          FROM (SELECT doc_id,
              list_filter(regexp_split_to_array(text, '\s+'),
                q -> length(q) > 0) AS t
            FROM documents)),
-       enc AS (SELECT d.doc_id, d.p, d.word,
+       enc AS (SELECT d.doc_id, d.p,
            regexp_matches(d.word, '^[a-z]+$$') AS alpha,
            CASE WHEN regexp_matches(d.word, '^[a-z]+$$')
-             THEN s.ps ELSE [d.word] END AS pp
-         FROM dw d LEFT JOIN wp s USING (word)),
+             THEN s.pstr ELSE d.word END AS pstr,
+           s.pn, s.unk
+         FROM dw d LEFT JOIN wps s USING (word)),
        agg AS (SELECT doc_id,
            CAST(sum(CASE WHEN alpha THEN 1 ELSE 0 END) AS BIGINT) AS w,
            CAST(sum(CASE WHEN NOT alpha THEN 1 ELSE 0 END) AS BIGINT) AS o,
-           CAST(sum(CASE WHEN alpha AND pp[1] = '[UNK]' THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN alpha AND unk THEN 1 ELSE 0 END)
              AS BIGINT) AS u,
-           CAST(coalesce(sum(CASE WHEN alpha THEN len(pp) ELSE 0 END), 0)
+           CAST(coalesce(sum(CASE WHEN alpha THEN pn ELSE 0 END), 0)
              AS BIGINT) AS s,
-           md5(string_agg(array_to_string(pp, ' '), ' ' ORDER BY p)) AS fp
+           md5(string_agg(pstr, ' ' ORDER BY p)) AS fp
          FROM enc GROUP BY 1)
        SELECT d.doc_id,
          coalesce(a.w, 0) AS n_words,
@@ -3819,24 +3826,53 @@ object SparkEntry {
     // reciprocal top-5 within the scaled-k clusters: the semantic-dedup
     // assignment CTEs, one directed pair frame, ranks via row_number on
     // the shared 6-dp cosines, mutuality as a swapped-key self-join
-    "q_rnn_pairs" ->
-      (SemKmeansCte +
-        s""", a3 AS (SELECT e.vec_id, e.v, e.vn, c.cid,
+    "q_rnn_pairs" -> RnnOracle,
+  )
+
+  /** RNN-pairs oracle: the scaled-k assignment replay, then the per-vector
+    * within-cluster top-[[graft.queries.SimilarityQueries.RnnK]] as
+    * [[graft.queries.SimilarityQueries.RnnK]] UNROLLED argmax rounds with
+    * exclusion anti-joins (r12) — the old single QUALIFY window had to sort
+    * the FULL directed pair mass (n·cell ≈ 20G rows at sf100, a ~0.5 TB
+    * DuckDB spill); each round here is one scan-aggregate whose state is
+    * one best-candidate per vector, so memory stays n-sized and only the
+    * dot products are paid K times. Ordering is encoded in a fixed-width
+    * string key — cos+1 at 6 dp (cos is already 6-dp-rounded, so distinct
+    * values differ by ≥ 1e-6 and the printf digits are exact) then the
+    * bitwise-inverted vb — reproducing exactly the engine's
+    * (cos DESC, vb ASC) row_number order. */
+  private val RnnOracle: String = {
+    val k = SimilarityQueries.RnnK
+    val key = "printf('%08.6f', round(list_dot_product(a.v, b.v) / (a.vn * b.vn), 6) + 1.0)" +
+      " || printf('%010d', 9999999999 - b.vec_id)"
+    val best = "struct_pack(vb := b.vec_id, " +
+      "cos := round(list_dot_product(a.v, b.v) / (a.vn * b.vn), 6))"
+    val rounds = (1 to k).map { r =>
+      val excl =
+        if (r == 1) ""
+        else s"""
+           LEFT JOIN t${r - 1} x ON x.va = a.vec_id AND x.vb = b.vec_id
+           WHERE x.va IS NULL"""
+      val prev =
+        if (r == 1) "" else s"SELECT * FROM t${r - 1} UNION ALL "
+      s"""p$r AS (SELECT a.vec_id AS va, max_by($best, $key) AS best
+           FROM s3 a JOIN s3 b ON a.cid = b.cid AND a.vec_id != b.vec_id$excl
+           GROUP BY 1),
+       t$r AS MATERIALIZED (${prev}SELECT va, best.vb AS vb, best.cos AS cos,
+           CAST($r AS BIGINT) AS rn FROM p$r)"""
+    }.mkString(",\n       ")
+    SemKmeansCte +
+      s""", a3 AS (SELECT e.vec_id, e.v, e.vn, c.cid,
              list_dot_product(e.v, c.cv) / (e.vn * sqrt(list_dot_product(c.cv, c.cv))) AS ccos
            FROM emb e CROSS JOIN c2 c),
-         s3 AS (SELECT vec_id, v, vn, cid FROM (
+         s3 AS MATERIALIZED (SELECT vec_id, v, vn, cid FROM (
              SELECT vec_id, v, vn, cid,
                row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
              FROM a3) WHERE rn = 1),
-         pr AS (SELECT a.vec_id AS va, b.vec_id AS vb,
-             round(list_dot_product(a.v, b.v) / (a.vn * b.vn), 6) AS cos
-           FROM s3 a JOIN s3 b ON a.cid = b.cid AND a.vec_id != b.vec_id),
-         tk AS (SELECT va, vb, cos, row_number() OVER (
-             PARTITION BY va ORDER BY cos DESC, vb) AS rn
-           FROM pr QUALIFY rn <= ${SimilarityQueries.RnnK})
+         $rounds
          SELECT x.va AS vec_a, x.vb AS vec_b, x.cos AS cosine,
            x.rn AS rank_ab, y.rn AS rank_ba
-         FROM tk x JOIN tk y ON x.va = y.vb AND x.vb = y.va AND x.va < x.vb
-         ORDER BY vec_a, vec_b"""),
-  )
+         FROM t$k x JOIN t$k y ON x.va = y.vb AND x.vb = y.va AND x.va < x.vb
+         ORDER BY vec_a, vec_b"""
+  }
 }
