@@ -217,4 +217,35 @@ class PlanAuditSpec extends SparkSpec {
       s"no sort-merge join may survive at test scale:\n$p")
     assert(exchanges(p) <= 6, s"too many shuffles:\n$p")
   }
+
+  test("silhouette: one broadcast crossJoin against the 16-row centroid " +
+    "frame — the catalog never shuffles for scoring") {
+    val p = plan(graft.queries.SimilarityQueries.silhouette(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"centroids must broadcast into the crossJoin:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no sort-merge join in the scoring path:\n$p")
+    // per-vector collect_list aggregate, the 16-cell aggregate, closing sort
+    assert(exchanges(p) <= 3, s"too many shuffles:\n$p")
+  }
+
+  test("nmfTopics: both update rounds stay behind checkpoints — the final " +
+    "plan ranks the vocab-sized H frame and reads no parquet") {
+    val p = plan(graft.queries.CorpusQueries.nmfTopics(spark, sf))
+    assert(!p.contains("Scan parquet"),
+      s"post-checkpoint plan must not rescan the corpus:\n$p")
+    // the rank window's hash partition on t + the closing orderBy
+    assert(exchanges(p) <= 2, s"too many shuffles:\n$p")
+  }
+
+  test("textrank: iterations stay behind checkpoints — the final plan is " +
+    "a bounded top-k over the checkpointed score frame") {
+    val p = plan(graft.queries.TextQueries.textrank(spark, sf))
+    assert(!p.contains("Scan parquet"),
+      s"post-checkpoint plan must not rescan the corpus:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-30 must compile to a bounded buffer, not a global sort:\n$p")
+    assert(exchanges(p) <= 1, s"too many shuffles:\n$p")
+  }
 }
