@@ -1094,8 +1094,8 @@ object SparkEntry {
           GROUP BY 1 ORDER BY 1""",
     "q_decayed_types" ->
       s"""SELECT event_type,
-          round(sum($W), 6) AS decayed_count,
-          round(sum($W * value), 6) AS decayed_value,
+          CAST(sum(CAST(round($W, 6) AS DECIMAL(28,6))) AS DOUBLE) AS decayed_count,
+          CAST(sum(CAST(round($W * value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS decayed_value,
           count(*) AS n_events
           FROM events, (SELECT max(ts) AS as_of FROM events)
           GROUP BY 1 ORDER BY 1""",

@@ -61,11 +61,19 @@ object TrendQueries {
     * recent activity counts more than old. */
   def decayedTypeTrend(spark: SparkSession, dir: String): DataFrame = {
     val w = Decay.decayWeight(col("ts"), col("as_of"), Rate, HalfLifeSec)
+    // per-TYPE sums span millions of rows at the scale tiers — quantize
+    // each term to the 6-dp grid and fold in DECIMAL (order-exact), or the
+    // 6th decimal of a ~1e7 raw-double sum flips with partition layout
+    // (caught live in the r12 sf10 sweep after the tier regenerated with a
+    // different file order; the hour-bucketed sibling keeps raw sums — its
+    // per-group mass stays far below the grid)
     withAsOf(spark, dir)
       .groupBy(col("event_type"))
       .agg(
-        round(sum(w), 6).as("decayed_count"),
-        round(sum(w * col("value")), 6).as("decayed_value"),
+        sum(round(w, 6).cast("decimal(28,6)")).cast("double")
+          .as("decayed_count"),
+        sum(round(w * col("value"), 6).cast("decimal(28,6)")).cast("double")
+          .as("decayed_value"),
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
   }
