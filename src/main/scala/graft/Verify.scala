@@ -14,6 +14,10 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // serialized persists (the suffix-sort blocks) compress ~4x — the
+      // difference between fitting and filling local scratch at the 5M-doc
+      // tier, and exactly what a real cluster config would set
+      .config("spark.rdd.compress", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.legacy.sizeOfNull", "false")

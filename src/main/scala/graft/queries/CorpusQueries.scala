@@ -103,42 +103,47 @@ object CorpusQueries {
       .select($"doc_id",
         explode(sequence(lit(1), size($"toks") - L + 1)).as("pos"),
         $"toks")
-      .select($"doc_id", $"pos", slice($"toks", $"pos", lit(W)).as("suf"))
-    // ONE range-partitioned sort (the suffix-array construction), cached
-    // as tuples so the boundary-row job and the adjacency pass both read
-    // the sorted blocks instead of re-sorting (the uncached zipWithIndex/
-    // self-join formulation ran the corpus sort three times — the r10
-    // sf10 bench's 98 s #1 tail).
+      .select($"doc_id", $"pos", slice($"toks", $"pos", lit(L)).as("pre"),
+        slice($"toks", $"pos", lit(W)).as("suf"))
+    // The suffix "sort" is a HASH shuffle on the first-L-token prefix plus
+    // a sort WITHIN partitions — not a global range sort (r12). Two rows
+    // with LCP >= L share their first L tokens EXACTLY, so (a) every
+    // qualifying pair lands in one hash group, (b) within a group the
+    // restriction of the global lexicographic order is the group order,
+    // and (c) any row lexicographically between two same-prefix rows
+    // shares the prefix too — group-adjacency IS global adjacency for
+    // every pair that can reach lcp >= L, and cross-group/cross-partition
+    // neighbors can never qualify. The emitted cover set is therefore
+    // bit-identical to the global-sort formulation (the oracle keeps its
+    // global lead() window), while the engine sheds the sampling pass,
+    // the partition-boundary broadcast, the persisted sorted blocks and
+    // the second pass — at the 5M-doc tier the global sort's sampling +
+    // persist + reduce spill tripled transient disk and overflowed local
+    // scratch (two r12 attempts died on No-space-left).
     //
-    // The sort key is the suffix joined on NUL, not the array<string>
-    // itself: array ordering drops the comparator out of codegen into an
-    // interpreted per-element BaseOrdering (r12 profile: every 5M-doc-tier
-    // sort task pinned in BaseOrdering.compare), while a single string
-    // key compares as one memcmp. NUL sits strictly below every token
-    // byte (tokens are whitespace-split, hence non-empty and control-free)
-    // so the joined order is EXACTLY the element-wise lexicographic order
-    // the DuckDB oracle's list comparison uses — including the
-    // shorter-array-is-prefix rule. The sorted blocks also shed the
-    // per-element object headers.
+    // The within-partition sort key is the suffix joined on NUL, not the
+    // array<string> itself: array ordering drops the comparator out of
+    // codegen into an interpreted per-element BaseOrdering (r12 profile:
+    // every 5M-doc-tier sort task pinned in BaseOrdering.compare), while
+    // a single string key compares as one memcmp. NUL sits strictly below
+    // every token byte (tokens are whitespace-split, hence non-empty and
+    // control-free) so the joined order is EXACTLY the element-wise
+    // lexicographic order the DuckDB oracle's list comparison uses —
+    // including the shorter-array-is-prefix rule.
     val sorted = sufs
-      .select($"doc_id", $"pos", array_join($"suf", "\u0000").as("sufkey"))
-      .orderBy($"sufkey", $"doc_id", $"pos")
+      .select($"doc_id", $"pos", array_join($"pre", "\u0000").as("pre"),
+        array_join($"suf", "\u0000").as("sufkey"))
+      .repartition($"pre")
+      .sortWithinPartitions($"sufkey", $"doc_id", $"pos")
+      .select($"doc_id", $"pos", $"sufkey")
       .as[(Long, Int, String)].rdd
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    // every partition's first row, broadcast (numPartitions tiny rows) —
-    // partition-boundary adjacency without a second shuffle
-    val firsts = sorted
-      .mapPartitionsWithIndex((i, it) =>
-        if (it.hasNext) Iterator((i, it.next())) else Iterator.empty)
-      .collect().toMap
-    val nParts = sorted.getNumPartitions
-    val bcFirsts = spark.sparkContext.broadcast(firsts)
     val minL = L
-    // single adjacency pass: consecutive rows in-partition, plus each
-    // partition's last row vs the next non-empty partition's first.
+    // single adjacency pass, in-partition only: a prefix group never spans
+    // partitions (hash partitioning), and a pair straddling two groups
+    // cannot reach lcp >= L, so partition boundaries need no stitching.
     // Emits BOTH endpoints of every LCP >= L pair as duplicated cover.
     val Sep = '\u0000'
-    val cover = sorted.mapPartitionsWithIndex { (pi, it) =>
+    val cover = sorted.mapPartitions { it =>
       // token-level LCP straight off the NUL-joined keys: common char
       // prefix, count the separators inside it, plus one when BOTH sides
       // sit on a token boundary (end-of-string or NUL) at the divergence
@@ -156,12 +161,7 @@ object CorpusQueries {
         val bBound = i == b.length || b.charAt(i) == Sep
         if (i > 0 && aBound && bBound) toks + 1 else toks
       }
-      val laterFirsts = ((pi + 1) until nParts).iterator
-        .flatMap(bcFirsts.value.get)
-      val nextFirst =
-        if (laterFirsts.hasNext) Iterator.single(laterFirsts.next())
-        else Iterator.empty
-      (it ++ nextFirst).sliding(2).withPartial(false).flatMap {
+      it.sliding(2).withPartial(false).flatMap {
         case Seq(a, b) =>
           val l = lcpOf(a._3, b._3)
           if (l >= minL) Iterator((a._1, a._2, l), (b._1, b._2, l))
@@ -186,13 +186,11 @@ object CorpusQueries {
       .withColumn("span_tokens", $"span_end" - $"span_start" + 1)
       .select($"doc_id", $"span_start", $"span_end", $"span_tokens",
         $"n_positions")
-      // eager: the span-sized result materializes here, so the corpus-
-      // sized sorted-suffix blocks and the firsts broadcast can be
-      // released immediately instead of pinning executor memory/disk for
-      // the rest of the session (ADVICE r10)
+      // eager: the span-sized result materializes here; the suffix pass
+      // holds NO persisted state to release — one shuffle in, one tiny
+      // checkpointed frame out (the r10 unpersist discipline is now moot
+      // by construction)
       .localCheckpoint()
-    sorted.unpersist(blocking = false)
-    bcFirsts.destroy()
     out
   }
 
