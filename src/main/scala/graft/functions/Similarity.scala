@@ -260,4 +260,49 @@ object Similarity {
     array(ProjSigns.map { row =>
       round(dot(v, typedlit(row.toSeq)) * lit(ProjScale), 6) + lit(0.0)
     }.toIndexedSeq: _*)
+
+  /** Bounded top-k neighbor aggregate: per group, the k (cos, vb) pairs
+    * ordered by (cos desc, vb asc) as a flat [cos₀, vb₀, cos₁, vb₁, …]
+    * array (vb ≤ 2⁵³ is exact in a double). A MERGEABLE bounded buffer in
+    * the sketch-Aggregator family — the point is that partial aggregation
+    * prunes each map partition to k rows per key BEFORE the shuffle, where
+    * a rank-filter window must first shuffle (and locally sort) the FULL
+    * candidate mass: at the 5M-vector tier that is the difference between
+    * a 25M-row exchange and a ~20G-row / half-terabyte spill (measured
+    * r12 — the window formulation overflowed local scratch). The kept set
+    * is the global top-k under any merge order, so results are identical
+    * to the row_number() formulation, ties and all. */
+  class TopKNeighborsAggregator(k: Int)
+      extends Aggregator[(Long, Double), Array[Double], Array[Double]] {
+    def zero: Array[Double] = Array.emptyDoubleArray
+    private def better(c1: Double, v1: Double, c2: Double, v2: Double) =
+      c1 > c2 || (c1 == c2 && v1 < v2)
+    private def insert(b: Array[Double], c: Double, v: Double): Array[Double] = {
+      val n = b.length / 2
+      if (n == k && !better(c, v, b(2 * k - 2), b(2 * k - 1))) b
+      else {
+        var i = 0
+        while (i < n && better(b(2 * i), b(2 * i + 1), c, v)) i += 1
+        val m = math.min(n + 1, k)
+        val out = new Array[Double](2 * m)
+        System.arraycopy(b, 0, out, 0, 2 * i)
+        out(2 * i) = c
+        out(2 * i + 1) = v
+        val rest = math.min(n - i, m - i - 1)
+        if (rest > 0) System.arraycopy(b, 2 * i, out, 2 * i + 2, 2 * rest)
+        out
+      }
+    }
+    def reduce(b: Array[Double], in: (Long, Double)): Array[Double] =
+      insert(b, in._2, in._1.toDouble)
+    def merge(x: Array[Double], y: Array[Double]): Array[Double] = {
+      var b = x
+      var i = 0
+      while (i < y.length / 2) { b = insert(b, y(2 * i), y(2 * i + 1)); i += 1 }
+      b
+    }
+    def finish(b: Array[Double]): Array[Double] = b
+    def bufferEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
+    def outputEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
+  }
 }

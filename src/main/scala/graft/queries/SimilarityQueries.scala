@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.functions.{Similarity, Text}
 import graft.sources.Tables
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1138,9 +1138,23 @@ object SimilarityQueries {
       .select($"a.vec_id".as("va"), $"b.vec_id".as("vb"),
         round(Similarity.dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm"), 6)
           .as("cos"))
-    val wRank = Window.partitionBy($"va").orderBy($"cos".desc, $"vb")
-    val top = scored.withColumn("rn", row_number().over(wRank))
-      .filter($"rn" <= RnnK)
+    // bounded top-k as a MERGEABLE aggregate, not a rank window: partial
+    // aggregation prunes each map partition to RnnK rows per vector before
+    // anything shuffles — the window formulation had to exchange and
+    // locally sort the full n·cell pair mass (measured r12 at the 5M tier:
+    // a half-terabyte spill vs a 25M-row exchange). Same output, ties and
+    // all: the kept set is the global (cos desc, vb asc) top-k under any
+    // merge order.
+    val topkAgg = udaf(new Similarity.TopKNeighborsAggregator(RnnK),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    val top = scored.groupBy($"va")
+      .agg(topkAgg($"vb", $"cos").as("nb"))
+      .select($"va", posexplode(expr(
+        "transform(sequence(0, int(size(nb)/2) - 1)," +
+          " i -> struct(nb[2*i] as cos, bigint(nb[2*i+1]) as vb))"))
+        .as(Seq("idx", "p")))
+      .select($"va", $"p.vb".as("vb"), $"p.cos".as("cos"),
+        ($"idx" + 1).cast("long").as("rn"))
       .localCheckpoint()
     top.as("x")
       .join(top.as("y"),
