@@ -286,29 +286,35 @@ object SparkEntry {
     * (q_kmeans_centroids), a count-derived scalar subquery for
     * q_semantic_dedup's scaled k. */
   private def kmeansCteBody(kExpr: String) =
+    // tier-budget note (r12): the assignment windows rank SLIM
+    // (vec_id, cid, ccos) rows and re-join the 64-dim vectors by key
+    // afterwards — carrying v through a per-vector row_number sort made
+    // the window input ~600 B/row (a 37 GB DuckDB spill at the 5M-vector
+    // tier, the "48 GB budget" of SURVEY 6.5); the ranked values and the
+    // joined-back vectors are identical, so every downstream bit matches
     s"""emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS vn
            FROM embeddings),
          c0 AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < $kExpr),
-         a1 AS (SELECT e.vec_id, e.v, c.cid,
+         a1 AS (SELECT e.vec_id, c.cid,
              list_dot_product(e.v, c.cv) / (e.vn * sqrt(list_dot_product(c.cv, c.cv))) AS ccos
            FROM emb e CROSS JOIN c0 c),
-         s1 AS (SELECT vec_id, v, cid FROM (
-             SELECT vec_id, v, cid,
+         s1 AS (SELECT w.vec_id, e.v, w.cid FROM (
+             SELECT vec_id, cid,
                row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
-             FROM a1) WHERE rn = 1),
+             FROM a1) w JOIN emb e ON e.vec_id = w.vec_id WHERE w.rn = 1),
          m1 AS (SELECT cid, i, round(avg(v[i]), 6) AS m
            FROM s1, range(1, 65) t(i) GROUP BY 1, 2),
          c1 AS (SELECT c0.cid, coalesce(n1.cv, c0.cv) AS cv FROM c0
            LEFT JOIN (SELECT cid, list(m ORDER BY i) AS cv FROM m1 GROUP BY 1) n1
            USING (cid)),
-         a2 AS (SELECT e.vec_id, e.v, c.cid,
+         a2 AS (SELECT e.vec_id, c.cid,
              list_dot_product(e.v, c.cv) / (e.vn * sqrt(list_dot_product(c.cv, c.cv))) AS ccos
            FROM emb e CROSS JOIN c1 c),
-         s2 AS (SELECT vec_id, v, cid FROM (
-             SELECT vec_id, v, cid,
+         s2 AS (SELECT w.vec_id, e.v, w.cid FROM (
+             SELECT vec_id, cid,
                row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
-             FROM a2) WHERE rn = 1),
+             FROM a2) w JOIN emb e ON e.vec_id = w.vec_id WHERE w.rn = 1),
          m2 AS (SELECT cid, i, round(avg(v[i]), 6) AS m
            FROM s2, range(1, 65) t(i) GROUP BY 1, 2),
          c2 AS (SELECT c1.cid, coalesce(n2.cv, c1.cv) AS cv FROM c1
@@ -1450,14 +1456,14 @@ object SparkEntry {
     // qualifying pair by construction.
     "q_embed_dup_capped" ->
       (KmeansCte + raw""",
-         a4 AS (SELECT e.vec_id, e.v, e.vn, c.cid,
+         a4 AS (SELECT e.vec_id, c.cid,
              sqrt(greatest(0.0, 2.0 - 2.0 *
                (list_dot_product(e.v, c.cv) / (e.vn * sqrt(list_dot_product(c.cv, c.cv)))))) AS cdist
            FROM emb e CROSS JOIN c2 c),
-         s4 AS (SELECT vec_id, v, vn, cid FROM (
-             SELECT vec_id, v, vn, cid,
+         s4 AS (SELECT w.vec_id, e.v, e.vn, w.cid FROM (
+             SELECT vec_id, cid,
                row_number() OVER (PARTITION BY vec_id ORDER BY cdist, cid) AS rn
-             FROM a4) WHERE rn = 1),
+             FROM a4) w JOIN emb e ON e.vec_id = w.vec_id WHERE w.rn = 1),
          sz AS (SELECT cid, count(*) AS csz FROM s4 GROUP BY 1),
          pr AS (SELECT vec_id, v, vn, cid FROM (
              SELECT vec_id, v, vn, cid,
@@ -1960,13 +1966,13 @@ object SparkEntry {
     // join (nprobe=1), and per-query top-3
     "q_ann_ivf" ->
       (KmeansCte +
-        """, a3 AS (SELECT e.vec_id, e.v, e.vn, c.cid,
+        """, a3 AS (SELECT e.vec_id, c.cid,
              list_dot_product(e.v, c.cv) / (e.vn * sqrt(list_dot_product(c.cv, c.cv))) AS ccos
            FROM emb e CROSS JOIN c2 c),
-         s3 AS (SELECT vec_id, v, vn, cid FROM (
-             SELECT vec_id, v, vn, cid,
+         s3 AS (SELECT w.vec_id, e.v, e.vn, w.cid FROM (
+             SELECT vec_id, cid,
                row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
-             FROM a3) WHERE rn = 1),
+             FROM a3) w JOIN emb e ON e.vec_id = w.vec_id WHERE w.rn = 1),
          j AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                  round(list_dot_product(q.v, c.v) / (q.vn * c.vn), 6) AS cosine
                FROM s3 q JOIN s3 c ON c.cid = q.cid AND c.vec_id != q.vec_id
@@ -2712,13 +2718,13 @@ object SparkEntry {
     // WITHIN a cluster (SemDeDup semantics) at the 0.4 cosine threshold
     "q_semantic_dedup" ->
       (SemKmeansCte +
-        """, a3 AS (SELECT e.vec_id, e.v, e.vn, c.cid,
+        """, a3 AS (SELECT e.vec_id, c.cid,
              list_dot_product(e.v, c.cv) / (e.vn * sqrt(list_dot_product(c.cv, c.cv))) AS ccos
            FROM emb e CROSS JOIN c2 c),
-         s3 AS (SELECT vec_id, v, vn, cid FROM (
-             SELECT vec_id, v, vn, cid,
+         s3 AS (SELECT w.vec_id, e.v, e.vn, w.cid FROM (
+             SELECT vec_id, cid,
                row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
-             FROM a3) WHERE rn = 1)
+             FROM a3) w JOIN emb e ON e.vec_id = w.vec_id WHERE w.rn = 1)
          SELECT a.cid AS cluster, a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(list_dot_product(a.v, b.v) / (a.vn * b.vn), 6) AS cosine
          FROM s3 a JOIN s3 b ON a.cid = b.cid AND a.vec_id < b.vec_id
@@ -3841,38 +3847,38 @@ object SparkEntry {
     * values differ by ≥ 1e-6 and the printf digits are exact) then the
     * bitwise-inverted vb — reproducing exactly the engine's
     * (cos DESC, vb ASC) row_number order. */
-  private val RnnOracle: String = {
-    val k = SimilarityQueries.RnnK
-    val key = "printf('%08.6f', round(list_dot_product(a.v, b.v) / (a.vn * b.vn), 6) + 1.0)" +
-      " || printf('%010d', 9999999999 - b.vec_id)"
-    val best = "struct_pack(vb := b.vec_id, " +
-      "cos := round(list_dot_product(a.v, b.v) / (a.vn * b.vn), 6))"
-    val rounds = (1 to k).map { r =>
-      val excl =
-        if (r == 1) ""
-        else s"""
-           LEFT JOIN t${r - 1} x ON x.va = a.vec_id AND x.vb = b.vec_id
-           WHERE x.va IS NULL"""
-      val prev =
-        if (r == 1) "" else s"SELECT * FROM t${r - 1} UNION ALL "
-      s"""p$r AS (SELECT a.vec_id AS va, max_by($best, $key) AS best
-           FROM s3 a JOIN s3 b ON a.cid = b.cid AND a.vec_id != b.vec_id$excl
-           GROUP BY 1),
-       t$r AS MATERIALIZED (${prev}SELECT va, best.vb AS vb, best.cos AS cos,
-           CAST($r AS BIGINT) AS rn FROM p$r)"""
-    }.mkString(",\n       ")
+  /** RNN-pairs oracle: the scaled-k assignment replay, then one
+    * rank-filter window over a SLIM (va, vb, cos) pair projection.
+    *
+    * DuckDB-1.0 shape notes (r12, all measured): s3 must stay a PLAIN
+    * (non-materialized) CTE — a MATERIALIZED CTE self-joined on cid loses
+    * its cardinality estimate and the optimizer picks a CROSS PRODUCT
+    * over the full vector-carrying rows (69 GB of spill at sf1, disk
+    * death at sf10); inlined, both references plan as proper cid hash
+    * joins and the only heavy frame is the slim pair stream through the
+    * window. The window input carries no vectors, so the sf10 check runs
+    * in bounded scratch; at sf100 the 20G-row window is a DuckDB-side
+    * cost the engine does not share (the registered plan prunes to
+    * RnnK rows per vector map-side via TopKNeighborsAggregator), so the
+    * query's scale-correctness evidence is the sf10 hash match — the
+    * same documented posture as q_wordpiece_encode's r11 oracle. */
+  private val RnnOracle: String =
     SemKmeansCte +
-      s""", a3 AS (SELECT e.vec_id, e.v, e.vn, c.cid,
+      s""", a3 AS (SELECT e.vec_id, c.cid,
              list_dot_product(e.v, c.cv) / (e.vn * sqrt(list_dot_product(c.cv, c.cv))) AS ccos
            FROM emb e CROSS JOIN c2 c),
-         s3 AS MATERIALIZED (SELECT vec_id, v, vn, cid FROM (
-             SELECT vec_id, v, vn, cid,
+         s3 AS (SELECT w.vec_id, e.v, e.vn, w.cid FROM (
+             SELECT vec_id, cid,
                row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
-             FROM a3) WHERE rn = 1),
-         $rounds
+             FROM a3) w JOIN emb e ON e.vec_id = w.vec_id WHERE w.rn = 1),
+         pr AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+             round(list_dot_product(a.v, b.v) / (a.vn * b.vn), 6) AS cos
+           FROM s3 a JOIN s3 b ON a.cid = b.cid AND a.vec_id != b.vec_id),
+         tk AS (SELECT va, vb, cos, row_number() OVER (
+             PARTITION BY va ORDER BY cos DESC, vb) AS rn
+           FROM pr QUALIFY rn <= ${SimilarityQueries.RnnK})
          SELECT x.va AS vec_a, x.vb AS vec_b, x.cos AS cosine,
            x.rn AS rank_ab, y.rn AS rank_ba
-         FROM t$k x JOIN t$k y ON x.va = y.vb AND x.vb = y.va AND x.va < x.vb
+         FROM tk x JOIN tk y ON x.va = y.vb AND x.vb = y.va AND x.va < x.vb
          ORDER BY vec_a, vec_b"""
-  }
 }
