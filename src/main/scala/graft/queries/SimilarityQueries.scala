@@ -1100,6 +1100,11 @@ object SimilarityQueries {
   /** Mutual top-K depth for [[rnnPairs]]. */
   val RnnK = 5
 
+  /** Within-cluster pair-join salt for [[rnnPairs]] (see the usage note —
+    * lighter than [[EmbedDupSalt]] because the build side carries full
+    * vectors and scaled-k cells are balanced by construction). */
+  val RnnSalt = 4
+
   /** Reciprocal nearest neighbors within the fitted coarse clusters — the
     * rank-based near-duplicate signal (RNN-DBSCAN / de-duplication
     * pruning literature): a pair qualifies when EACH vector ranks in the
@@ -1127,10 +1132,16 @@ object SimilarityQueries {
       .groupBy($"vec_id")
       .agg(max_by(struct($"cid", $"v", $"nrm"), struct($"ccos", -$"cid")).as("best"))
       .select($"vec_id", $"best.v".as("v"), $"best.nrm".as("nrm"), $"best.cid".as("cid"))
+    // a LIGHT salt (vs the capped join's ×16): the scaled-k fit balances
+    // cells around SemDedupCellTarget, so straggler risk is small — and
+    // the build side replicates ×salt carrying full 64-dim vectors, so
+    // heavy salting multiplies the join's dominant shuffle (measured r12
+    // at the 5M tier: ×16 is a ~40 GB vector exchange that overflowed
+    // local scratch; ×4 fits and still splits any hot cell four ways)
     val probe = assigned.as("a")
-      .withColumn("salt", pmod(hash($"a.vec_id"), lit(EmbedDupSalt)))
+      .withColumn("salt", pmod(hash($"a.vec_id"), lit(RnnSalt)))
     val build = assigned.as("b")
-      .withColumn("salt", explode(sequence(lit(0), lit(EmbedDupSalt - 1))))
+      .withColumn("salt", explode(sequence(lit(0), lit(RnnSalt - 1))))
     val scored = probe
       .join(build,
         $"a.cid" === $"b.cid" && probe("salt") === build("salt") &&
