@@ -79,6 +79,31 @@ object Bench {
       val ts = passes.map(_.toMap.apply(name)).filter(_ >= 0)
       name -> (if (ts.isEmpty) -1.0 else ts.min)
     }
+    // Per-query budget pin (VERDICT r12 #8): tools/bench_budget.json
+    // carries a committed steady-time ceiling per query (2x last round's
+    // min, floored at 0.3 s), keyed to one sf tier. A single-query
+    // regression past its ceiling is reported loudly and surfaced in the
+    // JSON line instead of hiding inside a healthy total (q_assoc_rules'
+    // quiet +22% in r12 is the motivating case). Ceilings from a different
+    // tier never apply — sf0.1 numbers would false-fire at sf10.
+    val budgetPath = java.nio.file.Paths.get("tools/bench_budget.json")
+    val overBudget: Seq[String] =
+      if (java.nio.file.Files.exists(budgetPath)) {
+        val txt = java.nio.file.Files.readString(budgetPath)
+        val tier = """"sf"\s*:\s*"([^"]+)"""".r
+          .findFirstMatchIn(txt).map(_.group(1))
+        if (tier.contains(new java.io.File(sfDir).getName)) {
+          val entry = """"(q_[a-zA-Z0-9_]+)"\s*:\s*([0-9.]+)""".r
+          val ceiling = entry.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          best.collect {
+            case (n, v) if v >= 0 && ceiling.get(n).exists(v > _) =>
+              System.err.println(f"[bench] OVER BUDGET: $n $v%.3f s > " +
+                f"${ceiling(n)}%.3f s committed ceiling")
+              n
+          }
+        } else Nil
+      } else Nil
     // 3-dp per-query seconds: sub-millisecond digits are pure noise and
     // bloat the line past log-capture windows (VERDICT r5 #4)
     def r3(v: Double): Double = if (v < 0) v else math.rint(v * 1000) / 1000
@@ -94,6 +119,7 @@ object Bench {
     val json = s"""{"metric":"steady_total","value":${r3(total(best))},"unit":"sec",""" +
       s""""method":"min-of-$nPasses-passes","cold_total":${r3(total(cold))},""" +
       s""""pass_totals":$passTotals,"sf":"$sfDir",""" +
+      s""""over_budget":${overBudget.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""queries":${fmt(best)},"queries_cold":${fmt(cold)}}"""
     println(json)
     // tail-window-proof complement (VERDICT r9 #6): the full line above is
@@ -104,7 +130,8 @@ object Bench {
     val scalarJson = s"""{"metric":"steady_total","value":${r3(total(best))},""" +
       s""""unit":"sec","method":"min-of-$nPasses-passes",""" +
       s""""cold_total":${r3(total(cold))},"pass_totals":$passTotals,""" +
-      s""""n_queries":${ordered.size},"sf":"$sfDir"}"""
+      s""""n_queries":${ordered.size},"n_over_budget":${overBudget.size},""" +
+      s""""sf":"$sfDir"}"""
     println(scalarJson)
     // file copies (VERDICT r2 #2): sbt log prefixes defeated the driver's
     // stdout parser in r1/r2; the files are always machine-readable. The

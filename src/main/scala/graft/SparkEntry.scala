@@ -3835,18 +3835,6 @@ object SparkEntry {
     "q_rnn_pairs" -> RnnOracle,
   )
 
-  /** RNN-pairs oracle: the scaled-k assignment replay, then the per-vector
-    * within-cluster top-[[graft.queries.SimilarityQueries.RnnK]] as
-    * [[graft.queries.SimilarityQueries.RnnK]] UNROLLED argmax rounds with
-    * exclusion anti-joins (r12) — the old single QUALIFY window had to sort
-    * the FULL directed pair mass (n·cell ≈ 20G rows at sf100, a ~0.5 TB
-    * DuckDB spill); each round here is one scan-aggregate whose state is
-    * one best-candidate per vector, so memory stays n-sized and only the
-    * dot products are paid K times. Ordering is encoded in a fixed-width
-    * string key — cos+1 at 6 dp (cos is already 6-dp-rounded, so distinct
-    * values differ by ≥ 1e-6 and the printf digits are exact) then the
-    * bitwise-inverted vb — reproducing exactly the engine's
-    * (cos DESC, vb ASC) row_number order. */
   /** RNN-pairs oracle: the scaled-k assignment replay, then one
     * rank-filter window over a SLIM (va, vb, cos) pair projection.
     *

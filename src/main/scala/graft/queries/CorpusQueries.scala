@@ -45,6 +45,15 @@ object CorpusQueries {
     * that keeps the sort shuffle linear in corpus tokens at 100 TB. */
   val SuffixCapW = 30
 
+  /** Straggler budget for [[suffixSpans]]'s prefix-hash partitioning: a
+    * first-L-token prefix group larger than this many suffix rows (~400 MB
+    * of W-token sort payload) is too big for one task's in-partition sort,
+    * so it is routed through the range-partitioned path with boundary
+    * stitching instead (ADVICE r12). Boilerplate spans duplicated millions
+    * of times — exactly this operator's target corpus — are the case that
+    * trips it; a uniform corpus never does. */
+  val SuffixHotGroupRows: Long = 1L << 21
+
   /** Variable-length exact-substring spans via suffix-array adjacency —
     * the construction Lee et al. 2022 §4 actually use (sorted suffixes;
     * a substring repeated anywhere in the corpus makes its occurrences
@@ -91,12 +100,55 @@ object CorpusQueries {
       suffixSpanFramesUncached(spark, dir)
     }
 
-  private def suffixSpanFramesUncached(spark: SparkSession, dir: String)
-      : DataFrame = {
+  /** Token-level LCP adjacency pass shared by [[suffixSpanFramesUncached]]'s
+    * cold (hash-grouped) and hot (range-stitched) routes. LCP is read
+    * straight off the NUL-joined keys: common char prefix, count the
+    * separators inside it, plus one when BOTH sides sit on a token boundary
+    * (end-of-string or NUL) at the divergence point — equivalent to
+    * counting matching leading tokens, without re-splitting. (Both at NUL
+    * is impossible at a divergence: equal chars would have extended the
+    * prefix.) Emits BOTH endpoints of every adjacent pair with lcp >= minL. */
+  private def adjacencyCover(it: Iterator[(Long, Int, String)], minL: Int)
+      : Iterator[(Long, Int, Int)] = {
+    val Sep = '\u0000'
+    def lcpOf(a: String, b: String): Int = {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n && a.charAt(i) == b.charAt(i)) i += 1
+      var toks = 0
+      var j = 0
+      while (j < i) { if (a.charAt(j) == Sep) toks += 1; j += 1 }
+      val aBound = i == a.length || a.charAt(i) == Sep
+      val bBound = i == b.length || b.charAt(i) == Sep
+      if (i > 0 && aBound && bBound) toks + 1 else toks
+    }
+    it.sliding(2).withPartial(false).flatMap {
+      case Seq(a, b) =>
+        val l = lcpOf(a._3, b._3)
+        if (l >= minL) Iterator((a._1, a._2, l), (b._1, b._2, l))
+        else Iterator.empty
+      case _ => Iterator.empty
+    }
+  }
+
+  private[graft] def suffixSpanFramesUncached(spark: SparkSession, dir: String,
+      hotBudget: Long = SuffixHotGroupRows): DataFrame = {
     import spark.implicits._
     val L = SuffixMinL
     val W = SuffixCapW
+    // The NUL-joined sort/LCP keys below assume tokens are control-free,
+    // and whitespace splitting does NOT guarantee that (U+0000 is not
+    // regex \s, so it would survive tokenization inside a token). Enforce
+    // rather than assume: a NUL-bearing document fails loudly here instead
+    // of silently corrupting prefix grouping, sort order and LCP counts.
+    // One codegen'd contains() scan per document — noise next to tokenize.
     val docs = Tables.documents(spark, dir)
+      .withColumn("text",
+        when($"text".contains("\u0000"),
+          raise_error(concat(lit("suffixSpans: U+0000 inside doc_id="),
+            $"doc_id".cast("string"),
+            lit(" — NUL-joined suffix keys require control-free tokens"))))
+          .otherwise($"text"))
     val sufs = docs
       .select($"doc_id", Text.tokenize($"text").as("toks"))
       .filter(size($"toks") >= L)
@@ -130,45 +182,80 @@ object CorpusQueries {
     // control-free) so the joined order is EXACTLY the element-wise
     // lexicographic order the DuckDB oracle's list comparison uses —
     // including the shorter-array-is-prefix rule.
-    val sorted = sufs
+    val keyed = sufs
       .select($"doc_id", $"pos", array_join($"pre", "\u0000").as("pre"),
         array_join($"suf", "\u0000").as("sufkey"))
-      .repartition($"pre")
-      .sortWithinPartitions($"sufkey", $"doc_id", $"pos")
-      .select($"doc_id", $"pos", $"sufkey")
-      .as[(Long, Int, String)].rdd
+    // Skew routing (ADVICE r12): hash-grouping on `pre` puts ALL suffix
+    // positions sharing a hot first-L-token prefix into one partition with
+    // no way to split it — a boilerplate span duplicated millions of times
+    // (exactly the corpus this operator targets) becomes a single straggler
+    // sort task. A cheap pre-pass counts rows per prefix on a slim
+    // (pre, n) projection (partial aggregation absorbs the hot keys
+    // map-side); groups over [[SuffixHotGroupRows]] are routed through a
+    // range-partitioned sort on the fully-distinct (sufkey, doc_id, pos)
+    // key — which CAN split an equal-prefix run across tasks — with the
+    // standard first-row-broadcast boundary stitch. The split is closed
+    // under qualifying pairs: lcp >= L forces identical first-L prefixes,
+    // so both endpoints land on the same side of the hot/cold cut, and
+    // pairs straddling the cut can never qualify. The hot-prefix frame is
+    // at most totalRows / budget entries (0 on uniform corpora) — always
+    // broadcastable.
+    // The count pre-pass and (when skew exists) each route re-derive
+    // `keyed` from the documents scan rather than persisting it: the
+    // exploded frame is ~W× the corpus token mass, so ANY corpus-sized
+    // persist here is the exact disk blowup the r12 redesign removed. Only
+    // the prefix-sized hot list is checkpointed (at most totalRows/budget
+    // entries — 0 on uniform corpora — so it always broadcasts).
+    val hotPre = keyed.groupBy($"pre").agg(count(lit(1)).as("n"))
+      .filter($"n" > hotBudget)
+      .select($"pre", lit(true).as("hot"))
+      .localCheckpoint()
     val minL = L
-    // single adjacency pass, in-partition only: a prefix group never spans
-    // partitions (hash partitioning), and a pair straddling two groups
-    // cannot reach lcp >= L, so partition boundaries need no stitching.
-    // Emits BOTH endpoints of every LCP >= L pair as duplicated cover.
-    val Sep = '\u0000'
-    val cover = sorted.mapPartitions { it =>
-      // token-level LCP straight off the NUL-joined keys: common char
-      // prefix, count the separators inside it, plus one when BOTH sides
-      // sit on a token boundary (end-of-string or NUL) at the divergence
-      // point — equivalent to counting matching leading tokens, without
-      // re-splitting. (Both at NUL is impossible at a divergence: equal
-      // chars would have extended the prefix.)
-      def lcpOf(a: String, b: String): Int = {
-        val n = math.min(a.length, b.length)
-        var i = 0
-        while (i < n && a.charAt(i) == b.charAt(i)) i += 1
-        var toks = 0
-        var j = 0
-        while (j < i) { if (a.charAt(j) == Sep) toks += 1; j += 1 }
-        val aBound = i == a.length || a.charAt(i) == Sep
-        val bBound = i == b.length || b.charAt(i) == Sep
-        if (i > 0 && aBound && bBound) toks + 1 else toks
+    val cover = (if (hotPre.isEmpty) {
+      // No over-budget prefix: keep the r12 single-exchange plan verbatim.
+      keyed
+        .repartition($"pre")
+        .sortWithinPartitions($"sufkey", $"doc_id", $"pos")
+        .select($"doc_id", $"pos", $"sufkey")
+        .as[(Long, Int, String)].rdd
+        .mapPartitions(adjacencyCover(_, minL))
+    } else {
+      val flagged = keyed.join(broadcast(hotPre), Seq("pre"), "left_outer")
+      // Cold route: in-partition adjacency only — a prefix group never
+      // spans partitions (hash partitioning) and a pair straddling two
+      // groups cannot reach lcp >= L, so no boundary stitching.
+      val coldCover = flagged.filter($"hot".isNull)
+        .repartition($"pre")
+        .sortWithinPartitions($"sufkey", $"doc_id", $"pos")
+        .select($"doc_id", $"pos", $"sufkey")
+        .as[(Long, Int, String)].rdd
+        .mapPartitions(adjacencyCover(_, minL))
+      // Hot route: range-sorted on the distinct triple so equal-prefix
+      // runs split across tasks; a prefix group stays contiguous in the
+      // global range order, so group adjacency survives partition
+      // boundaries — stitch by handing each partition the first row of
+      // the next non-empty partition (numPartitions tiny rows via
+      // collect, the standard distributed adjacent-difference recipe).
+      // Boundary pairs are emitted by the left partition; the appended
+      // row's own in-partition pairs re-emit it, and the downstream
+      // groupBy(doc_id, pos).max(lcp) absorbs the duplicate.
+      val hotSorted = flagged.filter($"hot" === true)
+        .repartitionByRange($"sufkey", $"doc_id", $"pos")
+        .sortWithinPartitions($"sufkey", $"doc_id", $"pos")
+        .select($"doc_id", $"pos", $"sufkey")
+        .as[(Long, Int, String)].rdd
+      val firsts = hotSorted
+        .mapPartitionsWithIndex { (i, it) =>
+          if (it.hasNext) Iterator((i, it.next())) else Iterator.empty
+        }
+        .collect().sortBy(_._1)
+      val firstsBc = spark.sparkContext.broadcast(firsts)
+      val hotCover = hotSorted.mapPartitionsWithIndex { (i, it) =>
+        val nextFirst = firstsBc.value.find(_._1 > i).map(_._2)
+        adjacencyCover(it ++ nextFirst.iterator, minL)
       }
-      it.sliding(2).withPartial(false).flatMap {
-        case Seq(a, b) =>
-          val l = lcpOf(a._3, b._3)
-          if (l >= minL) Iterator((a._1, a._2, l), (b._1, b._2, l))
-          else Iterator.empty
-        case _ => Iterator.empty
-      }
-    }.toDF("doc_id", "pos", "lcp")
+      coldCover.union(hotCover)
+    }).toDF("doc_id", "pos", "lcp")
     val cov = cover.groupBy($"doc_id", $"pos").agg(max($"lcp").as("lcp"))
     // variable-length gaps-and-islands: a new span starts where pos jumps
     // past the running max covered end + 1 (merge overlap AND touching)

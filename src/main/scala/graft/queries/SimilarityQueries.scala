@@ -1160,6 +1160,10 @@ object SimilarityQueries {
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
     val top = scored.groupBy($"va")
       .agg(topkAgg($"vb", $"cos").as("nb"))
+      // every group has >=1 input row today, but guard anyway: on an
+      // empty buffer sequence(0, -1) would step backwards and explode
+      // two garbage rows instead of none
+      .filter(size($"nb") > 0)
       .select($"va", posexplode(expr(
         "transform(sequence(0, int(size(nb)/2) - 1)," +
           " i -> struct(nb[2*i] as cos, bigint(nb[2*i+1]) as vb))"))

@@ -197,7 +197,7 @@ class StatsMmrSpec extends SparkSpec {
           .map(b => (a, b, r6(dot(emb(a), emb(b)) / (nrm(a) * nrm(b)))))
           .sortBy { case (_, b, c) => (-c, b) }
           .take(SimilarityQueries.RnnK).zipWithIndex
-          .map { case ((_, b, c), i) => (a, b) -> (c, i + 1) }
+          .map { case ((_, b, c), i) => (a, b) -> (c, (i + 1).toLong) }
       }
     }.toMap
     val expected = top.collect {
@@ -205,8 +205,8 @@ class StatsMmrSpec extends SparkSpec {
         (a, b, c, rab, top((b, a))._2)
     }.toSeq.sortBy(t => (t._1, t._2))
     val got = SimilarityQueries.rnnPairs(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3),
-        r.getInt(4)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4)))
       .sortBy(t => (t._1, t._2))
     assert(got.nonEmpty && got.toSeq == expected,
       s"got ${got.length} pairs, expected ${expected.length}")

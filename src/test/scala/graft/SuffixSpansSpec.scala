@@ -120,6 +120,66 @@ class SuffixSpansSpec extends SparkSpec {
       s"exactly the 12 quoted tokens must go: $got")
   }
 
+  test("hot-prefix skew route (range sort + boundary stitch) is " +
+    "bit-identical to the hash-grouped cold route") {
+    // 120 docs all carrying the SAME 16-token boilerplate — one prefix
+    // group holding every suffix position of the repeat, exactly the
+    // straggler shape ADVICE r12 flags. hotBudget=1 forces the whole
+    // group through the range route, and with 4 shuffle partitions the
+    // group spans several range partitions, so the first-row stitch is
+    // genuinely exercised (dropping it loses boundary adjacency pairs).
+    val boiler = words("hot", 16)
+    val texts = (0 until 120).map(i => words(s"u${i}x", 4) + " " + boiler)
+    val dir = tier(texts)
+    def spans(budget: Long) =
+      CorpusQueries.suffixSpanFramesUncached(sql, dir, hotBudget = budget)
+        .select($"doc_id", $"span_start", $"span_end", $"span_tokens",
+          $"n_positions")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val cold = spans(Long.MaxValue) // nothing over budget: r12 plan
+    val hot = spans(1L)             // every multi-row prefix goes hot
+    assert(cold.nonEmpty && cold == hot,
+      s"routes diverge: cold-only=${cold -- hot} hot-only=${hot -- cold}")
+    // every doc must report exactly the 16-token boilerplate extent;
+    // covered suffix starts are positions 5..13 (>= L tokens remaining)
+    assert(cold == (0 until 120).map(i => (i.toLong, 5L, 20L, 16L, 9L)).toSet,
+      s"expected the planted 16-token extent in all 120 docs: $cold")
+  }
+
+  test("mixed corpus routes hot and cold prefixes independently and " +
+    "still matches the single-route answer") {
+    // one hot boilerplate (40 copies) + a distinct cross-doc quote pair:
+    // the quote's prefix group (2 rows) stays cold at budget=10 while the
+    // boilerplate (40+ rows/prefix) goes hot — both must surface.
+    val boiler = words("bp", 12)
+    val quote = words("qq", 10)
+    val texts = (0 until 40).map(i => words(s"f${i}z", 3) + " " + boiler) ++
+      Seq(words("g", 4) + " " + quote, words("h", 6) + " " + quote)
+    val dir = tier(texts)
+    def spans(budget: Long) =
+      CorpusQueries.suffixSpanFramesUncached(sql, dir, hotBudget = budget)
+        .select($"doc_id", $"span_start", $"span_end")
+        .as[(Long, Long, Long)].collect().toSet
+    val mixed = spans(10L)
+    assert(mixed == spans(Long.MaxValue),
+      "mixed hot/cold routing must not change the span set")
+    assert(mixed.contains((40L, 5L, 14L)) && mixed.contains((41L, 7L, 16L)),
+      s"the cold-routed quote pair must still surface: $mixed")
+  }
+
+  test("a NUL inside a token fails loudly instead of corrupting the " +
+    "suffix sort keys") {
+    val bad = words("n", 6) + " evil" + "\u0000" + "token " + words("p", 6)
+    val dir = tier(Seq(bad, words("ok", 20)))
+    val e = intercept[Exception] {
+      CorpusQueries.suffixSpanFramesUncached(sql, dir).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("U+0000")),
+      s"expected the NUL guard to fire, got: ${msgs(e).mkString(" | ")}")
+  }
+
   test("spans within a document are pairwise disjoint and non-adjacent " +
     "on real testdata") {
     val rows = CorpusQueries.suffixSpans(sql, sf)

@@ -26,12 +26,20 @@ CP="/opt/spark/jars/*:target/scala-2.13/classes"
 # q_source_kl — VERDICT r11 #1, with the budgeted simhash oracle) + the
 # r10/r11/r12 stragglers (q_suffix_spans q_suffix_scrub q_wordpiece_encode
 # q_rnn_pairs q_unigram_tok — VERDICT r11 #5).
-QUERIES="q_ann_ivf q_ann_lsh q_bm25_top q_bpe_train q_bpe_vocab q_burst_zscore q_chi2_assoc q_chunk_dedup q_chunk_profile q_cohort_retention q_dedup_exact q_dedup_incr q_dup_ngrams q_event_transitions q_ewma_smooth q_funnel q_gini_users q_kmeans_centroids q_kmv_overlap q_knn_cosine q_ks_drift q_markov_steady q_media_frames q_media_meta q_mix_sample q_mmr_rerank q_pq_codebooks q_pq_codes q_pr_curve q_psi_drift q_quality_lr q_quality_topk q_span_scrub q_takedown q_unigram_lm q_welch_ttest q_zorder_stats q_minhash_dedup q_simhash_pairs q_embed_dup_capped q_jaccard_prefix q_source_kl q_suffix_spans q_suffix_scrub q_wordpiece_encode q_rnn_pairs q_unigram_tok"
+# r13 additions (VERDICT r12 #6): the r12 operator family —
+# q_silhouette (one 16-centroid broadcast crossJoin, O(n*k) both sides),
+# q_nmf_topics (nnz-linear matmul joins; unrolled-CTE oracle) and
+# q_textrank (n*W equi-join edges + 5 unrolled PageRank rounds).
+QUERIES="q_ann_ivf q_ann_lsh q_bm25_top q_bpe_train q_bpe_vocab q_burst_zscore q_chi2_assoc q_chunk_dedup q_chunk_profile q_cohort_retention q_dedup_exact q_dedup_incr q_dup_ngrams q_event_transitions q_ewma_smooth q_funnel q_gini_users q_kmeans_centroids q_kmv_overlap q_knn_cosine q_ks_drift q_markov_steady q_media_frames q_media_meta q_mix_sample q_mmr_rerank q_pq_codebooks q_pq_codes q_pr_curve q_psi_drift q_quality_lr q_quality_topk q_span_scrub q_takedown q_unigram_lm q_welch_ttest q_zorder_stats q_minhash_dedup q_simhash_pairs q_embed_dup_capped q_jaccard_prefix q_source_kl q_suffix_spans q_suffix_scrub q_wordpiece_encode q_rnn_pairs q_unigram_tok q_silhouette q_nmf_topics q_textrank"
 # r9c probe scope: q_dedup_canonical / q_corpus_final re-materialize the
 # same DuckDB jaccard CTE q_dedup_components already pays at this tier,
 # and q_kn_bigram's oracle joins a ~500M-row bigram stream — their 10x/
 # 100x evidence stays at the full-registry sf10 sweep (wall-clock budget).
-java -cp "$CP" graft.ScaleUp testdata_local/sf10 testdata_local/sf100 10 documents,embeddings,events 2>&1 | grep -E "scaleup|Error" | tail -3
+# ScaleUp is deterministic; the r11-written tier is reused if present
+# (a re-run would overwrite ~3.6G byte-identically for no signal)
+if [ ! -d testdata_local/sf100/events.parquet ]; then
+  java -cp "$CP" graft.ScaleUp testdata_local/sf10 testdata_local/sf100 10 documents,embeddings,events 2>&1 | grep -E "scaleup|Error" | tail -3
+fi
 echo "=== scaleup done $(date) ==="
 java -cp "$CP" graft.Verify testdata_local/sf100 /tmp/out_sf100 $QUERIES 2>&1 | grep -E "^\[verify\]" | tail -8
 echo "=== verify done $(date) ==="
