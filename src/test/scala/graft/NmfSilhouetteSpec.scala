@@ -129,4 +129,85 @@ class NmfSilhouetteSpec extends SparkSpec {
         s"got ${got(cid)._2}, twin $m")
     }
   }
+
+  // --- degenerate constructions (VERDICT r12 #7: port the r11
+  // degenerate-group pattern to the r12 operator families) ---
+
+  /** Throwaway embeddings.parquet tier with the given vectors. */
+  private def embTier(vecs: Seq[Array[Float]]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nmfsil").toString
+    vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  /** Throwaway documents.parquet tier with the given texts. */
+  private def docTier(texts: Seq[String]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nmfdoc").toString
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "synth", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("silhouette degenerate: two singleton clusters — a = 0 to the own " +
+    "centroid, so s = 1 exactly for both") {
+    val dir = embTier(Seq(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f)))
+    val rows = SimilarityQueries.silhouette(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 2, s"expected two singleton cells: ${rows.toSeq}")
+    rows.foreach { case (cid, n, s) =>
+      assert(n == 1L, s"cell $cid must be a singleton")
+      assert(s == 1.0, s"cell $cid: singleton-on-centroid must score 1, got $s")
+    }
+  }
+
+  test("silhouette degenerate: an all-identical catalog collapses every " +
+    "centroid — a = b = 0 hits the max(a,b) guard, s = 0, one populated cell") {
+    val dir = embTier(Seq.fill(17)(Array(1f, 1f, 0f, 0f)))
+    val rows = SimilarityQueries.silhouette(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 1, s"one populated cell expected: ${rows.toSeq}")
+    val (cid, n, s) = rows.head
+    assert(n == 17L, s"all 17 vectors must land in cell $cid")
+    assert(s == 0.0, s"coincident centroids must yield s = 0, got $s")
+  }
+
+  test("nmfTopics degenerate: tokenless documents are cleanly absent from " +
+    "the factorization and nothing goes NaN") {
+    val dir = docTier(Seq("", "   ", "alpha beta alpha", "beta gamma"))
+    val (v, w0, _, w, h) = CorpusQueries.nmfFactors(spark, dir)
+    val vDocs = v.select($"doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(vDocs == Set(2L, 3L), s"V must hold only token-bearing docs: $vDocs")
+    assert(w0.select($"doc_id").distinct().count() == 2)
+    (w.collect().map(_.getDouble(2)) ++ h.collect().map(_.getDouble(2)))
+      .foreach { x =>
+        assert(!x.isNaN && !x.isInfinite && x >= 0.0, s"factor went $x")
+      }
+    val topics = CorpusQueries.nmfTopics(spark, dir).collect()
+    assert(topics.nonEmpty)
+    val vocab = Set("alpha", "beta", "gamma")
+    topics.foreach { r =>
+      assert(vocab.contains(r.getString(2)))
+      val wt = r.getDouble(3)
+      assert(!wt.isNaN && wt >= 0.0)
+    }
+  }
+
+  test("nmfTopics degenerate: a one-document one-term corpus (V is 1x1) " +
+    "still factors — every topic ranks the single term, weights finite") {
+    val dir = docTier(Seq("solo solo solo"))
+    val rows = CorpusQueries.nmfTopics(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= CorpusQueries.NmfTopics)
+    rows.foreach { r =>
+      assert(r.getString(2) == "solo")
+      assert(r.getInt(1) == 1, "a single-term vocab can only rank 1")
+      val wt = r.getDouble(3)
+      assert(!wt.isNaN && !wt.isInfinite && wt >= 0.0)
+    }
+  }
 }

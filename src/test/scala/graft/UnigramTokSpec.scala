@@ -113,4 +113,36 @@ class UnigramTokSpec extends SparkSpec {
     // the trainer actually learned something beyond characters
     assert(rows.exists(_._1.length >= 2), "no multi-char piece survived")
   }
+
+  test("degenerate: a corpus with no trainable word (digits, punctuation, " +
+    "uppercase all fail the [a-z]+ gate) yields an empty inventory, not a " +
+    "crash (VERDICT r12 #7)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-unitok").toString
+    Seq((0L, "123 456 !!! ABC DEF", "en", "synth", 19L),
+        (1L, "999 ### XYZ --- 42", "en", "synth", 18L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val out = CorpusQueries.unigramTok(sql, dir)
+    assert(out.columns.toSeq == Seq("piece", "n", "p"),
+      "empty-vocab result must keep the contract schema")
+    assert(out.collect().isEmpty,
+      "no piece can be trained from an empty seed vocabulary")
+  }
+
+  test("degenerate: a one-word corpus collapses deterministically to the " +
+    "char inventory — substring seeding makes 2·lp(z) beat lp(zz), hard-EM " +
+    "prunes the whole-word piece to zero") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-unitok1").toString
+    Seq((0L, "zz zz zz zz", "en", "synth", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val rows = CorpusQueries.unigramTok(sql, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // seed counts: z=8 (two per word), zz=4 → lp(z)=log(8/12) twice beats
+    // lp(zz)=log(4/12) once, so Viterbi segments every word as [z, z];
+    // round 1 zeroes "zz", later rounds drop it, and the survivor carries
+    // the full corpus char mass
+    assert(rows.toSeq == Seq(("z", 8L, 1.0)),
+      s"one-word corpus must collapse to its char piece: ${rows.toSeq}")
+  }
 }
