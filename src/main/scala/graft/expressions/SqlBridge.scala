@@ -16,4 +16,21 @@ object GraftSqlBridge {
     case c: classic.SparkSession => c.sessionUUID
     case other => "idhash:" + System.identityHashCode(other)
   }
+
+  /** Drop the executor blocks behind a `localCheckpoint`'ed frame, NOW.
+    * Iterative fitters (NMF, unigram-LM EM, Lloyd rounds, PageRank)
+    * checkpoint per round; a superseded round's blocks otherwise linger
+    * until the async ContextCleaner notices the RDD became unreachable —
+    * a driver-GC-latency dependency measured as a ~15% uniform cold-pass
+    * inflation across the 176-query bench once r12 added four more
+    * iterative fits (VERDICT r12 #5). No-op on plans that are not a
+    * checkpoint product. Non-blocking: readers already hold their
+    * iterators; the blocks just stop being pinned. */
+  def dropCheckpoint(df: Dataset[_]): Unit = df match {
+    case c: classic.Dataset[_] => c.queryExecution.analyzed match {
+      case lr: execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+    case _ => ()
+  }
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.functions.Text
 import graft.sources.Tables
+import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -274,10 +275,11 @@ object CorpusQueries {
       .select($"doc_id", $"span_start", $"span_end", $"span_tokens",
         $"n_positions")
       // eager: the span-sized result materializes here; the suffix pass
-      // holds NO persisted state to release — one shuffle in, one tiny
-      // checkpointed frame out (the r10 unpersist discipline is now moot
-      // by construction)
+      // holds NO persisted state to release beyond the prefix-sized hot
+      // list — one shuffle in, one tiny checkpointed frame out
       .localCheckpoint()
+    // the hot list fed the (already materialized) cover; release it
+    GraftSqlBridge.dropCheckpoint(hotPre)
     out
   }
 
@@ -1707,6 +1709,7 @@ object CorpusQueries {
         .select($"f",
           explode(expr("element_at(dp, length(word) + 1).ps")).as("piece"))
         .groupBy($"piece").agg(sum($"f").as("n"))
+      val prev = counts
       counts = counts.select($"piece")
         .join(used, Seq("piece"), "left")
         .select($"piece",
@@ -1714,6 +1717,8 @@ object CorpusQueries {
             greatest(coalesce($"n", lit(0L)), lit(1L)))
             .otherwise(coalesce($"n", lit(0L))).as("n"))
         .localCheckpoint()
+      // superseded EM round (r12 #5 cold-pass hygiene)
+      GraftSqlBridge.dropCheckpoint(prev)
     }
     counts.filter($"n" > 0)
       .withColumn("tot", sum($"n").over(wAll))
@@ -1805,12 +1810,18 @@ object CorpusQueries {
         .groupBy($"doc_id", $"t2")
         .agg(sum(round($"wv" * $"g", 6).cast("decimal(28,6)")).as("den"))
         .withColumnRenamed("t2", "t")
+      val wPrev = w
       w = w.join(vh, Seq("doc_id", "t")).join(whh, Seq("doc_id", "t"))
         .select($"doc_id", $"t",
           when($"den".cast("double") > 0.0,
             round($"wv" * ($"num".cast("double") / $"den".cast("double")), 6))
             .otherwise(lit(0.0)).as("wv"))
         .localCheckpoint()
+      // the superseded round's blocks are dead the moment the eager
+      // checkpoint above materializes; drop them now instead of waiting
+      // on the async ContextCleaner (VERDICT r12 #5 cold-pass hygiene).
+      // w0/h0 are returned to the caller and stay pinned.
+      if (!(wPrev eq w0)) GraftSqlBridge.dropCheckpoint(wPrev)
       // H ← H ∘ (WᵀV) / (WᵀW·H)
       val wtv = v.join(w, "doc_id")
         .groupBy($"t", $"term")
@@ -1823,12 +1834,14 @@ object CorpusQueries {
         .join(h.as("hh"), $"g.t2" === $"hh.t")
         .groupBy($"g.t".as("t"), $"hh.term".as("term"))
         .agg(sum(round($"g.g" * $"hh.hv", 6).cast("decimal(28,6)")).as("den"))
+      val hPrev = h
       h = h.join(wtv, Seq("t", "term")).join(wtwh, Seq("t", "term"))
         .select($"term", $"t",
           when($"den".cast("double") > 0.0,
             round($"hv" * ($"num".cast("double") / $"den".cast("double")), 6))
             .otherwise(lit(0.0)).as("hv"))
         .localCheckpoint()
+      if (!(hPrev eq h0)) GraftSqlBridge.dropCheckpoint(hPrev)
     }
     (v, w0, h0, w, h)
   }

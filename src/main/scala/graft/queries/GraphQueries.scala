@@ -76,12 +76,14 @@ object GraphQueries {
       .select($"n_nationkey".as("node"), $"n_name")
     var ranks = nodes.select($"node",
       expr("CAST(0.04 AS DECIMAL(18,6))").as("pr"))
+    val seed = ranks
     for (_ <- 1 to PrIters) {
       val contrib = ew.join(ranks, ew("src") === ranks("node"))
         .select($"dst",
           round($"pr".cast("double") * $"frac", 6)
             .cast("decimal(28,6)").as("c"))
         .groupBy($"dst").agg(sum($"c").as("insum"))
+      val prev = ranks
       ranks = nodes.select($"node")
         .join(contrib, $"node" === $"dst", "left")
         .select($"node",
@@ -89,6 +91,9 @@ object GraphQueries {
             lit(Damping) * coalesce($"insum".cast("double"), lit(0.0)), 6)
             .cast("decimal(18,6)").as("pr"))
         .localCheckpoint()
+      // superseded round (VERDICT r12 #5 cold-pass hygiene); the seed is a
+      // plain projection, not a checkpoint
+      if (!(prev eq seed)) org.apache.spark.sql.GraftSqlBridge.dropCheckpoint(prev)
     }
     ranks.join(nodes, "node")
       .select($"node", $"n_name", $"pr".cast("double").as("pr"))
@@ -135,18 +140,24 @@ object GraphQueries {
         .select($"dst", round($"w".cast("double") * $"v".cast("double"), 6)
           .cast("decimal(28,6)").as("c"))
         .groupBy($"dst").agg(sum($"c").as("cs"))
+      val authPrev = auth
       auth = normalized(nodes.select($"node")
         .join(araw, $"node" === $"dst", "left")
         .select($"node", coalesce($"cs", lit(0).cast("decimal(28,6)")).as("s")))
         .localCheckpoint()
+      if (authPrev != null) org.apache.spark.sql.GraftSqlBridge.dropCheckpoint(authPrev)
       val hraw = ew.join(auth, ew("dst") === auth("node"))
         .select($"src", round($"w".cast("double") * $"v".cast("double"), 6)
           .cast("decimal(28,6)").as("c"))
         .groupBy($"src").agg(sum($"c").as("cs"))
+      val hubPrev = hub
       hub = normalized(nodes.select($"node")
         .join(hraw, $"node" === $"src", "left")
         .select($"node", coalesce($"cs", lit(0).cast("decimal(28,6)")).as("s")))
         .localCheckpoint()
+      // initial hub is a plain projection; in-loop predecessors are
+      // superseded checkpoints (VERDICT r12 #5 cold-pass hygiene)
+      org.apache.spark.sql.GraftSqlBridge.dropCheckpoint(hubPrev)
     }
     nodes
       .join(hub.select($"node", $"v".cast("double").as("hub")), "node")
@@ -322,10 +333,13 @@ object GraphQueries {
       val next = votes.groupBy(col("u"))
         .agg(max(struct(col("vw"), (-col("lab")).as("nl"))).as("m"))
         .select(col("u").as("node"), (-col("m.nl")).as("lab"))
+      val prev = labels
       labels = nodes.select(col("node"))
         .join(next, Seq("node"), "left")
         .select(col("node"), coalesce(col("lab"), col("node")).as("lab"))
         .localCheckpoint()
+      // the seed labels frame is itself a checkpoint — superseded now
+      org.apache.spark.sql.GraftSqlBridge.dropCheckpoint(prev)
     }
     labels
   }
@@ -339,6 +353,7 @@ object GraphQueries {
     val byVal = org.apache.spark.sql.expressions.Window
       .partitionBy(col("node")).orderBy(col("c").desc)
     for (_ <- 1 to CoreIters) {
+      val prev = c
       c = adj
         .join(c.select(col("node").as("nn"), col("c")), col("nbr") === col("nn"))
         .select(col("node"), col("c"))
@@ -346,6 +361,8 @@ object GraphQueries {
         .select(col("node"), least(col("rn"), col("c")).as("h"))
         .groupBy(col("node")).agg(max(col("h")).as("c"))
         .localCheckpoint()
+      // the seed degree frame is itself a checkpoint — superseded now
+      org.apache.spark.sql.GraftSqlBridge.dropCheckpoint(prev)
     }
     c
   }

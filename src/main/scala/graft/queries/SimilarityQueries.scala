@@ -700,11 +700,15 @@ object SimilarityQueries {
         .groupBy($"cid")
         .agg(transform(array_sort(collect_list(struct($"dim", $"m"))),
           s => s.getField("m")).as("cv"))
+      val prev = cents
       cents = cents.as("old")
         .join(means.as("nw"), Seq("cid"), "left")
         .select($"cid", coalesce($"nw.cv", $"old.cv").as("cv"))
         .withColumn("cn", Similarity.l2norm($"cv"))
         .localCheckpoint()
+      // superseded Lloyd round (VERDICT r12 #5 cold-pass hygiene): the new
+      // eager checkpoint no longer reads these blocks
+      org.apache.spark.sql.GraftSqlBridge.dropCheckpoint(prev)
     }
     cents
   }
@@ -1269,11 +1273,14 @@ object SimilarityQueries {
         .groupBy($"cid")
         .agg(transform(array_sort(collect_list(struct($"dim", $"m"))),
           s => s.getField("m")).as("cv"))
+      val prev = cents
       cents = cents.as("old")
         .join(means.as("nw"), Seq("cid"), "left")
         .select($"cid", coalesce($"nw.cv", $"old.cv").as("cv"))
         .withColumn("cn2", Similarity.dot($"cv", $"cv"))
         .localCheckpoint()
+      // superseded Lloyd round (VERDICT r12 #5 cold-pass hygiene)
+      org.apache.spark.sql.GraftSqlBridge.dropCheckpoint(prev)
     }
     cents
   }

@@ -264,17 +264,22 @@ object TextQueries {
       .localCheckpoint()
     val nodes = edges.select($"src".as("w")).distinct().localCheckpoint()
     var scores = nodes.select($"w", lit(1.0).as("s"))
+    val seed = scores
     for (_ <- 1 to TrIters) {
       val contrib = frac.join(scores, frac("src") === scores("w"))
         .select($"dst", round($"s" * $"frac", 6)
           .cast("decimal(28,6)").as("c"))
         .groupBy($"dst").agg(sum($"c").as("insum"))
+      val prev = scores
       scores = nodes
         .join(contrib, $"w" === $"dst", "left")
         .select($"w",
           (lit(1.0 - GraphQueries.Damping) + lit(GraphQueries.Damping) *
             coalesce($"insum".cast("double"), lit(0.0))).as("s"))
         .localCheckpoint()
+      // superseded PageRank round (VERDICT r12 #5 cold-pass hygiene); the
+      // seed frame is a plain projection of nodes, not a checkpoint
+      if (!(prev eq seed)) org.apache.spark.sql.GraftSqlBridge.dropCheckpoint(prev)
     }
     scores.orderBy($"s".desc, $"w").limit(TrTop)
       .select($"w".as("word"), $"s".as("score"))
