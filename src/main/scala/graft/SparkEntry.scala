@@ -69,6 +69,7 @@ object SparkEntry {
     "q_embed_dup_capped" -> ((s, d) => SimilarityQueries.embedDupCapped(s, d)),
     "q_ann_ivf"        -> ((s, d) => SimilarityQueries.annIvf(s, d)),
     "q_silhouette"     -> ((s, d) => SimilarityQueries.silhouette(s, d)),
+    "q_db_index"       -> ((s, d) => SimilarityQueries.dbIndex(s, d)),
     "q_pq_codebooks"   -> ((s, d) => SimilarityQueries.pqCodebooks(s, d)),
     "q_pq_codes"       -> ((s, d) => SimilarityQueries.pqCodes(s, d)),
     "q_ann_pq"         -> ((s, d) => SimilarityQueries.annPq(s, d)),
@@ -187,6 +188,7 @@ object SparkEntry {
     "q_source_entropy"  -> ((s, d) => CorpusQueries.sourceEntropy(s, d)),
     "q_source_kl"       -> ((s, d) => CorpusQueries.sourceKl(s, d)),
     "q_zipf_profile"    -> ((s, d) => CorpusQueries.zipfProfile(s, d)),
+    "q_heaps_law"       -> ((s, d) => CorpusQueries.heapsLaw(s, d)),
     // --- round-6 additions: SCD2 interval compaction, KS drift monitor,
     // --- weighted PageRank, power-iteration PCA, interpolated bigram LM ---
     "q_scd2_intervals"  -> ((s, d) => AnalyticQueries.scd2Intervals(s, d)),
@@ -3178,6 +3180,38 @@ object SparkEntry {
            round(CAST(sum(CAST(s AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6)
              AS mean_silhouette
          FROM sil GROUP BY 1 ORDER BY cid"""),
+    // Davies–Bouldin: same fitted quantizer + chord-distance replay as
+    // q_silhouette; assignment ranks UNROUNDED (cdist, cid), the 6-dp
+    // grid applies to what enters the scatter fold; coincident-centroid
+    // pairs (d = 0) are excluded from the max on both sides
+    "q_db_index" ->
+      (KmeansCte + raw""",
+         a6 AS (SELECT e.vec_id, c.cid,
+             sqrt(greatest(0.0, 2.0 - 2.0 *
+               (list_dot_product(e.v, c.cv)
+                 / (e.vn * sqrt(list_dot_product(c.cv, c.cv)))))) AS cdist
+           FROM emb e CROSS JOIN c2 c),
+         asg AS (SELECT vec_id, cid, round(cdist, 6) AS cdist FROM (
+             SELECT vec_id, cid, cdist, row_number() OVER (
+               PARTITION BY vec_id ORDER BY cdist, cid) AS rn FROM a6)
+           WHERE rn = 1),
+         sc AS (SELECT cid, count(*) AS n_members,
+             round(CAST(sum(CAST(cdist AS DECIMAL(28,6))) AS DOUBLE)
+               / count(*), 6) AS scatter
+           FROM asg GROUP BY 1),
+         sep AS (SELECT p.cid AS ci, q.cid AS cj,
+             round(sqrt(greatest(0.0, 2.0 - 2.0 *
+               (list_dot_product(p.cv, q.cv)
+                 / (sqrt(list_dot_product(p.cv, p.cv))
+                    * sqrt(list_dot_product(q.cv, q.cv)))))), 6) AS d
+           FROM c2 p CROSS JOIN c2 q WHERE p.cid <> q.cid),
+         rmax AS (SELECT s.ci AS cid,
+             max(round((a.scatter + b.scatter) / s.d, 6)) AS rmax
+           FROM sep s JOIN sc a ON a.cid = s.ci JOIN sc b ON b.cid = s.cj
+           WHERE s.d > 0.0 GROUP BY 1)
+         SELECT sc.cid, sc.n_members, sc.scatter,
+           coalesce(r.rmax, 0.0) AS r_max
+         FROM sc LEFT JOIN rmax r ON r.cid = sc.cid ORDER BY sc.cid"""),
     "q_bpe_encode" -> BpeEncodeOracle,
     // LR quality filter: identical feature arithmetic (exact integer token
     // sums -> double division), z rounded to the 6-dp grid BEFORE exp so
@@ -3261,6 +3295,30 @@ object SparkEntry {
            round((sy - ((k*sxy - sx*sy) / (k*sxx - sx*sx)) * sx) / k, 6) + 0.0
            END AS zipf_intercept
        FROM agg ORDER BY source""",
+    // Heaps-law vocabulary growth: equal-width doc_id deciles (explicit
+    // floor on both sides — Spark and DuckDB both float-divide longs);
+    // first occurrence = min(doc_id) per word; sums cast back to BIGINT
+    // (DuckDB sums escalate to HUGEINT)
+    "q_heaps_law" ->
+      raw"""WITH toks AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0) AS t
+         FROM documents),
+       bounds AS (SELECT min(doc_id) AS lo,
+           max(doc_id) - min(doc_id) + 1 AS span FROM documents),
+       ds AS (SELECT least(9, CAST(floor((d.doc_id - b.lo) * 10 / b.span)
+             AS BIGINT)) + 1 AS decile,
+           count(*) AS n_docs, CAST(sum(len(t)) AS BIGINT) AS n_tokens
+         FROM toks d CROSS JOIN bounds b GROUP BY 1),
+       fw AS (SELECT w, min(doc_id) AS first_doc FROM (
+           SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY 1),
+       nw AS (SELECT least(9, CAST(floor((f.first_doc - b.lo) * 10 / b.span)
+             AS BIGINT)) + 1 AS decile, count(*) AS new_words
+         FROM fw f CROSS JOIN bounds b GROUP BY 1)
+       SELECT ds.decile, ds.n_docs, ds.n_tokens,
+         coalesce(nw.new_words, 0) AS new_words,
+         CAST(sum(coalesce(nw.new_words, 0)) OVER (ORDER BY ds.decile
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+       FROM ds LEFT JOIN nw ON nw.decile = ds.decile ORDER BY ds.decile""",
     // SCD type-2 gaps-and-islands: change-flag running sum -> one version
     // row per run; all columns exact (timestamps/longs), no rounding needed
     "q_scd2_intervals" ->

@@ -3,7 +3,7 @@ package graft.queries
 import graft.functions.Text
 import graft.sources.Tables
 import org.apache.spark.sql.GraftSqlBridge
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -987,6 +987,59 @@ object CorpusQueries {
             ($"k" * $"sxx" - $"sx" * $"sx")) * $"sx") / $"k", 6))
           .as("zipf_intercept"))
       .orderBy($"source")
+  }
+
+  /** Number of equal-width doc_id buckets in [[heapsLaw]]. */
+  val HeapsBuckets = 10
+
+  /** Heaps-law vocabulary-growth profile (Heaps 1978): per ingestion
+    * decile — [[HeapsBuckets]] equal-width doc_id ranges, the
+    * scale-safe stand-in for arrival order when ids are assigned at
+    * ingestion — the document count, token mass, NEW vocabulary (words
+    * whose globally-first occurrence falls in the bucket) and the running
+    * cumulative vocabulary. Natural text grows V(n) ≈ K·n^β with β ≈
+    * 0.4–0.6; a flat tail (no new words late in the crawl) flags a
+    * templated or exhausted source, the corpus-health signal read next to
+    * [[zipfProfile]]'s slope.
+    *
+    * Buckets are EQUAL-WIDTH id ranges, not equal-count ranks: an exact
+    * equal-count decile needs a global rank (one total sort of every
+    * doc_id at 100 TB), while the id-range bucket is one min/max aggregate
+    * broadcast into a map-side expression — and the growth CURVE carries
+    * the same signal under any monotone reindexing. First occurrence is
+    * min(doc_id) per word — one partial+final aggregate over the token
+    * stream; every later frame is bucket-sized. */
+  def heapsLaw(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val bounds = docs.agg(min($"doc_id").as("lo"),
+      (max($"doc_id") - min($"doc_id") + 1).as("span"))
+    // explicit floor: Spark and DuckDB both float-divide longs, so both
+    // oracles spell floor(...) rather than relying on cast truncation
+    def bucketOf(id: Column): Column =
+      least(lit(HeapsBuckets - 1L),
+        floor((id - $"lo") * HeapsBuckets / $"span").cast("long")) + 1
+    val docStats = docs
+      .select($"doc_id", size(Text.tokenize($"text")).cast("long").as("nt"))
+      .crossJoin(broadcast(bounds))
+      .groupBy(bucketOf($"doc_id").as("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum($"nt").as("n_tokens"))
+    val firstSeen = docs
+      .select($"doc_id", explode(Text.tokenize($"text")).as("w"))
+      .groupBy($"w").agg(min($"doc_id").as("first_doc"))
+      .crossJoin(broadcast(bounds))
+      .groupBy(bucketOf($"first_doc").as("decile"))
+      .agg(count(lit(1)).as("new_words"))
+    val cum = org.apache.spark.sql.expressions.Window
+      .orderBy($"decile")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docStats.join(firstSeen, Seq("decile"), "left")
+      .select($"decile", $"n_docs", $"n_tokens",
+        coalesce($"new_words", lit(0L)).as("new_words"))
+      // the running total is a window over <= HeapsBuckets rows — not a
+      // corpus-sized global window
+      .withColumn("cum_vocab", sum($"new_words").over(cum))
+      .orderBy($"decile")
   }
 
   /** Cross-source vocabulary overlap matrix: exact token-set Jaccard for

@@ -1223,6 +1223,63 @@ object SimilarityQueries {
       .orderBy($"cid")
   }
 
+  /** Davies–Bouldin index of the fitted k=16 cosine quantizer (Davies &
+    * Bouldin 1979, "A Cluster Separation Measure", IEEE TPAMI) — the
+    * second standard cluster-quality gauge next to [[silhouette]]: per
+    * cluster the within-cluster scatter S_i (mean chord distance of
+    * members to their centroid) and the worst similarity ratio
+    * R_i = max_{j≠i} (S_i + S_j) / d(c_i, c_j); lower is better-separated.
+    * A curation pipeline publishes both gauges with the fit: silhouette
+    * reads per-POINT geometry, DB reads per-CLUSTER geometry, and they
+    * disagree exactly when clusters are tight but close — the case a
+    * single gauge misses.
+    *
+    * Determinism doctrine (the [[silhouette]] rules): assignment ranks by
+    * (cdist, cid); every scalar quantizes to the 6-dp grid before a
+    * DECIMAL fold; coincident-centroid pairs (d = 0, where the ratio is
+    * undefined) are excluded from the max, and a cluster with no valid
+    * peer reports r_max = 0. Scale shape: one broadcast crossJoin against
+    * the 16-row centroid frame, one per-cell aggregate, then a 16×16
+    * centroid-only crossJoin — O(n·k) + O(k²), no shuffle beyond the
+    * per-vector argmin aggregate. */
+  def dbIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("vn", Similarity.l2norm($"v"))
+    val cents = fittedCentroids(spark, dir, 16)
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("cdist", sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) *
+        (Similarity.dot($"v", $"cv") / ($"vn" * $"cn")))))
+      .groupBy($"vec_id")
+      // rank UNROUNDED (the silhouette assignment semantics — min chord
+      // IS max cosine), quantize only what enters the fold
+      .agg(min_by(struct($"cid", $"cdist"), struct($"cdist", $"cid")).as("b"))
+      .select($"b.cid".as("cid"), round($"b.cdist", 6).as("cdist"))
+    val scatter = assigned.groupBy($"cid")
+      .agg(count(lit(1)).as("n_members"),
+        sum($"cdist".cast("decimal(28,6)")).as("dsum"))
+      .select($"cid", $"n_members",
+        round($"dsum".cast("double") / $"n_members", 6).as("scatter"))
+      .localCheckpoint() // k rows — pins the tiny frame for the self-join
+    val sep = cents.as("p").join(cents.as("q"), $"p.cid" =!= $"q.cid")
+      .select($"p.cid".as("ci"), $"q.cid".as("cj"),
+        round(sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) *
+          (Similarity.dot($"p.cv", $"q.cv") / ($"p.cn" * $"q.cn")))), 6)
+          .as("d"))
+    val ratios = scatter.as("a")
+      .join(scatter.as("b"), lit(true))
+      .join(sep, $"a.cid" === $"ci" && $"b.cid" === $"cj")
+      .filter($"d" > 0.0)
+      .select($"ci".as("cid"),
+        round(($"a.scatter" + $"b.scatter") / $"d", 6).as("r"))
+      .groupBy($"cid").agg(max($"r").as("rmax"))
+    scatter.join(ratios, Seq("cid"), "left")
+      .select($"cid", $"n_members", $"scatter",
+        coalesce($"rmax", lit(0.0)).as("r_max"))
+      .orderBy($"cid")
+  }
+
   // ---------------------------------------------------------------------
   // Product quantization (Jégou, Douze & Schmid 2011, "Product
   // Quantization for Nearest Neighbor Search", IEEE TPAMI) — the

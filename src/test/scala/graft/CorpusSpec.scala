@@ -261,4 +261,51 @@ class CorpusSpec extends SparkSpec {
         .foreach(java.nio.file.Files.deleteIfExists(_: java.nio.file.Path))
     }
   }
+
+  test("heapsLaw: deciles partition the corpus — doc and vocab accounting " +
+    "close against direct counts on real testdata") {
+    val sql = SparkSpec.spark
+    import sql.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = CorpusQueries.heapsLaw(spark, sf)
+      .select($"decile", $"n_docs", $"n_tokens", $"new_words", $"cum_vocab")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(rows.nonEmpty && rows.forall(r => r._1 >= 1 && r._1 <= 10))
+    val docs = graft.sources.Tables.documents(spark, sf)
+    assert(rows.map(_._2).sum == docs.count(), "n_docs must partition")
+    val vocab = docs.select(explode(graft.functions.Text.tokenize($"text")))
+      .distinct().count()
+    assert(rows.map(_._4).sum == vocab, "new_words must partition the vocab")
+    assert(rows.last._5 == vocab, "final cum_vocab is the full vocabulary")
+    // cum_vocab is the running sum of new_words (monotone by construction)
+    rows.foldLeft(0L) { case (acc, (_, _, _, nw, cum)) =>
+      assert(cum == acc + nw); cum
+    }
+    // Heaps on Zipfian text (the zipf spec pins slope ~ -1 on this tier):
+    // vocabulary keeps growing but decelerates — the last decile mints
+    // fewer new words than the first
+    assert(rows.head._4 > 0)
+    assert(rows.last._4 < rows.head._4,
+      "vocabulary growth must decelerate on real text")
+  }
+
+  test("heapsLaw: planted tier — equal-width id buckets, first-occurrence " +
+    "attribution, and the repeat word never re-counts") {
+    val sql = SparkSpec.spark
+    import sql.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-heaps").toString
+    // ids 0..19 -> 10 buckets of width 2; doc i contributes word "w<i>"
+    // plus the shared word "base" (new only in decile 1)
+    (0 until 20).map(i => (i.toLong, s"base w$i", "en", "synth", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val rows = CorpusQueries.heapsLaw(spark, dir)
+      .select($"decile", $"n_docs", $"n_tokens", $"new_words", $"cum_vocab")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val want = (1L to 10L).map { d =>
+      val nw = if (d == 1) 3L else 2L // decile 1 also mints "base"
+      (d, 2L, 4L, nw, 2 * d + 1)
+    }
+    assert(rows == want, s"got $rows")
+  }
 }

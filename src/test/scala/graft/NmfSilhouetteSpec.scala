@@ -130,6 +130,59 @@ class NmfSilhouetteSpec extends SparkSpec {
     }
   }
 
+  test("dbIndex: full-catalog driver-side twin — assignment, per-cell " +
+    "scatter and the worst (Si+Sj)/dij ratio match the operator") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) v")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Double](1).toArray).toMap
+    val cents = SimilarityQueries.kmeansProfile(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (cid, rs) =>
+        cid -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+      }
+    def dot(a: Array[Double], b: Array[Double]) = {
+      var x = 0.0; var i = 0
+      while (i < a.length) { x += a(i) * b(i); i += 1 }; x
+    }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def chord(a: Array[Double], b: Array[Double]) =
+      math.sqrt(math.max(0.0,
+        2.0 - 2.0 * (dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))))
+    val assigned = emb.toSeq.map { case (_, v) =>
+      cents.toSeq.map { case (cid, cv) => (chord(v, cv), cid) }
+        .min match { case (d, cid) => cid -> r6(d) }
+    }
+    val scatter = assigned.groupBy(_._1).map { case (cid, xs) =>
+      cid -> (xs.size.toLong,
+        r6(xs.map(x => BigDecimal(x._2)).sum.toDouble / xs.size))
+    }
+    val want = scatter.map { case (ci, (n, si)) =>
+      val rs = scatter.keys.filter(_ != ci).flatMap { cj =>
+        val d = r6(chord(cents(ci), cents(cj)))
+        if (d > 0.0) Some(r6((si + scatter(cj)._2) / d)) else None
+      }
+      (ci, n, si, if (rs.isEmpty) 0.0 else rs.max)
+    }.toSet
+    val got = SimilarityQueries.dbIndex(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    assert(got == want, s"twin mismatch: got-only=${got -- want} " +
+      s"want-only=${want -- got}")
+  }
+
+  test("dbIndex degenerate: coincident centroids (all-identical catalog) " +
+    "exclude every d = 0 pair — one populated cell, r_max = 0") {
+    val dir = embTier(Seq.fill(17)(Array(2f, 1f, 0f, 0f)))
+    val rows = SimilarityQueries.dbIndex(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length == 1, s"one populated cell expected: ${rows.toSeq}")
+    val (_, n, s, rm) = rows.head
+    assert(n == 17L && s == 0.0 && rm == 0.0,
+      s"identical catalog must have zero scatter and no valid peer: $rows")
+  }
+
   // --- degenerate constructions (VERDICT r12 #7: port the r11
   // degenerate-group pattern to the r12 operator families) ---
 
