@@ -189,6 +189,7 @@ object SparkEntry {
     "q_source_kl"       -> ((s, d) => CorpusQueries.sourceKl(s, d)),
     "q_zipf_profile"    -> ((s, d) => CorpusQueries.zipfProfile(s, d)),
     "q_heaps_law"       -> ((s, d) => CorpusQueries.heapsLaw(s, d)),
+    "q_ppmi_svd"        -> ((s, d) => CorpusQueries.ppmiSvd(s, d)),
     // --- round-6 additions: SCD2 interval compaction, KS drift monitor,
     // --- weighted PageRank, power-iteration PCA, interpolated bigram LM ---
     "q_scd2_intervals"  -> ((s, d) => AnalyticQueries.scd2Intervals(s, d)),
@@ -712,6 +713,80 @@ object SparkEntry {
     * guard, so every round is a fixed IEEE dag both engines replay
     * bit-identically. Inits mirror the engine's pure key arithmetic and
     * md5-prefix seeds. */
+  /** q_ppmi_svd oracle: the full deflated-power-iteration replay as
+    * unrolled CTEs — co-occurrence via the q_skipgrams pair CTE (abs
+    * distance 1..W, both directions), PPMI on the 6-dp grid, then
+    * [[graft.queries.CorpusQueries.SvdComps]] components ×
+    * [[graft.queries.CorpusQueries.SvdIters]] matvec/normalize rounds;
+    * component 2 subtracts λ₁·v₁·(v₁ᵀx) with the identical left-assoc
+    * multiply and DECIMAL folds the engine uses. */
+  private val PpmiSvdOracle: String = {
+    val iters = CorpusQueries.SvdIters
+    val w = CorpusQueries.SkipgramWindow
+    def round6(e: String) = s"round($e, 6)"
+    def iterCtes(c: Int): String = (1 to iters).map { i =>
+      val px = s"x${c}_${i - 1}"
+      val defl = if (c == 1) s"""y${c}_$i AS (SELECT w, yv FROM y0${c}_$i)"""
+      else s"""s${c}_$i AS (SELECT sum(CAST(${round6("CAST(v.vv AS DOUBLE) * CAST(x.xv AS DOUBLE)")} AS DECIMAL(28,6))) AS s
+             FROM v1 v JOIN $px x ON v.w = x.w),
+         y${c}_$i AS (SELECT y.w,
+             y.yv - CAST(${round6("v.lam * CAST(v.vv AS DOUBLE) * CAST(s.s AS DOUBLE)")} AS DECIMAL(28,6)) AS yv
+           FROM y0${c}_$i y JOIN v1 v ON y.w = v.w CROSS JOIN s${c}_$i s)"""
+      s"""mv${c}_$i AS (SELECT m.w,
+             sum(CAST(${round6("m.g * CAST(x.xv AS DOUBLE)")} AS DECIMAL(28,6))) AS yraw
+           FROM m JOIN $px x ON m.c = x.w GROUP BY 1),
+         y0${c}_$i AS (SELECT wd.w,
+             coalesce(mv.yraw, CAST(0 AS DECIMAL(28,6))) AS yv
+           FROM words wd LEFT JOIN mv${c}_$i mv ON wd.w = mv.w),
+         $defl,
+         n2${c}_$i AS (SELECT sum(CAST(${round6("CAST(yv AS DOUBLE) * CAST(yv AS DOUBLE)")} AS DECIMAL(38,6))) AS n2
+           FROM y${c}_$i),
+         x${c}_$i AS MATERIALIZED (SELECT y.w,
+             CAST(CASE WHEN CAST(n.n2 AS DOUBLE) > 0.0
+               THEN ${round6("CAST(y.yv AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE))")}
+               ELSE 0.0 END AS DECIMAL(18,6)) AS xv
+           FROM y${c}_$i y CROSS JOIN n2${c}_$i n)"""
+    }.mkString(",\n       ")
+    def vDef(c: Int): String =
+      s"""v$c AS MATERIALIZED (SELECT x.w, x.xv AS vv,
+           (SELECT ${round6("sqrt(CAST(n2 AS DOUBLE))")} FROM n2${c}_$iters) AS lam
+         FROM x${c}_$iters x)"""
+    raw"""WITH t AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0) AS t
+         FROM documents),
+       pp AS (SELECT doc_id, unnest(range(1, len(t)+1)) AS i, t FROM t),
+       wt AS (SELECT doc_id, i, t[i] AS w FROM pp),
+       cooc AS (SELECT a.w AS center, b.w AS context, count(*) AS n
+         FROM wt a JOIN wt b
+           ON a.doc_id = b.doc_id AND abs(a.i - b.i) BETWEEN 1 AND $w
+         GROUP BY 1, 2),
+       rowm AS (SELECT center, sum(n) AS nw FROM cooc GROUP BY 1),
+       tot AS (SELECT sum(n) AS nn FROM cooc),
+       m AS MATERIALIZED (SELECT center AS w, context AS c, g FROM (
+           SELECT c.center, c.context,
+             round(ln((CAST(c.n AS DOUBLE) * CAST(t.nn AS DOUBLE)) /
+               (CAST(r1.nw AS DOUBLE) * CAST(r2.nw AS DOUBLE))), 6) AS g
+           FROM cooc c
+           JOIN rowm r1 ON c.center = r1.center
+           JOIN rowm r2 ON c.context = r2.center
+           CROSS JOIN tot t) WHERE g > 0.0),
+       words AS (SELECT center AS w FROM rowm),
+       x1_0 AS (SELECT w,
+           CAST(((CAST(CAST('0x' || substr(md5(w), 1, 8) AS UBIGINT) AS BIGINT)
+             % 10 + 1) / 10.0) AS DECIMAL(18,6)) AS xv FROM words),
+       ${iterCtes(1)},
+       ${vDef(1)},
+       x2_0 AS (SELECT * FROM x1_0),
+       ${iterCtes(2)},
+       ${vDef(2)}
+       SELECT comp, word, loading, lambda FROM (
+         SELECT 1 AS comp, w AS word, CAST(vv AS DOUBLE) AS loading,
+           lam AS lambda FROM v1
+         UNION ALL
+         SELECT 2, w, CAST(vv AS DOUBLE), lam FROM v2)
+       ORDER BY comp, word"""
+  }
+
   private val NmfOracle: String = {
     val k = CorpusQueries.NmfTopics
     val rounds = (1 to CorpusQueries.NmfIters).map { r =>
@@ -3152,6 +3227,7 @@ object SparkEntry {
     "q_bpe_vocab" -> BpeVocabOracle,
     "q_unigram_tok" -> UnigramOracle,
     "q_nmf_topics" -> NmfOracle,
+    "q_ppmi_svd" -> PpmiSvdOracle,
     "q_textrank" -> TextrankOracle,
     // simplified (centroid-based) silhouette over the SAME fitted k=16
     // quantizer the IVF/dedup family replays: per vector the chord

@@ -504,6 +504,20 @@ object CorpusQueries {
     * the final pair-count aggregate, bounded by pair vocabulary. */
   def skipgramPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    coocCounts(spark, dir)
+      .orderBy($"n".desc, $"center", $"context")
+      .limit(20)
+  }
+
+  /** The full symmetric windowed co-occurrence counts (center, context, n)
+    * behind [[skipgramPairs]] (top-20 face) and [[ppmiSvd]] (the
+    * factorization input) — every ordered token pair at distance
+    * 1..[[SkipgramWindow]], both directions, so cooc(w,c) = cooc(c,w) and
+    * the PPMI matrix below is symmetric by construction. Pairs generate
+    * PER ROW (slice + zip + explode — no positions self-join); the only
+    * shuffle is the pair-count aggregate, bounded by pair vocabulary. */
+  private def coocCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val docs = Tables.documents(spark, dir)
     def shifted(d: Int): DataFrame =
       docs.select(Text.tokenize($"text").as("t"))
@@ -516,8 +530,105 @@ object CorpusQueries {
     f.select($"x".as("center"), $"y".as("context"))
       .union(f.select($"y".as("center"), $"x".as("context")))
       .groupBy($"center", $"context").agg(count(lit(1)).as("n"))
-      .orderBy($"n".desc, $"center", $"context")
-      .limit(20)
+  }
+
+  /** Components extracted by [[ppmiSvd]]. */
+  val SvdComps = 2
+  /** Power-iteration steps per component in [[ppmiSvd]] — enough to
+    * separate the reported directions while keeping the unrolled DuckDB
+    * oracle finite; the operator is iteration-generic. */
+  val SvdIters = 4
+
+  /** Count-based word embeddings: truncated eigendecomposition of the
+    * PPMI co-occurrence matrix (Levy & Goldberg 2014, "Neural Word
+    * Embedding as Implicit Matrix Factorization" — SGNS's closed-form
+    * counterpart; Deerwester et al. 1990 for the LSA lineage). PPMI(w,c) =
+    * max(0, ln(n·N / (n_w·n_c))) over the [[SkipgramWindow]] symmetric
+    * co-occurrence counts; the matrix is symmetric, so its SVD is the
+    * eigendecomposition, computed as [[SvdComps]] deflated power
+    * iterations: y = M·x − Σ_j λ_j·v_j·(v_jᵀx) — the deflation never
+    * materializes a dense matrix, each matvec is ONE join linear in
+    * nnz(PPMI) and each deflation term is a vocab-sized frame times a
+    * broadcast scalar.
+    *
+    * Determinism doctrine (the [[embedPca]] rules, corpus-sized): every
+    * matvec / inner-product / norm term quantizes to the 6-dp grid and
+    * sums in DECIMAL; each normalize is a per-row double divide + round;
+    * seeds are the md5-prefix positive grid (the NMF h₀ init), so a
+    * symmetric corpus cannot start orthogonal to the Perron direction.
+    * An empty PPMI matrix (no pair above independence) yields zero
+    * loadings and λ = 0 through the n² > 0 guard, never NaN.
+    *
+    * Scale shape: corpus-sized work is the per-row pair explode feeding
+    * one pair-vocabulary-bounded count aggregate; every iteration frame is
+    * vocab-sized, superseded checkpoints dropped eagerly. Emits
+    * (comp, word, loading, lambda), the embedding column a retrieval
+    * stack consumes as word vectors. */
+  def ppmiSvd(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cooc = coocCounts(spark, dir)
+    val rowm = cooc.groupBy($"center").agg(sum($"n").as("nw"))
+    val tot = cooc.agg(sum($"n").as("nn"))
+    val m = cooc.join(rowm, "center")
+      .join(rowm.select($"center".as("context"), $"nw".as("nc")), "context")
+      .crossJoin(broadcast(tot))
+      .select($"center".as("w"), $"context".as("c"),
+        round(log(($"n".cast("double") * $"nn".cast("double")) /
+          ($"nw".cast("double") * $"nc".cast("double"))), 6).as("g"))
+      .filter($"g" > 0.0)
+      .localCheckpoint()
+    val words = rowm.select($"center".as("w")).localCheckpoint()
+    def seed: DataFrame = words.select($"w",
+      ((conv(substring(md5($"w"), 1, 8), 16, 10).cast("long") % 10 + 1)
+        .cast("double") / lit(10.0)).cast("decimal(18,6)").as("xv"))
+    var comps = Vector.empty[DataFrame] // (w, vv DECIMAL(18,6), lam DOUBLE)
+    for (_ <- 1 to SvdComps) {
+      var x = seed
+      var last: DataFrame = null
+      for (_ <- 1 to SvdIters) {
+        val mv = m.join(x.select($"w".as("c"), $"xv"), "c")
+          .select($"w",
+            round($"g" * $"xv".cast("double"), 6).cast("decimal(28,6)").as("t"))
+          .groupBy($"w").agg(sum($"t").as("yraw"))
+        var y = words.join(mv, Seq("w"), "left")
+          .select($"w",
+            coalesce($"yraw", lit(0).cast("decimal(28,6)")).as("yv"))
+        for (vj <- comps) {
+          val sF = vj.join(x, "w")
+            .select(round($"vv".cast("double") * $"xv".cast("double"), 6)
+              .cast("decimal(28,6)").as("p"))
+            .agg(sum($"p").as("s"))
+          y = y.join(vj.select($"w", $"vv", $"lam"), "w")
+            .crossJoin(broadcast(sF))
+            .select($"w",
+              ($"yv" - round($"lam" * $"vv".cast("double") * $"s".cast("double"), 6)
+                .cast("decimal(28,6)")).as("yv"))
+        }
+        val n2 = y.select(
+            round($"yv".cast("double") * $"yv".cast("double"), 6)
+              .cast("decimal(38,6)").as("q"))
+          .agg(sum($"q").as("n2"))
+        val prev = last
+        last = y.crossJoin(broadcast(n2))
+          .select($"w",
+            when($"n2".cast("double") > 0.0,
+              round($"yv".cast("double") / sqrt($"n2".cast("double")), 6))
+              .otherwise(lit(0.0)).cast("decimal(18,6)").as("xv"),
+            $"n2")
+          .localCheckpoint()
+        if (prev != null) GraftSqlBridge.dropCheckpoint(prev)
+        x = last.select($"w", $"xv")
+      }
+      comps = comps :+ last
+        .select($"w", $"xv".as("vv"),
+          round(sqrt($"n2".cast("double")), 6).as("lam"))
+        .localCheckpoint()
+      GraftSqlBridge.dropCheckpoint(last)
+    }
+    comps.zipWithIndex.map { case (vj, i) =>
+      vj.select(lit(i + 1).cast("long").as("comp"), $"w".as("word"),
+        $"vv".cast("double").as("loading"), $"lam".as("lambda"))
+    }.reduce(_ unionByName _).orderBy($"comp", $"word")
   }
 
   /** CCNet-style head/middle/tail perplexity bucketing (Wenzek et al.

@@ -1,0 +1,21 @@
+#!/bin/bash
+# r13 follow-up: extend the committed scale evidence to the two r13
+# operators (q_db_index, q_heaps_law) at every ScaleUp tier WITHOUT
+# re-running the other 176 oracles — Verify dumps only the two queries
+# (queries.txt manifests the subset) and check.py CHECK_RESUME merges the
+# fresh verdicts into each existing CORRECTNESS artifact.
+set -x
+cd /root/repo
+export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-24}
+CP="/opt/spark/jars/*:target/scala-2.13/classes"
+NEWQ="q_db_index q_heaps_law"
+for TIER in sf1 sf10 sf100; do
+  OUT=/tmp/out_${TIER}_r13new
+  rm -rf "$OUT"
+  java -cp "$CP" graft.Verify testdata_local/$TIER "$OUT" $NEWQ 2>&1 \
+    | grep -E "^\[verify\]" | tail -4
+  cp CORRECTNESS_${TIER}.json CORRECTNESS_${TIER}.json.partial
+  CHECK_RESUME=1 python3 tools/check.py testdata_local/$TIER "$OUT" \
+    CORRECTNESS_${TIER}.json 2>&1 | tail -3
+  echo "=== $TIER merged $(date) ==="
+done
