@@ -1,6 +1,6 @@
 #!/bin/bash
 # r13 follow-up: extend the committed scale evidence to the two r13
-# operators (q_db_index, q_heaps_law) at every ScaleUp tier WITHOUT
+# operators (q_db_index, q_heaps_law, q_ppmi_svd) at every ScaleUp tier WITHOUT
 # re-running the other 176 oracles — Verify dumps only the two queries
 # (queries.txt manifests the subset) and check.py CHECK_RESUME merges the
 # fresh verdicts into each existing CORRECTNESS artifact.
@@ -8,7 +8,7 @@ set -x
 cd /root/repo
 export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-24}
 CP="/opt/spark/jars/*:target/scala-2.13/classes"
-NEWQ="q_db_index q_heaps_law"
+NEWQ="q_db_index q_heaps_law q_ppmi_svd"
 for TIER in sf1 sf10 sf100; do
   OUT=/tmp/out_${TIER}_r13new
   rm -rf "$OUT"

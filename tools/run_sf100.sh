@@ -30,7 +30,7 @@ CP="/opt/spark/jars/*:target/scala-2.13/classes"
 # q_silhouette (one 16-centroid broadcast crossJoin, O(n*k) both sides),
 # q_nmf_topics (nnz-linear matmul joins; unrolled-CTE oracle) and
 # q_textrank (n*W equi-join edges + 5 unrolled PageRank rounds).
-QUERIES="q_ann_ivf q_ann_lsh q_bm25_top q_bpe_train q_bpe_vocab q_burst_zscore q_chi2_assoc q_chunk_dedup q_chunk_profile q_cohort_retention q_dedup_exact q_dedup_incr q_dup_ngrams q_event_transitions q_ewma_smooth q_funnel q_gini_users q_kmeans_centroids q_kmv_overlap q_knn_cosine q_ks_drift q_markov_steady q_media_frames q_media_meta q_mix_sample q_mmr_rerank q_pq_codebooks q_pq_codes q_pr_curve q_psi_drift q_quality_lr q_quality_topk q_span_scrub q_takedown q_unigram_lm q_welch_ttest q_zorder_stats q_minhash_dedup q_simhash_pairs q_embed_dup_capped q_jaccard_prefix q_source_kl q_suffix_spans q_suffix_scrub q_wordpiece_encode q_rnn_pairs q_unigram_tok q_silhouette q_nmf_topics q_textrank q_db_index q_heaps_law"
+QUERIES="q_ann_ivf q_ann_lsh q_bm25_top q_bpe_train q_bpe_vocab q_burst_zscore q_chi2_assoc q_chunk_dedup q_chunk_profile q_cohort_retention q_dedup_exact q_dedup_incr q_dup_ngrams q_event_transitions q_ewma_smooth q_funnel q_gini_users q_kmeans_centroids q_kmv_overlap q_knn_cosine q_ks_drift q_markov_steady q_media_frames q_media_meta q_mix_sample q_mmr_rerank q_pq_codebooks q_pq_codes q_pr_curve q_psi_drift q_quality_lr q_quality_topk q_span_scrub q_takedown q_unigram_lm q_welch_ttest q_zorder_stats q_minhash_dedup q_simhash_pairs q_embed_dup_capped q_jaccard_prefix q_source_kl q_suffix_spans q_suffix_scrub q_wordpiece_encode q_rnn_pairs q_unigram_tok q_silhouette q_nmf_topics q_textrank q_db_index q_heaps_law q_ppmi_svd"
 # r9c probe scope: q_dedup_canonical / q_corpus_final re-materialize the
 # same DuckDB jaccard CTE q_dedup_components already pays at this tier,
 # and q_kn_bigram's oracle joins a ~500M-row bigram stream — their 10x/
