@@ -727,19 +727,19 @@ object SparkEntry {
     def iterCtes(c: Int): String = (1 to iters).map { i =>
       val px = s"x${c}_${i - 1}"
       val defl = if (c == 1) s"""y${c}_$i AS (SELECT w, yv FROM y0${c}_$i)"""
-      else s"""s${c}_$i AS (SELECT sum(CAST(${round6("CAST(v.vv AS DOUBLE) * CAST(x.xv AS DOUBLE)")} AS DECIMAL(28,6))) AS s
+      else s"""s${c}_$i AS (SELECT sum(CAST(${round6("v.vv * x.xv")} AS DECIMAL(28,6))) AS s
              FROM v1 v JOIN $px x ON v.w = x.w),
          y${c}_$i AS (SELECT y.w,
-             y.yv - CAST(${round6("v.lam * CAST(v.vv AS DOUBLE) * CAST(s.s AS DOUBLE)")} AS DECIMAL(28,6)) AS yv
+             y.yv - CAST(${round6(s"CAST(${round6("v.lam * v.vv")} AS DECIMAL(18,6)) * CAST(s.s AS DECIMAL(18,6))")} AS DECIMAL(28,6)) AS yv
            FROM y0${c}_$i y JOIN v1 v ON y.w = v.w CROSS JOIN s${c}_$i s)"""
       s"""mv${c}_$i AS (SELECT m.w,
-             sum(CAST(${round6("m.g * CAST(x.xv AS DOUBLE)")} AS DECIMAL(28,6))) AS yraw
+             sum(CAST(${round6("m.g * x.xv")} AS DECIMAL(28,6))) AS yraw
            FROM m JOIN $px x ON m.c = x.w GROUP BY 1),
          y0${c}_$i AS (SELECT wd.w,
              coalesce(mv.yraw, CAST(0 AS DECIMAL(28,6))) AS yv
            FROM words wd LEFT JOIN mv${c}_$i mv ON wd.w = mv.w),
          $defl,
-         n2${c}_$i AS (SELECT sum(CAST(${round6("CAST(yv AS DOUBLE) * CAST(yv AS DOUBLE)")} AS DECIMAL(38,6))) AS n2
+         n2${c}_$i AS (SELECT sum(CAST(${round6("CAST(yv AS DECIMAL(18,6)) * CAST(yv AS DECIMAL(18,6))")} AS DECIMAL(38,6))) AS n2
            FROM y${c}_$i),
          x${c}_$i AS MATERIALIZED (SELECT y.w,
              CAST(CASE WHEN CAST(n.n2 AS DOUBLE) > 0.0
@@ -749,7 +749,8 @@ object SparkEntry {
     }.mkString(",\n       ")
     def vDef(c: Int): String =
       s"""v$c AS MATERIALIZED (SELECT x.w, x.xv AS vv,
-           (SELECT ${round6("sqrt(CAST(n2 AS DOUBLE))")} FROM n2${c}_$iters) AS lam
+           (SELECT CAST(${round6("sqrt(CAST(n2 AS DOUBLE))")} AS DECIMAL(18,6))
+             FROM n2${c}_$iters) AS lam
          FROM x${c}_$iters x)"""
     raw"""WITH t AS (SELECT doc_id,
            list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0) AS t
@@ -764,8 +765,9 @@ object SparkEntry {
        tot AS (SELECT sum(n) AS nn FROM cooc),
        m AS MATERIALIZED (SELECT center AS w, context AS c, g FROM (
            SELECT c.center, c.context,
-             round(ln((CAST(c.n AS DOUBLE) * CAST(t.nn AS DOUBLE)) /
-               (CAST(r1.nw AS DOUBLE) * CAST(r2.nw AS DOUBLE))), 6) AS g
+             CAST(round(ln((CAST(c.n AS DOUBLE) * CAST(t.nn AS DOUBLE)) /
+               (CAST(r1.nw AS DOUBLE) * CAST(r2.nw AS DOUBLE))), 6)
+               AS DECIMAL(18,6)) AS g
            FROM cooc c
            JOIN rowm r1 ON c.center = r1.center
            JOIN rowm r2 ON c.context = r2.center
@@ -781,9 +783,9 @@ object SparkEntry {
        ${vDef(2)}
        SELECT comp, word, loading, lambda FROM (
          SELECT 1 AS comp, w AS word, CAST(vv AS DOUBLE) AS loading,
-           lam AS lambda FROM v1
+           CAST(lam AS DOUBLE) AS lambda FROM v1
          UNION ALL
-         SELECT 2, w, CAST(vv AS DOUBLE), lam FROM v2)
+         SELECT 2, w, CAST(vv AS DOUBLE), CAST(lam AS DOUBLE) FROM v2)
        ORDER BY comp, word"""
   }
 

@@ -573,8 +573,15 @@ object CorpusQueries {
       .join(rowm.select($"center".as("context"), $"nw".as("nc")), "context")
       .crossJoin(broadcast(tot))
       .select($"center".as("w"), $"context".as("c"),
+        // g lands on the 6-dp grid as a DECIMAL: every later product is
+        // then EXACT decimal arithmetic rounded decimal-to-decimal —
+        // HALF_UP in both engines. A double product of two grid values
+        // sits ON .5 cliffs (worst in iteration 1, where seeds have one
+        // decimal), and Spark rounds the decimal repr while DuckDB rounds
+        // the binary double: measured at sf1 as a 4.5e-3 lambda drift.
         round(log(($"n".cast("double") * $"nn".cast("double")) /
-          ($"nw".cast("double") * $"nc".cast("double"))), 6).as("g"))
+          ($"nw".cast("double") * $"nc".cast("double"))), 6)
+          .cast("decimal(18,6)").as("g"))
       .filter($"g" > 0.0)
       .localCheckpoint()
     val words = rowm.select($"center".as("w")).localCheckpoint()
@@ -588,24 +595,26 @@ object CorpusQueries {
       for (_ <- 1 to SvdIters) {
         val mv = m.join(x.select($"w".as("c"), $"xv"), "c")
           .select($"w",
-            round($"g" * $"xv".cast("double"), 6).cast("decimal(28,6)").as("t"))
+            round($"g" * $"xv", 6).cast("decimal(28,6)").as("t"))
           .groupBy($"w").agg(sum($"t").as("yraw"))
         var y = words.join(mv, Seq("w"), "left")
           .select($"w",
             coalesce($"yraw", lit(0).cast("decimal(28,6)")).as("yv"))
         for (vj <- comps) {
           val sF = vj.join(x, "w")
-            .select(round($"vv".cast("double") * $"xv".cast("double"), 6)
-              .cast("decimal(28,6)").as("p"))
+            .select(round($"vv" * $"xv", 6).cast("decimal(28,6)").as("p"))
             .agg(sum($"p").as("s"))
+          // two-step exact-decimal product: lam·vv first (quantized), then
+          // times the broadcast scalar — a triple decimal product would
+          // overflow precision 38 and fall into engine-specific loss rules
           y = y.join(vj.select($"w", $"vv", $"lam"), "w")
             .crossJoin(broadcast(sF))
             .select($"w",
-              ($"yv" - round($"lam" * $"vv".cast("double") * $"s".cast("double"), 6)
-                .cast("decimal(28,6)")).as("yv"))
+              ($"yv" - round(round($"lam" * $"vv", 6).cast("decimal(18,6)") *
+                $"s".cast("decimal(18,6)"), 6).cast("decimal(28,6)")).as("yv"))
         }
         val n2 = y.select(
-            round($"yv".cast("double") * $"yv".cast("double"), 6)
+            round($"yv".cast("decimal(18,6)") * $"yv".cast("decimal(18,6)"), 6)
               .cast("decimal(38,6)").as("q"))
           .agg(sum($"q").as("n2"))
         val prev = last
@@ -621,13 +630,13 @@ object CorpusQueries {
       }
       comps = comps :+ last
         .select($"w", $"xv".as("vv"),
-          round(sqrt($"n2".cast("double")), 6).as("lam"))
+          round(sqrt($"n2".cast("double")), 6).cast("decimal(18,6)").as("lam"))
         .localCheckpoint()
       GraftSqlBridge.dropCheckpoint(last)
     }
     comps.zipWithIndex.map { case (vj, i) =>
       vj.select(lit(i + 1).cast("long").as("comp"), $"w".as("word"),
-        $"vv".cast("double").as("loading"), $"lam".as("lambda"))
+        $"vv".cast("double").as("loading"), $"lam".cast("double").as("lambda"))
     }.reduce(_ unionByName _).orderBy($"comp", $"word")
   }
 

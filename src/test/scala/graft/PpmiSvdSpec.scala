@@ -39,28 +39,33 @@ class PpmiSvdSpec extends SparkSpec {
       (w, c) -> r6(math.log((n * nn) / (nw(w) * nw(c).toDouble)))
     }.filter(_._2 > 0.0)
     val words = nw.keys.toSeq.sorted
-    var comps = Vector.empty[(Map[String, Double], Double)] // (v, lambda)
+    var comps = Vector.empty[(Map[String, BigDecimal], BigDecimal)]
     for (_ <- 1 to CorpusQueries.SvdComps) {
-      var x = words.map(w => w -> seedOf(w)).toMap
-      var lam = 0.0
+      // products are EXACT decimal arithmetic quantized half-up — the
+      // engine multiplies DECIMAL(18,6) values and rounds decimal-to-
+      // decimal (double products of grid values sit on .5 cliffs)
+      def q6(b: BigDecimal): BigDecimal =
+        b.setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      var x = words.map(w => w -> BigDecimal(seedOf(w)).setScale(6)).toMap
+      var lam = BigDecimal(0)
       for (_ <- 1 to CorpusQueries.SvdIters) {
         val y = collection.mutable.Map[String, BigDecimal]() ++
           words.map(_ -> BigDecimal(0))
-        m.foreach { case ((w, c), g) => y(w) += BigDecimal(r6(g * x(c))) }
+        m.foreach { case ((w, c), g) => y(w) += q6(BigDecimal(g) * x(c)) }
         for ((vj, lj) <- comps) {
-          val s = words.map(w => BigDecimal(r6(vj(w) * x(w)))).sum.toDouble
-          words.foreach(w => y(w) -= BigDecimal(r6(lj * vj(w) * s)))
+          val s = words.map(w => q6(vj(w) * x(w))).sum
+          words.foreach(w => y(w) -= q6(q6(lj * vj(w)) * s))
         }
-        val n2 = words.map(w => BigDecimal(r6(y(w).toDouble * y(w).toDouble)))
-          .sum.toDouble
-        x = words.map(w => w ->
-          (if (n2 > 0.0) r6(y(w).toDouble / math.sqrt(n2)) else 0.0)).toMap
-        lam = r6(math.sqrt(n2))
+        val n2 = words.map(w => q6(y(w) * y(w))).sum.toDouble
+        x = words.map(w => w -> (if (n2 > 0.0)
+          BigDecimal(r6(y(w).toDouble / math.sqrt(n2))).setScale(6)
+          else BigDecimal(0).setScale(6))).toMap
+        lam = BigDecimal(r6(math.sqrt(n2))).setScale(6)
       }
       comps = comps :+ (x, lam)
     }
     comps.zipWithIndex.flatMap { case ((v, lam), i) =>
-      words.map(w => (i + 1L, w) -> (v(w), lam))
+      words.map(w => (i + 1L, w) -> (v(w).toDouble, lam.toDouble))
     }.toMap
   }
 

@@ -14,7 +14,17 @@ for TIER in sf1 sf10 sf100; do
   rm -rf "$OUT"
   java -cp "$CP" graft.Verify testdata_local/$TIER "$OUT" $NEWQ 2>&1 \
     | grep -E "^\[verify\]" | tail -4
-  cp CORRECTNESS_${TIER}.json CORRECTNESS_${TIER}.json.partial
+  # strip any stale verdicts for the new queries — CHECK_RESUME would
+  # otherwise serve the old verdict instead of re-checking the fresh dump
+  python3 - "$TIER" <<'PY'
+import json, sys
+t = sys.argv[1]
+d = json.load(open(f"CORRECTNESS_{t}.json"))
+for q in ["q_db_index", "q_heaps_law", "q_ppmi_svd"]:
+    d.pop(q, None)
+json.dump(d, open(f"CORRECTNESS_{t}.json.partial", "w"), indent=2,
+          sort_keys=True)
+PY
   CHECK_RESUME=1 python3 tools/check.py testdata_local/$TIER "$OUT" \
     CORRECTNESS_${TIER}.json 2>&1 | tail -3
   echo "=== $TIER merged $(date) ==="
