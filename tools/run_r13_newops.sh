@@ -7,12 +7,17 @@
 set -x
 cd /root/repo
 export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-24}
+# spark-class's standard Java-17 module opens: without them a raw
+# `java -cp` run crashes in Kryo (FieldSerializer on HeapByteBuffer)
+# the moment memory pressure evicts a broadcast/checkpoint block to
+# disk — bit us on q_nmf_topics at sf100 (r13)
+JOPTS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/jdk.internal.ref=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
 CP="/opt/spark/jars/*:target/scala-2.13/classes"
 NEWQ="q_db_index q_heaps_law q_ppmi_svd"
 for TIER in sf1 sf10 sf100; do
   OUT=/tmp/out_${TIER}_r13new
   rm -rf "$OUT"
-  java -cp "$CP" graft.Verify testdata_local/$TIER "$OUT" $NEWQ 2>&1 \
+  java $JOPTS -cp "$CP" graft.Verify testdata_local/$TIER "$OUT" $NEWQ 2>&1 \
     | grep -E "^\[verify\]" | tail -4
   # strip any stale verdicts for the new queries — CHECK_RESUME would
   # otherwise serve the old verdict instead of re-checking the fresh dump
