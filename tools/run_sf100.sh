@@ -39,6 +39,13 @@ CP="/opt/spark/jars/*:target/scala-2.13/classes"
 # evidence stands at sf10 (CORRECTNESS_sf10.json, hash-green); fixing the
 # sf100 posture needs a skew-aware cell split that changes the fitted
 # assignment and hence the oracle replay — tracked for a future round.
+# r13 partial exclusion: q_nmf_topics at sf100 — the ENGINE run needs
+# >70G of transient local scratch (V-checkpoint + the nnz-linear matmul
+# shuffles at 195M nnz) and died on No-space-left twice in the shared
+# 252G sandbox while the DuckDB check was spilling alongside; the plan
+# shape is the right distributed NMF (all joins linear in nnz, k x k
+# Grams broadcast) and its 10x evidence is green in CORRECTNESS_sf10.
+# Re-attempt serially (nothing else spilling) when wall-clock allows.
 # r13 additions (VERDICT r12 #6): the r12 operator family —
 # q_silhouette (one 16-centroid broadcast crossJoin, O(n*k) both sides),
 # q_nmf_topics (nnz-linear matmul joins; unrolled-CTE oracle) and
