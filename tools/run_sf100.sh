@@ -46,11 +46,15 @@ CP="/opt/spark/jars/*:target/scala-2.13/classes"
 # shape is the right distributed NMF (all joins linear in nnz, k x k
 # Grams broadcast) and its 10x evidence is green in CORRECTNESS_sf10.
 # Re-attempt serially (nothing else spilling) when wall-clock allows.
+# r13: q_wordpiece_encode keeps its r11-documented oracle exclusion (the
+# 200M per-token piece lists + per-doc ordered string_agg exceed an 80 GB
+# DuckDB budget; this sandbox tops out at ~71 GB of scratch) — engine-side
+# the query runs sf100 fine, and its hash evidence is the sf10 sweep.
 # r13 additions (VERDICT r12 #6): the r12 operator family —
 # q_silhouette (one 16-centroid broadcast crossJoin, O(n*k) both sides),
 # q_nmf_topics (nnz-linear matmul joins; unrolled-CTE oracle) and
 # q_textrank (n*W equi-join edges + 5 unrolled PageRank rounds).
-QUERIES="q_ann_ivf q_ann_lsh q_bm25_top q_bpe_train q_bpe_vocab q_burst_zscore q_chi2_assoc q_chunk_dedup q_chunk_profile q_cohort_retention q_dedup_exact q_dedup_incr q_dup_ngrams q_event_transitions q_ewma_smooth q_funnel q_gini_users q_kmeans_centroids q_kmv_overlap q_knn_cosine q_ks_drift q_markov_steady q_media_frames q_media_meta q_mix_sample q_mmr_rerank q_pq_codebooks q_pq_codes q_pr_curve q_psi_drift q_quality_lr q_quality_topk q_span_scrub q_takedown q_unigram_lm q_welch_ttest q_zorder_stats q_minhash_dedup q_simhash_pairs q_embed_dup_capped q_jaccard_prefix q_source_kl q_suffix_spans q_suffix_scrub q_wordpiece_encode q_unigram_tok q_silhouette q_nmf_topics q_textrank q_db_index q_heaps_law q_ppmi_svd"
+QUERIES="q_ann_ivf q_ann_lsh q_bm25_top q_bpe_train q_bpe_vocab q_burst_zscore q_chi2_assoc q_chunk_dedup q_chunk_profile q_cohort_retention q_dedup_exact q_dedup_incr q_dup_ngrams q_event_transitions q_ewma_smooth q_funnel q_gini_users q_kmeans_centroids q_kmv_overlap q_knn_cosine q_ks_drift q_markov_steady q_media_frames q_media_meta q_mix_sample q_mmr_rerank q_pq_codebooks q_pq_codes q_pr_curve q_psi_drift q_quality_lr q_quality_topk q_span_scrub q_takedown q_unigram_lm q_welch_ttest q_zorder_stats q_minhash_dedup q_simhash_pairs q_embed_dup_capped q_jaccard_prefix q_source_kl q_suffix_spans q_suffix_scrub q_unigram_tok q_silhouette q_nmf_topics q_textrank q_db_index q_heaps_law q_ppmi_svd"
 # r9c probe scope: q_dedup_canonical / q_corpus_final re-materialize the
 # same DuckDB jaccard CTE q_dedup_components already pays at this tier,
 # and q_kn_bigram's oracle joins a ~500M-row bigram stream — their 10x/
