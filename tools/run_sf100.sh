@@ -46,6 +46,19 @@ CP="/opt/spark/jars/*:target/scala-2.13/classes"
 # shape is the right distributed NMF (all joins linear in nnz, k x k
 # Grams broadcast) and its 10x evidence is green in CORRECTNESS_sf10.
 # Re-attempt serially (nothing else spilling) when wall-clock allows.
+# r13 MEASURED oracle-disk exclusions (this sandbox's scratch ceiling is
+# ~71 GB; each of these DuckDB replays exhausted it even run SERIALLY at
+# a 100 GB memory_limit on a fresh connection — every ENGINE dump ran
+# fine and their hash evidence is green in CORRECTNESS_sf10):
+#   q_minhash_dedup   (128 minhash × 200M tokens + LSH band join replay)
+#   q_jaccard_prefix  (inverted-index candidate join replay)
+#   q_suffix_spans / q_suffix_scrub (global lead() over ~200M suffixes)
+#   q_textrank        (~800M-row edge CTE alive across 5 unrolled rounds)
+#   q_ppmi_svd        (the oracle's positional self-join builds ~800M pair
+#                      rows; the engine generates pairs per-row via zip)
+# r13 additions that ARE green at sf100: q_silhouette, q_db_index,
+# q_heaps_law, plus the cheap corpus profiles q_token_stats,
+# q_lang_profile, q_zipf_profile, q_source_entropy, q_quality_scores.
 # r13: q_wordpiece_encode keeps its r11-documented oracle exclusion (the
 # 200M per-token piece lists + per-doc ordered string_agg exceed an 80 GB
 # DuckDB budget; this sandbox tops out at ~71 GB of scratch) — engine-side
@@ -54,7 +67,7 @@ CP="/opt/spark/jars/*:target/scala-2.13/classes"
 # q_silhouette (one 16-centroid broadcast crossJoin, O(n*k) both sides),
 # q_nmf_topics (nnz-linear matmul joins; unrolled-CTE oracle) and
 # q_textrank (n*W equi-join edges + 5 unrolled PageRank rounds).
-QUERIES="q_ann_ivf q_ann_lsh q_bm25_top q_bpe_train q_bpe_vocab q_burst_zscore q_chi2_assoc q_chunk_dedup q_chunk_profile q_cohort_retention q_dedup_exact q_dedup_incr q_dup_ngrams q_event_transitions q_ewma_smooth q_funnel q_gini_users q_kmeans_centroids q_kmv_overlap q_knn_cosine q_ks_drift q_markov_steady q_media_frames q_media_meta q_mix_sample q_mmr_rerank q_pq_codebooks q_pq_codes q_pr_curve q_psi_drift q_quality_lr q_quality_topk q_span_scrub q_takedown q_unigram_lm q_welch_ttest q_zorder_stats q_minhash_dedup q_simhash_pairs q_embed_dup_capped q_jaccard_prefix q_source_kl q_suffix_spans q_suffix_scrub q_unigram_tok q_silhouette q_nmf_topics q_textrank q_db_index q_heaps_law q_ppmi_svd"
+QUERIES="q_ann_ivf q_ann_lsh q_bm25_top q_bpe_train q_bpe_vocab q_burst_zscore q_chi2_assoc q_chunk_dedup q_chunk_profile q_cohort_retention q_dedup_exact q_dedup_incr q_dup_ngrams q_event_transitions q_ewma_smooth q_funnel q_gini_users q_kmeans_centroids q_kmv_overlap q_knn_cosine q_ks_drift q_markov_steady q_media_frames q_media_meta q_mix_sample q_mmr_rerank q_pq_codebooks q_pq_codes q_pr_curve q_psi_drift q_quality_lr q_quality_topk q_span_scrub q_takedown q_unigram_lm q_welch_ttest q_zorder_stats q_minhash_dedup q_simhash_pairs q_embed_dup_capped q_jaccard_prefix q_source_kl q_suffix_spans q_suffix_scrub q_unigram_tok q_silhouette q_db_index q_heaps_law q_token_stats q_lang_profile q_zipf_profile q_source_entropy q_quality_scores"
 # r9c probe scope: q_dedup_canonical / q_corpus_final re-materialize the
 # same DuckDB jaccard CTE q_dedup_components already pays at this tier,
 # and q_kn_bigram's oracle joins a ~500M-row bigram stream — their 10x/
