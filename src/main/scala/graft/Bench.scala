@@ -87,23 +87,51 @@ object Bench {
     // quiet +22% in r12 is the motivating case). Ceilings from a different
     // tier never apply — sf0.1 numbers would false-fire at sf10.
     val budgetPath = java.nio.file.Paths.get("tools/bench_budget.json")
-    val overBudget: Seq[String] =
-      if (java.nio.file.Files.exists(budgetPath)) {
-        val txt = java.nio.file.Files.readString(budgetPath)
-        val tier = """"sf"\s*:\s*"([^"]+)"""".r
-          .findFirstMatchIn(txt).map(_.group(1))
-        if (tier.contains(new java.io.File(sfDir).getName)) {
-          val entry = """"(q_[a-zA-Z0-9_]+)"\s*:\s*([0-9.]+)""".r
-          val ceiling = entry.findAllMatchIn(txt)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-          best.collect {
+    // real JSON parse (ADVICE r13): the old regex scan took the FIRST
+    // "sf" match as the tier and treated any quoted q_* key with a number
+    // anywhere in the file (the _doc string included) as a ceiling — a
+    // doc edit could silently change which ceilings load. Jackson either
+    // parses the whole document or the failure is reported loudly; the
+    // ceilings are read only from the top-level "queries" object.
+    val (overBudget: Seq[String], unpinned: Seq[String]) =
+      if (!java.nio.file.Files.exists(budgetPath)) (Nil, Nil)
+      else try {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readString(budgetPath))
+        val tier = Option(root.get("sf")).map(_.asText())
+        if (!tier.contains(new java.io.File(sfDir).getName)) (Nil, Nil)
+        else {
+          val qnode = root.get("queries")
+          val ceiling = scala.collection.mutable.Map.empty[String, Double]
+          if (qnode != null) {
+            val names = qnode.fieldNames()
+            while (names.hasNext) {
+              val k = names.next()
+              ceiling += k -> qnode.get(k).asDouble()
+            }
+          }
+          val over = best.collect {
             case (n, v) if v >= 0 && ceiling.get(n).exists(v > _) =>
               System.err.println(f"[bench] OVER BUDGET: $n $v%.3f s > " +
                 f"${ceiling(n)}%.3f s committed ceiling")
               n
           }
-        } else Nil
-      } else Nil
+          // coverage-gap report (ADVICE r13): a query that ran but has no
+          // committed ceiling is exactly where a quiet regression hides —
+          // surface registered-but-unpinned names instead of skipping them
+          val unp = best.collect {
+            case (n, v) if v >= 0 && !ceiling.contains(n) =>
+              System.err.println(s"[bench] NO BUDGET PIN: $n")
+              n
+          }
+          (over, unp)
+        }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] BUDGET FILE UNPARSEABLE " +
+            s"(no ceilings applied): $e")
+          (Nil, Nil)
+      }
     // 3-dp per-query seconds: sub-millisecond digits are pure noise and
     // bloat the line past log-capture windows (VERDICT r5 #4)
     def r3(v: Double): Double = if (v < 0) v else math.rint(v * 1000) / 1000
@@ -120,6 +148,7 @@ object Bench {
       s""""method":"min-of-$nPasses-passes","cold_total":${r3(total(cold))},""" +
       s""""pass_totals":$passTotals,"sf":"$sfDir",""" +
       s""""over_budget":${overBudget.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""unpinned":${unpinned.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""queries":${fmt(best)},"queries_cold":${fmt(cold)}}"""
     println(json)
     // tail-window-proof complement (VERDICT r9 #6): the full line above is
@@ -131,6 +160,7 @@ object Bench {
       s""""unit":"sec","method":"min-of-$nPasses-passes",""" +
       s""""cold_total":${r3(total(cold))},"pass_totals":$passTotals,""" +
       s""""n_queries":${ordered.size},"n_over_budget":${overBudget.size},""" +
+      s""""n_unpinned":${unpinned.size},""" +
       s""""sf":"$sfDir"}"""
     println(scalarJson)
     // file copies (VERDICT r2 #2): sbt log prefixes defeated the driver's

@@ -3971,21 +3971,30 @@ object SparkEntry {
     "q_rnn_pairs" -> RnnOracle,
   )
 
-  /** RNN-pairs oracle: the scaled-k assignment replay, then one
-    * rank-filter window over a SLIM (va, vb, cos) pair projection.
+  /** RNN-pairs oracle: the scaled-k assignment replay, the r14
+    * occupancy-aware cell split (CTE-for-CTE mirror of
+    * [[graft.queries.SimilarityQueries.rnnPairs]]: cells whose occupancy
+    * exceeds RnnSplitBudget draw ceil(occ/target) seed members in
+    * md5(vec_id) order and re-assign every member to its max-cosine seed,
+    * tie → lowest seed rank; cold cells keep sub = 0), then one
+    * rank-filter window over a SLIM (va, vb, cos) pair projection keyed
+    * on (cid, sub).
     *
     * DuckDB-1.0 shape notes (r12, all measured): s3 must stay a PLAIN
     * (non-materialized) CTE — a MATERIALIZED CTE self-joined on cid loses
     * its cardinality estimate and the optimizer picks a CROSS PRODUCT
     * over the full vector-carrying rows (69 GB of spill at sf1, disk
-    * death at sf10); inlined, both references plan as proper cid hash
+    * death at sf10); inlined, the references plan as proper cid hash
     * joins and the only heavy frame is the slim pair stream through the
-    * window. The window input carries no vectors, so the sf10 check runs
-    * in bounded scratch; at sf100 the 20G-row window is a DuckDB-side
-    * cost the engine does not share (the registered plan prunes to
-    * RnnK rows per vector map-side via TopKNeighborsAggregator), so the
-    * query's scale-correctness evidence is the sf10 hash match — the
-    * same documented posture as q_wordpiece_encode's r11 oracle. */
+    * window. The split CTEs add two more plain-s3 evaluations (occ3 and
+    * the materialized hm3) — a constant factor on the assignment replay,
+    * paid for a pair stream that stays NEAR-LINEAR even when the
+    * corpus is skewed (without the split, the sf100 tier's pair CTE is
+    * quadratic and the replay is unrunnable outright). hm3 IS
+    * materialized — it is never self-joined, only joined to its own
+    * tiny seed subset, so the r12 cross-product trap does not apply.
+    * rs3 is materialized so the two s4 references in pr share one
+    * re-assignment pass. */
   private val RnnOracle: String =
     SemKmeansCte +
       s""", a3 AS (SELECT e.vec_id, c.cid,
@@ -3995,9 +4004,26 @@ object SparkEntry {
              SELECT vec_id, cid,
                row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
              FROM a3) w JOIN emb e ON e.vec_id = w.vec_id WHERE w.rn = 1),
+         occ3 AS (SELECT cid, count(*) AS occ FROM s3 GROUP BY 1),
+         hot3 AS (SELECT cid, CAST(ceil(occ /
+             ${SimilarityQueries.SemDedupCellTarget}.0) AS INT) AS nsub
+           FROM occ3 WHERE occ > ${SimilarityQueries.RnnSplitBudget}),
+         hm3 AS MATERIALIZED (SELECT s.vec_id, s.v, s.vn, s.cid, h.nsub
+           FROM s3 s JOIN hot3 h ON s.cid = h.cid),
+         se3 AS (SELECT cid, srk AS sub, v AS sv, vn AS sn FROM (
+             SELECT cid, v, vn, nsub, row_number() OVER (PARTITION BY cid
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srk
+             FROM hm3) WHERE srk <= nsub),
+         rs3 AS MATERIALIZED (SELECT vec_id, sub FROM (
+             SELECT m.vec_id, s.sub, row_number() OVER (PARTITION BY m.vec_id
+               ORDER BY list_dot_product(m.v, s.sv) / (m.vn * s.sn) DESC, s.sub) AS rn
+             FROM hm3 m JOIN se3 s ON m.cid = s.cid) WHERE rn = 1),
+         s4 AS (SELECT s.vec_id, s.v, s.vn, s.cid, coalesce(r.sub, 0) AS sub
+           FROM s3 s LEFT JOIN rs3 r ON s.vec_id = r.vec_id),
          pr AS (SELECT a.vec_id AS va, b.vec_id AS vb,
              round(list_dot_product(a.v, b.v) / (a.vn * b.vn), 6) AS cos
-           FROM s3 a JOIN s3 b ON a.cid = b.cid AND a.vec_id != b.vec_id),
+           FROM s4 a JOIN s4 b ON a.cid = b.cid AND a.sub = b.sub
+             AND a.vec_id != b.vec_id),
          tk AS (SELECT va, vb, cos, row_number() OVER (
              PARTITION BY va ORDER BY cos DESC, vb) AS rn
            FROM pr QUALIFY rn <= ${SimilarityQueries.RnnK})

@@ -1106,8 +1106,19 @@ object SimilarityQueries {
 
   /** Within-cluster pair-join salt for [[rnnPairs]] (see the usage note —
     * lighter than [[EmbedDupSalt]] because the build side carries full
-    * vectors and scaled-k cells are balanced by construction). */
+    * vectors and post-split cells are bounded near
+    * [[SemDedupCellTarget]]). */
   val RnnSalt = 4
+
+  /** Occupancy ceiling above which [[rnnPairs]] re-quantizes a coarse
+    * cell (2× the fit's target cell size): the scaled-k fit AIMS at
+    * [[SemDedupCellTarget]]-sized cells, but a skewed corpus defeats it —
+    * measured at sf100, where ScaleUp's sign-flipped copies are
+    * near-orthogonal to every copy-0-seeded centroid and ~90% of the
+    * catalog piles into a handful of cells, making the within-cell pair
+    * mass quadratic in n (a >95-minute straggler no salt can fix: salting
+    * spreads the work, it doesn't shrink it). */
+  val RnnSplitBudget: Long = 2L * SemDedupCellTarget
 
   /** Reciprocal nearest neighbors within the fitted coarse clusters — the
     * rank-based near-duplicate signal (RNN-DBSCAN / de-duplication
@@ -1123,7 +1134,25 @@ object SimilarityQueries {
     * over the pair frame, the mutuality check a self-join of the
     * [[RnnK]]·n-row top-k frame on the swapped key. Cosines round to
     * 6 dp BEFORE ranking (the [[knnCosine]] doctrine) so both engines
-    * rank identically; ties break on neighbor id. */
+    * rank identically; ties break on neighbor id.
+    *
+    * Occupancy-aware cell split (the r13 sf100 lesson): "pair mass ≈
+    * n·target" is only true when the fit balances — on a skewed corpus
+    * (a dominant mode, or ScaleUp's sign-flipped copies that no copy-0
+    * seed attracts) most of the catalog lands in a few cells and the
+    * within-cell join goes quadratic. So cells whose measured occupancy
+    * exceeds [[RnnSplitBudget]] are re-quantized by a secondary
+    * one-round k-means INSIDE the cell: ceil(occ / target) seed members
+    * are drawn in md5(vec_id) order (a deterministic uniform sample —
+    * lowest-vec_id seeding would draw all seeds from one copy family),
+    * every hot-cell member re-assigns to its max-cosine seed (tie →
+    * lowest seed rank), and the pair join keys on (cid, sub). Cold cells
+    * keep sub = 0. The split bounds every cell near the target, so pair
+    * mass is linear again in n regardless of the input distribution;
+    * RNN-within-coarse-cells was already an approximation, and the
+    * secondary quantizer refines by locality rather than splitting
+    * arbitrarily. The oracle replays the split CTE-for-CTE (same md5
+    * seed order, same argmax tiebreak). */
   def rnnPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
@@ -1131,25 +1160,54 @@ object SimilarityQueries {
       .withColumn("nrm", Similarity.l2norm($"v"))
     val k = semDedupK(embCatalogCount(spark, dir))
     val cents = fittedCentroids(spark, dir, k)
+    // eager checkpoint: the assignment feeds the occupancy count, the
+    // hot-member frame AND the final split frame — recomputing the n×k
+    // argmax crossJoin per consumer would triple the dominant scan
     val assigned = emb.crossJoin(broadcast(cents))
       .withColumn("ccos", Similarity.dot($"v", $"cv") / ($"nrm" * $"cn"))
       .groupBy($"vec_id")
       .agg(max_by(struct($"cid", $"v", $"nrm"), struct($"ccos", -$"cid")).as("best"))
       .select($"vec_id", $"best.v".as("v"), $"best.nrm".as("nrm"), $"best.cid".as("cid"))
-    // a LIGHT salt (vs the capped join's ×16): the scaled-k fit balances
-    // cells around SemDedupCellTarget, so straggler risk is small — and
+      .localCheckpoint()
+    // occupancy-aware split: measure cells, re-quantize the hot ones
+    val hot = assigned.groupBy($"cid").agg(count(lit(1)).as("occ"))
+      .filter($"occ" > RnnSplitBudget)
+      .select($"cid",
+        ceil($"occ" / lit(SemDedupCellTarget.toDouble)).cast("int").as("nsub"))
+    val hotM = assigned.join(broadcast(hot), Seq("cid"))
+    // seeds: a per-cell md5-ordered uniform draw — ONE window sort over
+    // hot members only (n log n, never quadratic); the seed frame is
+    // ~n/target rows total, comfortably broadcastable
+    val wSeed = Window.partitionBy($"cid")
+      .orderBy(md5($"vec_id".cast("string")), $"vec_id")
+    val seeds = hotM.withColumn("srk", row_number().over(wSeed))
+      .filter($"srk" <= $"nsub")
+      .select($"cid", $"srk".as("sub"), $"v".as("sv"), $"nrm".as("sn"))
+    // argmax over a SLIM (vec_id, sub, scos) projection: max_by partially
+    // aggregates map-side, so the shuffle is one row per hot vector — the
+    // member vectors never ride through this exchange
+    val resub = hotM.join(broadcast(seeds), Seq("cid"))
+      .select($"vec_id", $"sub",
+        (Similarity.dot($"v", $"sv") / ($"nrm" * $"sn")).as("scos"))
+      .groupBy($"vec_id")
+      .agg(max_by($"sub", struct($"scos", -$"sub")).as("sub"))
+    val split = assigned.join(resub, Seq("vec_id"), "left")
+      .withColumn("sub", coalesce($"sub", lit(0)))
+    // a LIGHT salt (vs the capped join's ×16): post-split cells are
+    // bounded near SemDedupCellTarget, so straggler risk is small — and
     // the build side replicates ×salt carrying full 64-dim vectors, so
     // heavy salting multiplies the join's dominant shuffle (measured r12
     // at the 5M tier: ×16 is a ~40 GB vector exchange that overflowed
-    // local scratch; ×4 fits and still splits any hot cell four ways)
-    val probe = assigned.as("a")
+    // local scratch; ×4 fits and still splits any residual hot cell —
+    // e.g. one full of exact-duplicate vectors — four ways)
+    val probe = split.as("a")
       .withColumn("salt", pmod(hash($"a.vec_id"), lit(RnnSalt)))
-    val build = assigned.as("b")
+    val build = split.as("b")
       .withColumn("salt", explode(sequence(lit(0), lit(RnnSalt - 1))))
     val scored = probe
       .join(build,
-        $"a.cid" === $"b.cid" && probe("salt") === build("salt") &&
-          $"a.vec_id" =!= $"b.vec_id")
+        $"a.cid" === $"b.cid" && $"a.sub" === $"b.sub" &&
+          probe("salt") === build("salt") && $"a.vec_id" =!= $"b.vec_id")
       .select($"a.vec_id".as("va"), $"b.vec_id".as("vb"),
         round(Similarity.dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm"), 6)
           .as("cos"))
@@ -1175,6 +1233,9 @@ object SimilarityQueries {
       .select($"va", $"p.vb".as("vb"), $"p.cos".as("cos"),
         ($"idx" + 1).cast("long").as("rn"))
       .localCheckpoint()
+    // top's eager checkpoint severed the lineage — the assignment blocks
+    // are dead weight past this point (the ppmiSvd hygiene doctrine)
+    org.apache.spark.sql.GraftSqlBridge.dropCheckpoint(assigned)
     top.as("x")
       .join(top.as("y"),
         $"x.va" === $"y.vb" && $"x.vb" === $"y.va" && $"x.va" < $"x.vb")

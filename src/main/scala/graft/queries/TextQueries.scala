@@ -243,7 +243,13 @@ object TextQueries {
     * exact-binary HALF_UP and DuckDB's ×1e6 double round); init exactly 1,
     * so the DuckDB oracle unrolls all [[TrIters]] iterations
     * bit-identically. */
-  def textrank(spark: SparkSession, dir: String): DataFrame = {
+  /** The TextRank co-occurrence graph on its own: (src, dst, ew) —
+    * exposed so the sf100 partial oracle can verify the corpus-sized
+    * half of [[textrank]] (the n·W pair stream aggregation) for an
+    * md5-sampled word subset without replaying the PageRank rounds
+    * (VERDICT r13 #5; the full oracle's ~800M-row edge CTE exceeds the
+    * sandbox's DuckDB scratch ceiling at that tier). */
+  def textrankEdges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val toks = Tables.documents(spark, dir)
       .select($"doc_id", posexplode(Text.tokenize($"text")).as(Seq("pos", "w")))
@@ -255,9 +261,14 @@ object TextQueries {
             $"a.w" =!= $"b.w")
         .select($"a.w".as("src"), $"b.w".as("dst"))
     }.reduce(_ unionByName _)
-    val edges = shifted
+    shifted
       .unionByName(shifted.select($"dst".as("src"), $"src".as("dst")))
       .groupBy($"src", $"dst").agg(count(lit(1)).cast("double").as("ew"))
+  }
+
+  def textrank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = textrankEdges(spark, dir)
     val outw = edges.groupBy($"src").agg(sum($"ew").as("outw"))
     val frac = edges.join(outw, "src")
       .select($"src", $"dst", ($"ew" / $"outw").as("frac"))

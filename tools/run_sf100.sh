@@ -31,21 +31,23 @@ CP="/opt/spark/jars/*:target/scala-2.13/classes"
 # q_source_kl — VERDICT r11 #1, with the budgeted simhash oracle) + the
 # r10/r11/r12 stragglers (q_suffix_spans q_suffix_scrub q_wordpiece_encode
 # q_unigram_tok — VERDICT r11 #5).
-# r13 exclusion: q_rnn_pairs — the sf100 ENGINE run (not the oracle) hit
-# a >95-minute straggler in the within-cluster top-k aggregation on the
-# 2M-vector scrambled-copy tier (the ScaleUp sign-flip makes copies 1..9
-# near-orthogonal to every copy-0-seeded centroid, piling them into few
-# cells; the salted pair mass in those cells goes quadratic). Its scale
-# evidence stands at sf10 (CORRECTNESS_sf10.json, hash-green); fixing the
-# sf100 posture needs a skew-aware cell split that changes the fitted
-# assignment and hence the oracle replay — tracked for a future round.
+# r13 exclusion, FIXED in r14: q_rnn_pairs' sf100 ENGINE straggler (the
+# ScaleUp sign-flip piled copies 1..9 into few cells; the salted
+# within-cell pair mass went quadratic — >95 min, killed) is closed by
+# the occupancy-aware cell split (SimilarityQueries.rnnPairs: cells over
+# RnnSplitBudget re-quantize onto md5-ordered seed members; oracle
+# mirrors CTE-for-CTE; RnnSplitSpec pins the skew routing). The engine
+# run + oracle attempt live in tools/run_sf100_r14.sh — the FULL oracle
+# replay still builds an ~8e9-row pair stream at this tier, so its
+# in-sweep check stays out of $QUERIES; evidence is the engine run, the
+# fresh-connection oracle attempt, and the partial_check cosine row.
 # r13 partial exclusion: q_nmf_topics at sf100 — the ENGINE run needs
 # >70G of transient local scratch (V-checkpoint + the nnz-linear matmul
 # shuffles at 195M nnz) and died on No-space-left twice in the shared
 # 252G sandbox while the DuckDB check was spilling alongside; the plan
 # shape is the right distributed NMF (all joins linear in nnz, k x k
 # Grams broadcast) and its 10x evidence is green in CORRECTNESS_sf10.
-# Re-attempt serially (nothing else spilling) when wall-clock allows.
+# r14: the serial re-attempt lives in tools/run_sf100_r14.sh.
 # r13 MEASURED oracle-disk exclusions (this sandbox's scratch ceiling is
 # ~71 GB; each of these DuckDB replays exhausted it even run SERIALLY at
 # a 100 GB memory_limit on a fresh connection — every ENGINE dump ran
@@ -56,6 +58,11 @@ CP="/opt/spark/jars/*:target/scala-2.13/classes"
 #   q_textrank        (~800M-row edge CTE alive across 5 unrolled rounds)
 #   q_ppmi_svd        (the oracle's positional self-join builds ~800M pair
 #                      rows; the engine generates pairs per-row via zip)
+# r14: each of these five now carries a PARTIAL oracle at sf100 —
+# tools/partial_check.py replays a deterministic md5-sampled linear
+# intermediate (sample-pair exact Jaccard, probe-join LCP span/scrub
+# recompute, edge weights, PPMI rows) against the engine dumps →
+# CORRECTNESS_sf100_partial.json (driven by tools/run_sf100_r14.sh).
 # r13 additions that ARE green at sf100: q_silhouette, q_db_index,
 # q_heaps_law, plus the cheap corpus profiles q_token_stats,
 # q_lang_profile, q_zipf_profile, q_source_entropy, q_quality_scores.
