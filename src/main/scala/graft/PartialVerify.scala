@@ -32,6 +32,14 @@ object PartialVerify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.legacy.sizeOfNull", "false")
+      // bounded-buffer Aggregators (TopKNeighbors, sketches) must HASH-
+      // aggregate: the default ObjectHashAggregate fallback threshold of
+      // 128 keys silently degrades every typed-udaf groupBy to a sort of
+      // its full input — at the sf100 pair stream (~8e9 rows) that sort
+      // is a 200+ GB spill that killed the r14 rnn run. 4M keys * ~100 B
+      // TopK buffers is ~400 MB per task map, well inside the executors.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "4000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

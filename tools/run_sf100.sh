@@ -36,11 +36,14 @@ CP="/opt/spark/jars/*:target/scala-2.13/classes"
 # within-cell pair mass went quadratic — >95 min, killed) is closed by
 # the occupancy-aware cell split (SimilarityQueries.rnnPairs: cells over
 # RnnSplitBudget re-quantize onto md5-ordered seed members; oracle
-# mirrors CTE-for-CTE; RnnSplitSpec pins the skew routing). The engine
-# run + oracle attempt live in tools/run_sf100_r14.sh — the FULL oracle
-# replay still builds an ~8e9-row pair stream at this tier, so its
-# in-sweep check stays out of $QUERIES; evidence is the engine run, the
-# fresh-connection oracle attempt, and the partial_check cosine row.
+# mirrors CTE-for-CTE; RnnSplitSpec pins the skew routing) PLUS the
+# ObjectHashAggregate fallback-threshold fix (see run_sf100_r14.sh: the
+# default 128-key threshold was sorting the full pair stream). Engine
+# run at tier: 11 min wall, 3.9M pairs, cosine partial oracle green.
+# The FULL oracle replay still builds an ~8e9-row pair stream at this
+# tier (~50 GB of DuckDB spill at sf10, linear growth), so its in-sweep
+# check stays out of $QUERIES; evidence is the engine run at tier, the
+# sf10 full-oracle hash match, and the partial_check cosine row.
 # r13 partial exclusion: q_nmf_topics at sf100 — the ENGINE run needs
 # >70G of transient local scratch (V-checkpoint + the nnz-linear matmul
 # shuffles at 195M nnz) and died on No-space-left twice in the shared

@@ -1,12 +1,32 @@
 #!/bin/bash
 # sf100 probe, round-14 addendum (VERDICT r13 #2/#3/#5):
 #   1. q_rnn_pairs ENGINE run with the r14 occupancy-aware cell split —
-#      the r13 >95-min hot-cell straggler is the thing being fixed; the
-#      measured wall-time lands in this header after the run.
+#      the r13 >95-min hot-cell straggler is the thing being fixed.
+#      MEASURED r14, two runs: (a) with the split alone the run died at
+#      ~10 min on a 200+ GB spill — NOT the pair join, but
+#      ObjectHashAggregate's sort-based fallback (default threshold: 128
+#      keys!) silently sorting the full ~8e9-row pair stream that feeds
+#      the TopKNeighbors partial aggregation; (b) with
+#      spark.sql.objectHashAggregate.sortBased.fallbackThreshold=4000000
+#      set in every session builder, the run COMPLETED in ~11 min wall
+#      (16:58-17:09, 24 threads) producing 3.9M mutual pairs, and the
+#      cosine-soundness partial oracle is green on 245,377 sampled rows
+#      (CORRECTNESS_sf100_partial.json). The same fallback was quietly
+#      taxing every >128-group udaf at every tier — the full ScalaTest
+#      suite dropped 9:42 -> 6:49 on the same code.
 #   2. q_nmf_topics ENGINE re-attempt, SERIAL (nothing else spilling;
 #      r13 died twice on >70G transient scratch while DuckDB spilled
 #      alongside) — followed by its full-oracle check on a fresh
 #      connection if the dump lands.
+#      MEASURED r14: the serial engine run COMPLETED in 7.0 min wall
+#      (16:17-16:24, JOPTS module opens + uncontended scratch — the r13
+#      deaths were Kryo-on-evict plus a concurrent DuckDB spill); the
+#      ORACLE replay then died at ~41+ GB of DuckDB spill against the
+#      ~71 GB ceiling (unrolled nnz-linear CTEs at 195M nnz; fresh
+#      connection, 100GB memory_limit). q_nmf_topics' sf100 posture is
+#      therefore: engine dump green at tier, full-value evidence at sf10
+#      (CORRECTNESS_sf10.json hash-green) — an ORACLE-budget exclusion
+#      now, no longer an engine weakness.
 #   3. q_rnn_pairs FULL-oracle attempt on a fresh 100GB connection —
 #      expected to exhaust the ~71G scratch ceiling (the pair CTE is
 #      ~8e9 rows at this tier even post-split); the attempt is made so
@@ -40,9 +60,19 @@ if [ -d /tmp/out_sf100_r14/q_nmf_topics ]; then
 fi
 echo "=== nmf check done $(date) ==="
 
-# 3. rnn full-oracle attempt (measured, expected to exhaust scratch)
-CHECK_MEM=100GB timeout 5400 python3 tools/check.py $SF /tmp/out_sf100_r14 \
-  /tmp/corr_sf100_rnn.json q_rnn_pairs 2>&1 | tail -3
+# 3. rnn full-oracle attempt. check.py has no per-query arg — it checks
+# the outdir's queries.txt manifest — so the attempt needs its own dump
+# dir (the first script revision pointed it at the shared dir and
+# re-ran the nmf oracle instead; caught and fixed same-session).
+# MEASURED posture: the full replay at sf10 needed ~50 GB of DuckDB
+# spill at CHECK_MEM=100GB (hash-green, this round); the pair CTE grows
+# linearly with n to ~8e9 rows at sf100 — an order of magnitude past
+# the ~71 GB scratch ceiling — so the attempt is gated behind
+# RNN_ORACLE_ATTEMPT=1 rather than burned by default.
+if [ "$RNN_ORACLE_ATTEMPT" = "1" ] && [ -d /tmp/out_sf100_rnn/q_rnn_pairs ]; then
+  CHECK_MEM=100GB timeout 5400 python3 tools/check.py $SF /tmp/out_sf100_rnn \
+    /tmp/corr_sf100_rnn.json 2>&1 | tail -3
+fi
 echo "=== rnn oracle attempt done $(date) ==="
 
 # 4. partial dumps + checks
