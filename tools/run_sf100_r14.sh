@@ -7,13 +7,19 @@
 #      ObjectHashAggregate's sort-based fallback (default threshold: 128
 #      keys!) silently sorting the full ~8e9-row pair stream that feeds
 #      the TopKNeighbors partial aggregation; (b) with
-#      spark.sql.objectHashAggregate.sortBased.fallbackThreshold=4000000
-#      set in every session builder, the run COMPLETED in ~11 min wall
-#      (16:58-17:09, 24 threads) producing 3.9M mutual pairs, and the
-#      cosine-soundness partial oracle is green on 245,377 sampled rows
+#      spark.sql.objectHashAggregate.sortBased.fallbackThreshold raised
+#      in every session builder, the run COMPLETED in ~11 min wall
+#      (24 threads) producing 3.9M mutual pairs, and the cosine-
+#      soundness partial oracle is green on 245,377 sampled rows
 #      (CORRECTNESS_sf100_partial.json). The same fallback was quietly
 #      taxing every >128-group udaf at every tier — the full ScalaTest
-#      suite dropped 9:42 -> 6:49 on the same code.
+#      suite dropped 9:42 -> 6:49 on the same code. The shipped value is
+#      200000, not the 4M first tried: growing-buffer aggregations
+#      (assocRules' collect_list baskets, 625k+ groups/task at sf10)
+#      WANT the sort fallback — 4M held the full basket map and cost
+#      q_assoc_rules +23 s at sf10, while 200k keeps the top-k family's
+#      ~83k distinct-keys-per-task hashed with 2.4x margin (sf100 rerun
+#      at 200k: byte-identical 3.9M rows, same ~11 min).
 #   2. q_nmf_topics ENGINE re-attempt, SERIAL (nothing else spilling;
 #      r13 died twice on >70G transient scratch while DuckDB spilled
 #      alongside) — followed by its full-oracle check on a fresh
