@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every registered query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
@@ -8,30 +7,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.rdd.compress", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.legacy.sizeOfNull", "false")
-      // bounded-buffer Aggregators (TopKNeighbors, sketches) must HASH-
-      // aggregate: the default ObjectHashAggregate fallback threshold of
-      // 128 keys silently degrades every typed-udaf groupBy to a sort of
-      // its full input — at the sf100 pair stream (~8e9 rows) that sort
-      // is a 200+ GB spill that killed the first r14 rnn run. 200k keys
-      // covers the top-k family with 2.4x margin at sf100 (~83k distinct
-      // vectors per task) at ~20 MB per task map, while GROWING-buffer
-      // aggregations (assocRules' collect_list baskets: 625k+ groups per
-      // task at sf10) still fall back before heap churn outweighs the
-      // sort they were getting anyway — measured at sf10: 4M held the
-      // full basket map and cost q_assoc_rules +23 s.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "200000")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.local(defaultCpus = "4")
     // SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the run — the subset-tier
     // probes (e.g. the documents/embeddings-only sf100 decade) time just
     // the queries whose tables exist there
@@ -99,7 +75,16 @@ object Bench {
     // JSON line instead of hiding inside a healthy total (q_assoc_rules'
     // quiet +22% in r12 is the motivating case). Ceilings from a different
     // tier never apply — sf0.1 numbers would false-fire at sf10.
-    val budgetPath = java.nio.file.Paths.get("tools/bench_budget.json")
+    // Scale tiers get their own budget files (VERDICT r14 #2: the
+    // q_assoc_rules +23 s sf10 regression was caught by eyeball because
+    // the scale benches had no over-budget gate): a tier-named
+    // tools/bench_budget_<tier>.json wins when present; the unsuffixed
+    // file remains the sf0.1 contract and its own "sf" field still gates.
+    val tierName = new java.io.File(sfDir).getName
+    val tierBudget = java.nio.file.Paths.get(s"tools/bench_budget_$tierName.json")
+    val budgetPath =
+      if (java.nio.file.Files.exists(tierBudget)) tierBudget
+      else java.nio.file.Paths.get("tools/bench_budget.json")
     // real JSON parse (ADVICE r13): the old regex scan took the FIRST
     // "sf" match as the tier and treated any quoted q_* key with a number
     // anywhere in the file (the _doc string included) as a ceiling — a
@@ -112,7 +97,7 @@ object Bench {
         val root = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(java.nio.file.Files.readString(budgetPath))
         val tier = Option(root.get("sf")).map(_.asText())
-        if (!tier.contains(new java.io.File(sfDir).getName)) (Nil, Nil)
+        if (!tier.contains(tierName)) (Nil, Nil)
         else {
           val qnode = root.get("queries")
           val ceiling = scala.collection.mutable.Map.empty[String, Double]
@@ -120,7 +105,15 @@ object Bench {
             val names = qnode.fieldNames()
             while (names.hasNext) {
               val k = names.next()
-              ceiling += k -> qnode.get(k).asDouble()
+              // ADVICE r14: asDouble() silently maps a non-numeric node to
+              // 0.0, turning a malformed ceiling into a guaranteed false
+              // OVER BUDGET — a mangled value must take the loud
+              // UNPARSEABLE path, not fabricate a ceiling
+              val v = qnode.get(k)
+              if (!v.isNumber)
+                throw new IllegalArgumentException(
+                  s"non-numeric ceiling for $k: $v")
+              ceiling += k -> v.asDouble()
             }
           }
           val over = best.collect {

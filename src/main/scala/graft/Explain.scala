@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
 /** Dev tool: print the formatted physical plan of named registered queries
   * (all of them with no names given) under the same session configuration
@@ -11,15 +10,10 @@ object Explain {
     val sfDir = args(0)
     val names = if (args.length > 1) args.drop(1).toSeq
                 else SparkEntry.queries.keys.toSeq.sorted
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.legacy.sizeOfNull", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // shared tuned builder: plans printed here must be the plans Verify
+    // and Bench actually run (the fallback threshold changes which
+    // aggregate survives — VERDICT r14 #1)
+    val spark = GraftSession.local(defaultCpus = "4")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"=== $n ===")

@@ -21,33 +21,20 @@ object PartialVerify {
     * variable) so a small-tier validation run can widen the sample. */
   val WordPrefix: String = sys.env.getOrElse("PARTIAL_WORD_PREFIX", "08")
 
+  /** Cell-keyed sample for the rnn mutuality check: hex-md5 of
+    * "cid:sub" < "04" ≈ 1/64 of the post-split cells. Cell-COMPLETE
+    * sampling (every member of a sampled cell is dumped) is what lets
+    * the checker replay within-cell top-k ranks and the mutual filter
+    * exactly — a member-sampled dump could not rank. ~1/64 of cells ×
+    * ~4k occupancy bound keeps the replay's pair mass near
+    * sample_vectors × 4k — linear, sized for the DuckDB scratch
+    * ceiling at sf100. */
+  val CellPrefix: String = sys.env.getOrElse("PARTIAL_CELL_PREFIX", "04")
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     val only = args.drop(2).toSet
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.rdd.compress", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.legacy.sizeOfNull", "false")
-      // bounded-buffer Aggregators (TopKNeighbors, sketches) must HASH-
-      // aggregate: the default ObjectHashAggregate fallback threshold of
-      // 128 keys silently degrades every typed-udaf groupBy to a sort of
-      // its full input — at the sf100 pair stream (~8e9 rows) that sort
-      // is a 200+ GB spill that killed the first r14 rnn run. 200k keys
-      // covers the top-k family with 2.4x margin at sf100 (~83k distinct
-      // vectors per task) at ~20 MB per task map, while GROWING-buffer
-      // aggregations (assocRules' collect_list baskets: 625k+ groups per
-      // task at sf10) still fall back before heap churn outweighs the
-      // sort they were getting anyway — measured at sf10: 4M held the
-      // full basket map and cost q_assoc_rules +23 s.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "200000")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.local(defaultCpus = "4")
     import spark.implicits._
     // q_textrank: the TextRank graph's edge weights for sampled source
     // words — the n·W pair-stream aggregation is the tier-sized work; the
@@ -64,7 +51,17 @@ object PartialVerify {
         graft.queries.CorpusQueries.ppmiMatrix(s, d)
           .filter(md5($"w") < lit(WordPrefix))
           .select($"w", $"c", $"g".cast("double").as("g"))
-          .orderBy($"w", $"c"))
+          .orderBy($"w", $"c")),
+      // q_rnn_pairs: the post-split cell assignment for md5-sampled
+      // (cid, sub) cells — cell-complete, so the checker can replay ALL
+      // within-cell pairs and verify top-k ranks + the mutual filter
+      // exactly (VERDICT r14 #3; the cosine-soundness check stays, this
+      // adds the rank/mutuality axis it couldn't see)
+      "q_rnn_cells" -> ((s, d) =>
+        graft.queries.SimilarityQueries.rnnCellAssignment(s, d)
+          .filter(md5(concat($"cid".cast("string"), lit(":"),
+            $"sub".cast("string"))) < lit(CellPrefix))
+          .orderBy($"vec_id"))
     )
     new java.io.File(outDir).mkdirs()
     dumps.foreach { case (name, fn) =>

@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Dev utility: run ONE registered query against a tier, print timing over
   * N passes and (optionally) the formatted physical plan.
@@ -15,16 +14,11 @@ object RunQuery {
     val showPlan = args.contains("plan")
     val fn = SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query $name; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.legacy.sizeOfNull", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // the shared tuned builder (VERDICT r14 #1): before r15 this main was
+    // missing the ObjectHashAggregate fallback threshold, so driving e.g.
+    // q_rnn_pairs at a big tier from here reproduced the exact 200+ GB
+    // sort-fallback spill Bench/Verify had been fixed against
+    val spark = GraftSession.local(defaultCpus = "32")
     if (showPlan) fn(spark, dir).explain("formatted")
     (1 to passes).foreach { p =>
       val t0 = System.nanoTime()

@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -10,33 +9,7 @@ object Verify {
     // two-arg call still dumps everything
     val (sfDir, outDir) = (args(0), args(1))
     val only = args.drop(2).toSet
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // serialized persists (the suffix-sort blocks) compress ~4x — the
-      // difference between fitting and filling local scratch at the 5M-doc
-      // tier, and exactly what a real cluster config would set
-      .config("spark.rdd.compress", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.legacy.sizeOfNull", "false")
-      // bounded-buffer Aggregators (TopKNeighbors, sketches) must HASH-
-      // aggregate: the default ObjectHashAggregate fallback threshold of
-      // 128 keys silently degrades every typed-udaf groupBy to a sort of
-      // its full input — at the sf100 pair stream (~8e9 rows) that sort
-      // is a 200+ GB spill that killed the first r14 rnn run. 200k keys
-      // covers the top-k family with 2.4x margin at sf100 (~83k distinct
-      // vectors per task) at ~20 MB per task map, while GROWING-buffer
-      // aggregations (assocRules' collect_list baskets: 625k+ groups per
-      // task at sf10) still fall back before heap churn outweighs the
-      // sort they were getting anyway — measured at sf10: 4M held the
-      // full basket map and cost q_assoc_rules +23 s.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "200000")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.local(defaultCpus = "4")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.isEmpty || only(name))

@@ -1153,7 +1153,14 @@ object SimilarityQueries {
     * secondary quantizer refines by locality rather than splitting
     * arbitrarily. The oracle replays the split CTE-for-CTE (same md5
     * seed order, same argmax tiebreak). */
-  def rnnPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** Assignment + occupancy-aware cell split shared by [[rnnPairs]] and
+    * the sf100 mutuality partial oracle ([[rnnCellAssignment]]): returns
+    * the split frame `(vec_id, v, nrm, cid, sub)` plus the
+    * eagerly-checkpointed assignment whose blocks the CALLER must drop
+    * (via `GraftSqlBridge.dropCheckpoint`) once every consumer has
+    * materialized — the split frame's lineage runs through it. */
+  private def rnnSplitFrames(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
@@ -1193,6 +1200,32 @@ object SimilarityQueries {
       .agg(max_by($"sub", struct($"scos", -$"sub")).as("sub"))
     val split = assigned.join(resub, Seq("vec_id"), "left")
       .withColumn("sub", coalesce($"sub", lit(0)))
+    (split, assigned)
+  }
+
+  /** The post-split cell assignment `(vec_id, cid, sub)` — the linear
+    * frame the sf100 MUTUALITY partial oracle samples (VERDICT r14 #3):
+    * a vector's entire rnn candidate set lives inside its one (cid, sub)
+    * cell, so replaying ALL pairs of an md5-sampled cell reproduces the
+    * within-cell top-[[RnnK]] ranks and the mutual filter EXACTLY for
+    * every member — rank_ab/rank_ba verification with a replay linear in
+    * the sample (cells are occupancy-bounded by construction). The
+    * assignment structure itself (fit, argmax, split) stays covered by
+    * the full sf10 oracle, which this check is explicitly conditional
+    * on. */
+  def rnnCellAssignment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (split, assigned) = rnnSplitFrames(spark, dir)
+    // eager: the caller only reads 3 slim columns — materialize them
+    // before the assignment blocks (full vectors) are dropped
+    val cells = split.select($"vec_id", $"cid", $"sub").localCheckpoint()
+    org.apache.spark.sql.GraftSqlBridge.dropCheckpoint(assigned)
+    cells
+  }
+
+  def rnnPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (split, assigned) = rnnSplitFrames(spark, dir)
     // a LIGHT salt (vs the capped join's ×16): post-split cells are
     // bounded near SemDedupCellTarget, so straggler risk is small — and
     // the build side replicates ×salt carrying full 64-dim vectors, so

@@ -6,27 +6,11 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local SparkSession for all suites (one JVM-wide session). */
 object SparkSpec {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
+    // the shared tuned builder (GraftSession.tuned carries the fallback-
+    // threshold sizing doctrine), so the suite exercises exactly the
+    // session configuration every main runs under (VERDICT r14 #1)
+    val s = GraftSession.localBuilder("4")
       .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.legacy.sizeOfNull", "false")
-      // bounded-buffer Aggregators (TopKNeighbors, sketches) must HASH-
-      // aggregate: the default ObjectHashAggregate fallback threshold of
-      // 128 keys silently degrades every typed-udaf groupBy to a sort of
-      // its full input — at the sf100 pair stream (~8e9 rows) that sort
-      // is a 200+ GB spill that killed the first r14 rnn run. 200k keys
-      // covers the top-k family with 2.4x margin at sf100 (~83k distinct
-      // vectors per task) at ~20 MB per task map, while GROWING-buffer
-      // aggregations (assocRules' collect_list baskets: 625k+ groups per
-      // task at sf10) still fall back before heap churn outweighs the
-      // sort they were getting anyway — measured at sf10: 4M held the
-      // full basket map and cost q_assoc_rules +23 s.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "200000")
       // stateful streaming tests run under RocksDB, the 100-TB posture:
       // sessionization / dedup / cumulative-sketch state spills to local
       // disk instead of living on the executor heap (VERDICT r2 #7)

@@ -640,4 +640,37 @@ class StreamingSpec extends SparkSpec {
     assert(kept.contains("another fine"))
     assert(removed.count(_ == "later banned") == 1)
   }
+
+  test("grouped sketch udaf stays correct past 128 groups per micro-batch " +
+    "under RocksDB (VERDICT r14 #6)") {
+    // the r14 fallback-threshold fix matters to STREAMING too: a grouped
+    // streaming aggregation through a typed sketch udaf re-inherits
+    // ObjectHashAggregate's 128-key sort fallback if the session builder
+    // drops the tuned config (StreamMain did, before GraftSession). This
+    // drives 500 groups — ~4x past the default threshold — through the
+    // CMS aggregator in one micro-batch and demands exact estimates:
+    // each group's sketch holds ONE distinct token, so any intra-sketch
+    // collision is impossible and estimate == true count.
+    implicit val ctx = sql.sqlContext
+    val in = MemoryStream[String]
+    in.addData((0 until 500).flatMap(i =>
+      Seq.fill(i % 7 + 1)(s"k$i t$i")): _*)
+    val grouped = in.toDF()
+      .select(split(col("value"), " ").as("kv"))
+      .select(col("kv")(0).as("key"), col("kv")(1).as("tok"))
+      .groupBy("key").agg(Sketches.cms(col("tok")).as("sketch"))
+    val q = grouped.writeStream.format("memory").queryName("grouped_cms")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = sql.table("grouped_cms")
+      .select(col("key"),
+        Sketches.cmsEstimateUdf(col("sketch"),
+          concat(lit("t"), substring(col("key"), 2, 10))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.size == 500)
+    (0 until 500).foreach { i =>
+      assert(rows(s"k$i") == (i % 7 + 1).toLong,
+        s"group k$i: expected ${i % 7 + 1}, got ${rows(s"k$i")}")
+    }
+  }
 }

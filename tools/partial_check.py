@@ -15,11 +15,14 @@ deterministic replay:
   q_suffix_spans
       Per-position max-LCP equals the max over adjacent suffixes in the
       global sort (the classic suffix-array property), and is therefore a
-      pure function of {positions sharing the 8-token prefix}. The checker
-      recomputes the FULL span set for the 50 emitted docs via an 8-gram
-      probe join and re-derives the top-50 (any span that beats the global
-      #50 lives in one of these docs, so the restricted top-50 equals the
-      global one) — full row equality with the dump.
+      pure function of {positions sharing the 8-token prefix}. Two probes
+      (ADVICE r14 — the emitted-docs recompute alone was circular about
+      WHICH docs belong in the top-50): (1) full span-set recompute for
+      the emitted docs via an 8-gram probe join — row equality with the
+      dump (value soundness); (2) the full span sets of an INDEPENDENT
+      md5(doc_id) sample, checked to contain nothing that out-ranks the
+      dump's #50 without being in the dump (unbiased selection
+      completeness).
   q_suffix_scrub
       Same probe-join LCP, for an md5(doc_id) < DOC_SCRUB_PREFIX sample;
       the span-coalesce + removal tail is spliced VERBATIM from the
@@ -39,6 +42,15 @@ deterministic replay:
       Cosine soundness for md5(vec_a) < PAIR_PREFIX dump rows (cosine is
       a pure function of the two vectors) plus rank-range sanity; the
       assignment/split/top-k structure is sf10-oracled and spec-pinned.
+  q_rnn_mutual (VERDICT r14 #3)
+      Rank MUTUALITY: a vector's entire rnn candidate set lives inside
+      its one (cid, sub) cell, so for the cell-complete md5-sampled
+      dump (PartialVerify's q_rnn_cells) the checker replays ALL
+      within-cell pairs, re-derives the top-RNN_K ranks and the mutual
+      filter, and demands exact (vec_a, vec_b, cosine, rank_ab, rank_ba)
+      set equality with the dump restricted to sampled cells —
+      conditional only on the assignment, which the sf10 full oracle
+      hash-verifies.
 
 Usage: partial_check.py <sfDir> <engineOutDir> <partialDumpDir> <outJson> [ops...]
 
@@ -58,6 +70,13 @@ DOC_PAIR_PREFIX = os.environ.get("PARTIAL_DOC_PAIR_PREFIX", "1a")  # ~10% of doc
 DOC_SCRUB_PREFIX = os.environ.get("PARTIAL_DOC_SCRUB_PREFIX", "004")  # ~0.1% of docs for the probe-join LCP replay
 WORD_PREFIX = os.environ.get("PARTIAL_WORD_PREFIX", "08")  # ~1/32 of the vocabulary
 PAIR_PREFIX = os.environ.get("PARTIAL_PAIR_PREFIX", "10")  # ~6% of rnn output rows
+# CELL_PREFIX must equal PartialVerify.CellPrefix (~1/64 of (cid, sub) cells)
+CELL_PREFIX = os.environ.get("PARTIAL_CELL_PREFIX", "04")
+# independent doc sample for the spans top-50 completeness probe (~0.2%)
+SPANS_PROBE_PREFIX = os.environ.get("PARTIAL_SPANS_PROBE_PREFIX", "008")
+# the rnn top-k depth — keep equal to SimilarityQueries.RnnK (ADVICE r14:
+# a hardcoded bound would silently flag correct rows if the constant moves)
+RNN_K = int(os.environ.get("RNN_K", "5"))
 
 LCP_EXPR = ("coalesce(nullif(list_position("
             "list_transform(p.suf, (x,i) -> i <= len(c.suf) AND c.suf[i] = x),"
@@ -186,7 +205,17 @@ def _lcp_prefix(doc_filter):
 
 def check_suffix(sf_dir, engine_out, query, oracle_sql):
     """q_suffix_spans / q_suffix_scrub: probe-join LCP + the committed
-    oracle's span tail spliced verbatim from `isl AS` onward."""
+    oracle's span tail spliced verbatim from `isl AS` onward.
+
+    q_suffix_spans runs TWO probes (ADVICE r14: the emitted-docs recompute
+    alone is circular — its probe set came from the dump, so a dump that
+    picked the wrong top-50 docs with per-doc-correct values would pass):
+      1. emitted-docs full recompute — value soundness on every dump row;
+      2. an md5(doc_id) sample drawn INDEPENDENTLY of the dump, whose
+         full span sets are replayed and checked to contain nothing that
+         ranks strictly before the dump's #50 under (span_tokens DESC,
+         doc_id, span_start) without being in the dump — unbiased
+         completeness evidence for the top-50 selection itself."""
     con, tmp = connect(query)
     try:
         table(con, sf_dir, "documents")
@@ -210,12 +239,46 @@ def check_suffix(sf_dir, engine_out, query, oracle_sql):
         n_replay = con.sql("SELECT count(*) FROM replay").fetchone()[0]
         n_dump = con.sql("SELECT count(*) FROM dumpS").fetchone()[0]
         extra, missing = sym_diff(con, "dumpS", "replay", cols)
-        return {"mode": ("emitted_docs_full_recompute"
-                         if query == "q_suffix_spans" else
-                         f"sample_docs md5(doc)<'{DOC_SCRUB_PREFIX}'"),
+        beat = 0
+        if query == "q_suffix_spans":
+            # independent completeness probe: replay the FULL span set of
+            # an md5 doc sample (no dump influence on the probe set) and
+            # count spans that would out-rank the dump's worst row yet are
+            # absent from the dump. Strip the top-50 LIMIT — the sample's
+            # spans compete against the dump's cut, not among themselves.
+            assert tail.rstrip().endswith("LIMIT 50"), tail[-60:]
+            tail_all = tail.rstrip()[: -len("LIMIT 50")]
+            con.sql("CREATE OR REPLACE VIEW sreplay AS "
+                    + _lcp_prefix(f"md5(CAST(doc_id AS VARCHAR)) < "
+                                  f"'{SPANS_PROBE_PREFIX}'") + ", " + tail_all)
+            if n_dump < 50:
+                # an under-full top-50 must already contain EVERY span —
+                # any sampled span missing from the dump is a violation
+                beat = con.sql(f"""
+                  SELECT count(*) FROM (SELECT {cols} FROM sreplay
+                    EXCEPT ALL SELECT {cols} FROM dumpS)""").fetchone()[0]
+            else:
+                wt, wd, ws = con.sql(
+                    "SELECT span_tokens, doc_id, span_start FROM dumpS "
+                    "ORDER BY span_tokens ASC, doc_id DESC, span_start DESC "
+                    "LIMIT 1").fetchone()
+                beat = con.sql(f"""
+                  SELECT count(*) FROM (SELECT {cols} FROM sreplay
+                      EXCEPT ALL SELECT {cols} FROM dumpS) s
+                  WHERE s.span_tokens > {wt}
+                     OR (s.span_tokens = {wt} AND s.doc_id < {wd})
+                     OR (s.span_tokens = {wt} AND s.doc_id = {wd}
+                         AND s.span_start < {ws})""").fetchone()[0]
+        mode = (f"emitted_docs_full_recompute + independent sample "
+                f"md5(doc)<'{SPANS_PROBE_PREFIX}' top-50 completeness"
+                if query == "q_suffix_spans" else
+                f"sample_docs md5(doc)<'{DOC_SCRUB_PREFIX}'")
+        return {"mode": mode,
                 "sample_rows": n_dump, "replay_rows": n_replay,
                 "dump_only": extra, "replay_only": missing,
-                "match": extra == 0 and missing == 0, "err": None}
+                "sample_beats_cut": beat,
+                "match": extra == 0 and missing == 0 and beat == 0,
+                "err": None}
     finally:
         con.close(); shutil.rmtree(tmp, ignore_errors=True)
 
@@ -311,8 +374,8 @@ def check_rnn(sf_dir, engine_out):
           JOIN emb b ON s.vec_b = b.vec_id
           WHERE s.cosine != round(
               list_dot_product(a.v, b.v) / (a.vn * b.vn), 6)
-            OR s.rank_ab < 1 OR s.rank_ab > 5
-            OR s.rank_ba < 1 OR s.rank_ba > 5
+            OR s.rank_ab < 1 OR s.rank_ab > {RNN_K}
+            OR s.rank_ba < 1 OR s.rank_ba > {RNN_K}
             OR s.vec_a >= s.vec_b""").fetchone()[0]
         n = con.sql(f"""SELECT count(*) FROM dump
           WHERE md5(CAST(vec_a AS VARCHAR)) < '{PAIR_PREFIX}'""").fetchone()[0]
@@ -320,6 +383,70 @@ def check_rnn(sf_dir, engine_out):
                 "sample_rows": n, "replay_rows": n,
                 "dump_only": bad, "replay_only": 0,
                 "match": bad == 0, "err": None}
+    finally:
+        con.close(); shutil.rmtree(tmp, ignore_errors=True)
+
+
+def check_rnn_mutual(sf_dir, engine_out, partial_dir):
+    """q_rnn_pairs rank mutuality (VERDICT r14 #3): a vector's ENTIRE rnn
+    candidate set lives inside its one (cid, sub) cell, so for the
+    cell-complete sample dumped by PartialVerify (every member of each
+    md5-sampled cell) the within-cell top-K ranks and the mutual filter
+    are replayed EXACTLY — completeness AND soundness on (vec_a, vec_b,
+    cosine, rank_ab, rank_ba) for every dump row whose endpoints lie in a
+    sampled cell. Conditional on the assignment itself, which the full
+    sf10 oracle hash-verifies; the replay is linear in the sample (cells
+    are occupancy-bounded by the engine's split)."""
+    con, tmp = connect("rnn_mutual")
+    try:
+        table(con, sf_dir, "embeddings")
+        dump_view(con, f"{engine_out}/q_rnn_pairs", "dump")
+        dump_view(con, f"{partial_dir}/q_rnn_cells_partial", "cells")
+        n_cells, n_members = con.sql(
+            "SELECT count(DISTINCT (cid, sub)), count(*) FROM cells"
+        ).fetchone()
+        con.sql(f"""
+          CREATE OR REPLACE VIEW replay AS
+          WITH m AS MATERIALIZED (
+              SELECT c.vec_id, c.cid, c.sub,
+                     CAST(e.embedding AS DOUBLE[]) AS v,
+                     sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                       CAST(e.embedding AS DOUBLE[]))) AS vn
+              FROM cells c JOIN embeddings e ON c.vec_id = e.vec_id),
+            pair AS (
+              SELECT a.vec_id AS va, b.vec_id AS vb,
+                     round(list_dot_product(a.v, b.v) / (a.vn * b.vn), 6)
+                       AS cos
+              FROM m a JOIN m b
+                ON a.cid = b.cid AND a.sub = b.sub
+                AND a.vec_id != b.vec_id),
+            ranked AS (
+              SELECT va, vb, cos,
+                     row_number() OVER (PARTITION BY va
+                       ORDER BY cos DESC, vb ASC) AS rn
+              FROM pair),
+            top AS (SELECT * FROM ranked WHERE rn <= {RNN_K})
+          SELECT x.va AS vec_a, x.vb AS vec_b, x.cos AS cosine,
+                 x.rn AS rank_ab, y.rn AS rank_ba
+          FROM top x JOIN top y ON x.va = y.vb AND x.vb = y.va
+          WHERE x.va < x.vb""")
+        # the dump restricted to sampled cells: vec_a membership suffices
+        # (pairs only form within a cell, so vec_b sits in the same one)
+        con.sql("""
+          CREATE OR REPLACE VIEW dumpS AS
+          SELECT d.vec_a, d.vec_b, d.cosine, d.rank_ab, d.rank_ba
+          FROM dump d JOIN (SELECT DISTINCT vec_id FROM cells) c
+            ON d.vec_a = c.vec_id""")
+        cols = "vec_a, vec_b, cosine, rank_ab, rank_ba"
+        n_replay = con.sql("SELECT count(*) FROM replay").fetchone()[0]
+        n_dump = con.sql("SELECT count(*) FROM dumpS").fetchone()[0]
+        extra, missing = sym_diff(con, "dumpS", "replay", cols)
+        return {"mode": "rank_mutuality cell-complete "
+                        f"md5(cid:sub)<'{CELL_PREFIX}' k={RNN_K}",
+                "sample_cells": n_cells, "sample_members": n_members,
+                "sample_rows": n_dump, "replay_rows": n_replay,
+                "dump_only": extra, "replay_only": missing,
+                "match": extra == 0 and missing == 0, "err": None}
     finally:
         con.close(); shutil.rmtree(tmp, ignore_errors=True)
 
@@ -349,6 +476,8 @@ def main():
                 r = check_ppmi(sf_dir, partial_dir)
             elif op == "q_rnn_pairs":
                 r = check_rnn(sf_dir, engine_out)
+            elif op == "q_rnn_mutual":
+                r = check_rnn_mutual(sf_dir, engine_out, partial_dir)
             else:
                 r = {"match": False, "err": f"unknown op {op}"}
         except Exception as e:  # noqa: BLE001 — recorded per-op

@@ -1,0 +1,94 @@
+#!/bin/bash
+# sf100 campaign, round 15 (VERDICT r14 #3/#4 + ADVICE hygiene):
+#   1. q_rnn_pairs engine dump at tier (fresh — the r14 /tmp dump is gone)
+#      + the NEW cell-complete q_rnn_cells dump -> q_rnn_mutual partial
+#      oracle (rank_ab/rank_ba + mutual filter replayed exactly for
+#      md5-sampled (cid, sub) cells).
+#   2. q_suffix_spans partial re-check with the de-circularized probe
+#      (independent md5 doc sample vs the dump's top-50 cut).
+#   3. Correctness-probe EXPANSION: engine dump + DuckDB oracle for the
+#      67 doc/emb/events leftovers never probed at sf100 (they are all
+#      sf10 hash-green); resumable check with a wall-clock bound.
+#   4. Bench extension (VERDICT r14 #4): time the 16 green-not-benched +
+#      the engine-green heavies (rnn, nmf, suffix pair, textrank, ppmi)
+#      + every newly-green leftover, 2 passes, and merge into
+#      BENCH_sf100.json with a per-query exclusion map so the bench's
+#      coverage statement matches the correctness probe's.
+# ADVICE r14 hygiene: strict mode; bench lines go to temp files and are
+# only merged when non-empty; the committed BENCH.json is restored by a
+# trap even on interrupt.
+set -euo pipefail
+cd /root/repo
+export SPARK_GRAFT_CPUS=24
+JOPTS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/jdk.internal.ref=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
+CP="/opt/spark/jars/*:target/scala-2.13/classes"
+SF=testdata_local/sf100
+OUT_RNN=/tmp/out_sf100_rnn_r15   # rnn pairs only — its full oracle must
+                                 # NEVER enter a check.py sweep (8e9-row
+                                 # pair CTE vs the ~71 GB scratch ceiling)
+OUT_EXP=/tmp/out_sf100_exp_r15   # the probe-expansion dumps
+PD=/tmp/pdump_sf100_r15
+
+# the committed sf0.1 bench artifact: Bench mirrors its line into
+# BENCH.json unconditionally — restore it whatever happens
+cp BENCH.json /tmp/BENCH_keep_r15.json
+trap 'cp /tmp/BENCH_keep_r15.json BENCH.json' EXIT
+
+# ---------- 1. rnn engine dump + cells dump + mutuality check ----------
+time java $JOPTS -cp "$CP" graft.Verify $SF $OUT_RNN q_rnn_pairs \
+  2>&1 | { grep -E "^\[verify\]|Error" || true; } | tail -3
+echo "=== rnn engine dump done $(date) ==="
+time java $JOPTS -cp "$CP" graft.PartialVerify $SF $PD q_rnn_cells \
+  2>&1 | { grep -E "^\[partial\]|Error" || true; } | tail -2
+PARTIAL_MEM=60GB python3 tools/partial_check.py $SF $OUT_RNN $PD \
+  /tmp/partial_rnn_r15.json q_rnn_mutual q_rnn_pairs 2>&1 | tail -4
+echo "=== rnn mutuality check done $(date) ==="
+
+# ---------- 2. suffix spans re-check (de-circularized probe) ----------
+# engine dumps live in the standing /tmp/out_sf100 sweep dir from r13/r14
+if [ -d /tmp/out_sf100/q_suffix_spans ]; then
+  PARTIAL_MEM=60GB python3 tools/partial_check.py $SF /tmp/out_sf100 $PD \
+    /tmp/partial_spans_r15.json q_suffix_spans q_suffix_scrub 2>&1 | tail -4
+else
+  echo "=== /tmp/out_sf100 spans dump missing; re-dumping ==="
+  java $JOPTS -cp "$CP" graft.Verify $SF $OUT_EXP q_suffix_spans q_suffix_scrub \
+    2>&1 | { grep -E "^\[verify\]" || true; } | tail -2
+  PARTIAL_MEM=60GB python3 tools/partial_check.py $SF $OUT_EXP $PD \
+    /tmp/partial_spans_r15.json q_suffix_spans q_suffix_scrub 2>&1 | tail -4
+fi
+python3 - <<'EOF'
+import json, os
+out = "CORRECTNESS_sf100_partial.json"
+d = json.load(open(out)) if os.path.exists(out) else {}
+for f in ("/tmp/partial_rnn_r15.json", "/tmp/partial_spans_r15.json"):
+    if os.path.exists(f):
+        d.update(json.load(open(f)))
+json.dump(d, open(out, "w"), indent=1, sort_keys=True)
+print("partials merged:", sorted(d))
+EOF
+echo "=== partials merged $(date) ==="
+
+# ---------- 3. correctness-probe expansion over the leftovers ----------
+LEFTOVERS="q_bigram_counts q_bigram_lm q_bpe_encode q_bpe_pairs q_ccnet_buckets q_chunk_windows q_contamination q_corpus_card q_corpus_final q_dedup_canonical q_dedup_profile q_dedup_split q_distinct_exact q_distinct_fm q_distinct_hll q_domain_stats q_dsir_weights q_dup_spans q_embed_gram q_embed_norm q_embed_pca q_embed_quant q_entities q_fingerprints q_gopher_quality q_hash_split q_heavy_hitters q_jaccard_pairs q_jl_audit q_keyword_cms q_keyword_freq q_kn_bigram q_label_centroids q_lr_auc q_lr_calibration q_media_audio q_media_features q_media_pixels q_media_reencode q_media_resize q_media_video q_mix_weights q_neardup_editdist q_ngram_diversity q_pack_sequences q_pii_scrub q_pmi_bigrams q_quantile_filter q_rand_proj q_rep_profile q_rolling_fp q_rrf_fusion q_semantic_dedup q_skipgrams q_snm_pairs q_source_dup q_source_overlap q_stratified_sample q_subword_stats q_tfidf_top q_token_positions q_token_shards q_top_keywords q_weighted_sample q_winnow_fp q_wordpiece_encode"
+time java $JOPTS -cp "$CP" graft.Verify $SF $OUT_EXP $LEFTOVERS \
+  2>&1 | { grep -E "^\[verify\]" || true; } | tail -8
+echo "=== expansion engine dumps done $(date) ==="
+# resumable oracle sweep, bounded at 2h of wall — whatever doesn't finish
+# stays a measured exclusion, not an assumed one
+CHECK_MEM=60GB CHECK_RESUME=1 timeout 7200 \
+  python3 tools/check.py $SF $OUT_EXP /tmp/corr_sf100_r15.json \
+  2>&1 | tail -12 || echo "=== check.py hit the 2h bound (resumable) ==="
+echo "=== expansion oracle sweep done $(date) ==="
+
+# ---------- 4. bench extension ----------
+# additions = the 16 green-not-benched + engine-green heavies + whatever
+# the expansion turned green; merge_sf100_r15.py computes the list
+ADDS=$(python3 tools/merge_sf100_r15.py --list-adds)
+echo "bench additions: $ADDS"
+SPARK_GRAFT_SF_DIR=$SF SPARK_GRAFT_BENCH_PASSES=2 \
+  SPARK_GRAFT_BENCH_ONLY="$ADDS" \
+  SPARK_GRAFT_BENCH_OUT=/tmp/bench_sf100_adds.json \
+  java $JOPTS -cp "$CP" graft.Bench 2>&1 | { grep -E "steady_total|OVER BUDGET" || true; } | tail -2
+test -s /tmp/bench_sf100_adds.json
+python3 tools/merge_sf100_r15.py --merge
+echo "=== DONE r15 sf100 campaign $(date) ==="
