@@ -52,6 +52,17 @@ object PartialVerify {
           .filter(md5($"w") < lit(WordPrefix))
           .select($"w", $"c", $"g".cast("double").as("g"))
           .orderBy($"w", $"c")),
+      // q_glove_embed: the capped-vocab pair grid (fx, lx on the 6-dp
+      // grid) for md5-sampled center words — the corpus-sized half (pair
+      // counting + the top-GloveVocab cut); the AdaGrad rounds run on
+      // vocab-bounded frames and stay covered by the sf1/sf10 full oracle
+      "q_glove_pairs" -> ((s, d) => {
+        val (_, pairs) = graft.queries.CorpusQueries.glovePairGrid(s, d)
+        pairs.filter(md5($"i") < lit(WordPrefix))
+          .select($"i", $"j", $"fx".cast("double").as("fx"),
+            $"lx".cast("double").as("lx"))
+          .orderBy($"i", $"j")
+      }),
       // q_rnn_pairs: the post-split cell assignment for md5-sampled
       // (cid, sub) cells — cell-complete, so the checker can replay ALL
       // within-cell pairs and verify top-k ranks + the mutual filter

@@ -190,6 +190,7 @@ object SparkEntry {
     "q_zipf_profile"    -> ((s, d) => CorpusQueries.zipfProfile(s, d)),
     "q_heaps_law"       -> ((s, d) => CorpusQueries.heapsLaw(s, d)),
     "q_ppmi_svd"        -> ((s, d) => CorpusQueries.ppmiSvd(s, d)),
+    "q_glove_embed"     -> ((s, d) => CorpusQueries.gloveEmbed(s, d)),
     // --- round-6 additions: SCD2 interval compaction, KS drift monitor,
     // --- weighted PageRank, power-iteration PCA, interpolated bigram LM ---
     "q_scd2_intervals"  -> ((s, d) => AnalyticQueries.scd2Intervals(s, d)),
@@ -787,6 +788,110 @@ object SparkEntry {
          UNION ALL
          SELECT 2, w, CAST(vv AS DOUBLE), CAST(lam AS DOUBLE) FROM v2)
        ORDER BY comp, word"""
+  }
+
+  /** q_glove_embed oracle: the full-batch AdaGrad replay as unrolled
+    * CTEs — co-occurrence via the shared pair CTE, the top-
+    * [[graft.queries.CorpusQueries.GloveVocab]] cut as ORDER BY/LIMIT,
+    * f(x)/ln x on the 6-dp grid in the pair CTE, then
+    * [[graft.queries.CorpusQueries.GloveIters]] rounds of dot → weighted
+    * residual → four gradient aggregates → AdaGrad updates with the
+    * identical two-step decimal products and the one double quotient
+    * (lr·g/√G) the engine uses. */
+  private val GloveOracle: String = {
+    val d = CorpusQueries.GloveDim
+    val iters = CorpusQueries.GloveIters
+    val v = CorpusQueries.GloveVocab
+    val xmax = CorpusQueries.GloveXmax
+    val lr = CorpusQueries.GloveLr
+    val w = CorpusQueries.SkipgramWindow
+    // one AdaGrad state step: prev state s (cols key..., value, g2) LEFT
+    // JOIN grad g (cols key..., g) — the nested select computes g2n once
+    def adagrad(name: String, prev: String, grad: String, keyCols: String,
+                value: String): String = {
+      val joinOn = keyCols.split(", ").map(k => s"s.$k = g.$k").mkString(" AND ")
+      s"""$name AS MATERIALIZED (SELECT $keyCols,
+           CAST($value - round($lr * gd / sqrt(CAST(g2n AS DOUBLE)), 6)
+             AS DECIMAL(18,6)) AS $value,
+           g2n AS g2
+         FROM (SELECT ${keyCols.split(", ").map("s." + _).mkString(", ")},
+             s.$value,
+             CAST(coalesce(g.g, CAST(0 AS DECIMAL(28,6))) AS DOUBLE) AS gd,
+             CAST(s.g2 + round(
+               CAST(coalesce(g.g, CAST(0 AS DECIMAL(28,6))) AS DECIMAL(18,6)) *
+               CAST(coalesce(g.g, CAST(0 AS DECIMAL(28,6))) AS DECIMAL(18,6)),
+               6) AS DECIMAL(18,6)) AS g2n
+           FROM $prev s LEFT JOIN $grad g ON $joinOn))"""
+    }
+    def round6(e: String) = s"round($e, 6)"
+    val rounds = (1 to iters).map { t =>
+      val p = t - 1
+      s"""dot_$t AS (SELECT p.i, p.j,
+             sum(CAST(${round6("w.wv * c.cv")} AS DECIMAL(28,6))) AS dt
+           FROM pairs p
+           JOIN w_$p w ON p.i = w.w
+           JOIN c_$p c ON p.j = c.w AND w.k = c.k
+           GROUP BY 1, 2),
+       fe_$t AS MATERIALIZED (SELECT p.i, p.j,
+             CAST(${round6("p.fx * CAST(d.dt + b.bv + bb.bv - p.lx AS DECIMAL(18,6))")}
+               AS DECIMAL(18,6)) AS fe
+           FROM pairs p
+           JOIN dot_$t d ON p.i = d.i AND p.j = d.j
+           JOIN b_$p b ON p.i = b.w
+           JOIN bb_$p bb ON p.j = bb.w),
+       gw_$t AS (SELECT f.i AS w, c.k,
+             sum(CAST(${round6("f.fe * c.cv")} AS DECIMAL(28,6))) AS g
+           FROM fe_$t f JOIN c_$p c ON f.j = c.w GROUP BY 1, 2),
+       gc_$t AS (SELECT f.j AS w, w2.k,
+             sum(CAST(${round6("f.fe * w2.wv")} AS DECIMAL(28,6))) AS g
+           FROM fe_$t f JOIN w_$p w2 ON f.i = w2.w GROUP BY 1, 2),
+       gb_$t AS (SELECT i AS w, sum(CAST(fe AS DECIMAL(28,6))) AS g
+           FROM fe_$t GROUP BY 1),
+       gbb_$t AS (SELECT j AS w, sum(CAST(fe AS DECIMAL(28,6))) AS g
+           FROM fe_$t GROUP BY 1),
+       ${adagrad(s"w_$t", s"w_$p", s"gw_$t", "s.w, s.k".replace("s.", ""), "wv")},
+       ${adagrad(s"c_$t", s"c_$p", s"gc_$t", "w, k", "cv")},
+       ${adagrad(s"b_$t", s"b_$p", s"gb_$t", "w", "bv")},
+       ${adagrad(s"bb_$t", s"bb_$p", s"gbb_$t", "w", "bv")}"""
+    }.mkString(",\n       ")
+    raw"""WITH t AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\s+'), q -> length(q) > 0) AS t
+         FROM documents),
+       pp AS (SELECT doc_id, unnest(range(1, len(t)+1)) AS i, t FROM t),
+       wt AS (SELECT doc_id, i, t[i] AS w FROM pp),
+       cooc AS (SELECT a.w AS center, b.w AS context, count(*) AS n
+         FROM wt a JOIN wt b
+           ON a.doc_id = b.doc_id AND abs(a.i - b.i) BETWEEN 1 AND $w
+         GROUP BY 1, 2),
+       vocab AS MATERIALIZED (SELECT center AS w
+         FROM (SELECT center, sum(n) AS nw FROM cooc GROUP BY 1)
+         ORDER BY nw DESC, center LIMIT $v),
+       pairs AS MATERIALIZED (SELECT c.center AS i, c.context AS j,
+           CAST(${round6(s"CASE WHEN c.n >= $xmax THEN 1.0 ELSE pow(CAST(c.n AS DOUBLE) / $xmax, 0.75) END")}
+             AS DECIMAL(18,6)) AS fx,
+           CAST(${round6("ln(CAST(c.n AS DOUBLE))")} AS DECIMAL(18,6)) AS lx
+         FROM cooc c
+         JOIN vocab vi ON c.center = vi.w
+         JOIN vocab vj ON c.context = vj.w),
+       dims AS (SELECT unnest(range(1, $d + 1)) AS k),
+       w_0 AS (SELECT v.w, d.k,
+           CAST(((CAST(CAST('0x' || substr(md5(v.w || ':w' || CAST(d.k AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT)
+             % 10 + 1) / 20.0) AS DECIMAL(18,6)) AS wv,
+           CAST(1 AS DECIMAL(18,6)) AS g2
+         FROM vocab v CROSS JOIN dims d),
+       c_0 AS (SELECT v.w, d.k,
+           CAST(((CAST(CAST('0x' || substr(md5(v.w || ':c' || CAST(d.k AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT)
+             % 10 + 1) / 20.0) AS DECIMAL(18,6)) AS cv,
+           CAST(1 AS DECIMAL(18,6)) AS g2
+         FROM vocab v CROSS JOIN dims d),
+       b_0 AS (SELECT w, CAST(0 AS DECIMAL(18,6)) AS bv,
+           CAST(1 AS DECIMAL(18,6)) AS g2 FROM vocab),
+       bb_0 AS (SELECT w, CAST(0 AS DECIMAL(18,6)) AS bv,
+           CAST(1 AS DECIMAL(18,6)) AS g2 FROM vocab),
+       $rounds
+       SELECT w.w AS word, w.k AS dim, CAST(w.wv + c.cv AS DOUBLE) AS vec
+       FROM w_$iters w JOIN c_$iters c ON w.w = c.w AND w.k = c.k
+       ORDER BY word, dim"""
   }
 
   private val NmfOracle: String = {
@@ -3230,6 +3335,7 @@ object SparkEntry {
     "q_unigram_tok" -> UnigramOracle,
     "q_nmf_topics" -> NmfOracle,
     "q_ppmi_svd" -> PpmiSvdOracle,
+    "q_glove_embed" -> GloveOracle,
     "q_textrank" -> TextrankOracle,
     // simplified (centroid-based) silhouette over the SAME fitted k=16
     // quantizer the IVF/dedup family replays: per vector the chord

@@ -665,6 +665,158 @@ object CorpusQueries {
     }.reduce(_ unionByName _).orderBy($"comp", $"word")
   }
 
+  /** Embedding dimension for [[gloveEmbed]]. Small so the unrolled DuckDB
+    * oracle stays finite; the operator is dimension-generic. */
+  val GloveDim = 4
+  /** Full-batch AdaGrad rounds for [[gloveEmbed]]. */
+  val GloveIters = 3
+  /** Vocabulary cap: top-N words by co-occurrence mass (ties → word asc).
+    * GloVe's own published setup caps the vocabulary; here it also bounds
+    * every iteration frame at vocab² pairs regardless of tier. */
+  val GloveVocab = 400
+  /** Weighting cutoff f(x) = min((x/xmax)^0.75, 1) — Pennington et al.
+    * 2014 eq. 9 (their xmax=100 suits web-scale counts; 20 matches the
+    * synthetic corpus's pair-count range so the weight actually varies). */
+  val GloveXmax = 20.0
+  /** AdaGrad learning rate (the paper's initial rate is 0.05). */
+  val GloveLr = 0.05
+
+  /** GloVe-style weighted co-occurrence factorization (Pennington,
+    * Socher & Manning 2014, "GloVe: Global Vectors for Word
+    * Representation" — VERDICT r14 #7 stretch): minimize
+    * Σ f(x_ij)·(wᵢ·cⱼ + bᵢ + b̃ⱼ − ln x_ij)² over the observed skip-gram
+    * co-occurrence counts, trained as [[GloveIters]] FULL-BATCH AdaGrad
+    * rounds — the paper's optimizer made deterministic by batching: no
+    * sample order, no shard race, identical on any partitioning. AdaGrad
+    * is also the stability story: each coordinate's step is
+    * lr·g/√(Σg²) ≤ lr, so a frequent word's large accumulated gradient
+    * cannot blow up the iterate the way raw full-batch GD would.
+    *
+    * Determinism doctrine (the [[ppmiSvd]] rules): f(x) and ln x land on
+    * the 6-dp grid ONCE in the checkpointed pair frame; every
+    * grid×grid product rounds decimal-to-decimal (HALF_UP both engines);
+    * gradient sums fold in DECIMAL (fold-order exact); the one double
+    * operation per update is the AdaGrad quotient lr·g/√G — quantized
+    * straight back to the grid, the same double-divide-then-round shape
+    * as [[ppmiSvd]]'s normalize. Seeds are the md5-prefix grid with
+    * per-side salts (":w"/":c"), so the two factor matrices cannot start
+    * identical. Biases start at 0; accumulators at 1 (no ε juggling).
+    *
+    * Scale shape: the corpus-sized work is exactly the [[coocCounts]]
+    * pair aggregate every count-based embedding pays; the top-[[GloveVocab]]
+    * cut is a distributed sort-limit (TakeOrderedAndProject — never a
+    * single-partition window), and every training frame is then bounded
+    * by vocab²·dim independent of tier. Per round: one pairs×dim join
+    * for the dot products, four bounded hash aggregates for the
+    * gradients, broadcast-joined updates; superseded state checkpoints
+    * drop eagerly. Output: (word, dim, vec = w+c) for the whole capped
+    * vocabulary — GloVe's published practice of summing the two factor
+    * matrices. */
+  /** The capped vocabulary (top-[[GloveVocab]] by co-occurrence mass,
+    * ties → word asc) and the in-vocab pair frame `(i, j, fx, lx)` with
+    * f(x) and ln x already on the 6-dp grid — the CORPUS-SIZED half of
+    * [[gloveEmbed]], exposed UNCHECKPOINTED so the sf100 partial oracle
+    * can verify an md5-sampled row subset without replaying the training
+    * rounds (the [[ppmiMatrix]] pattern); [[gloveEmbed]] checkpoints it
+    * for the iteration loop. */
+  def glovePairGrid(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val cooc = coocCounts(spark, dir)
+    val vocab = cooc.groupBy($"center").agg(sum($"n").as("nw"))
+      .orderBy($"nw".desc, $"center")
+      .limit(GloveVocab)
+      .select($"center".as("w"))
+    val pairs = cooc
+      .join(vocab.select($"w".as("center")).hint("broadcast"), "center")
+      .join(vocab.select($"w".as("context")).hint("broadcast"), "context")
+      .select($"center".as("i"), $"context".as("j"),
+        round(when($"n" >= GloveXmax, lit(1.0))
+          .otherwise(pow($"n".cast("double") / lit(GloveXmax), lit(0.75))), 6)
+          .cast("decimal(18,6)").as("fx"),
+        round(log($"n".cast("double")), 6).cast("decimal(18,6)").as("lx"))
+    (vocab, pairs)
+  }
+
+  def gloveEmbed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (vocab, pairsRaw) = glovePairGrid(spark, dir)
+    // pair frame checkpointed once, read by every round (≤ vocab² rows
+    // by construction)
+    val pairs = pairsRaw.localCheckpoint()
+    val dims = spark.range(1, GloveDim + 1).toDF("k")
+    def seed(salt: String): DataFrame = vocab.crossJoin(broadcast(dims))
+      .select($"w", $"k",
+        ((conv(substring(md5(concat($"w", lit(salt), $"k".cast("string"))),
+          1, 8), 16, 10).cast("long") % 10 + 1).cast("double") / lit(20.0))
+          .cast("decimal(18,6)").as("wv"),
+        lit(1).cast("decimal(18,6)").as("g2"))
+    def seedB: DataFrame = vocab.select($"w",
+      lit(0).cast("decimal(18,6)").as("bv"),
+      lit(1).cast("decimal(18,6)").as("g2"))
+    var wS = seed(":w").localCheckpoint()
+    var cS = seed(":c").localCheckpoint()
+    var bS = seedB.localCheckpoint()
+    var bbS = seedB.localCheckpoint()
+    // one AdaGrad update, shared by all four states: g2' = g2 + (g·g on
+    // the grid); step = round(lr·g/√g2', 6) — bounded by lr per round
+    def adagrad(state: DataFrame, grad: DataFrame, keys: Seq[String],
+                value: String): DataFrame = {
+      val g = coalesce($"g", lit(0).cast("decimal(28,6)"))
+      state.join(grad, keys, "left")
+        .withColumn("gq", round(g.cast("decimal(18,6)") *
+          g.cast("decimal(18,6)"), 6).cast("decimal(18,6)"))
+        .withColumn("g2n", ($"g2" + $"gq").cast("decimal(18,6)"))
+        .select(keys.map(col) :+
+          (col(value) - round(lit(GloveLr) * g.cast("double") /
+            sqrt($"g2n".cast("double")), 6).cast("decimal(18,6)"))
+            .cast("decimal(18,6)").as(value) :+
+          $"g2n".as("g2"): _*)
+    }
+    for (_ <- 1 to GloveIters) {
+      // dot products: pairs×dim join, partial-aggregated per (i, j)
+      val dot = pairs
+        .join(wS.select($"w".as("i"), $"k", $"wv"), Seq("i"))
+        .join(cS.select($"w".as("j"), $"k", $"wv".as("cv")), Seq("j", "k"))
+        .select($"i", $"j", round($"wv" * $"cv", 6).cast("decimal(28,6)").as("t"))
+        .groupBy($"i", $"j").agg(sum($"t").as("dt"))
+      // weighted residual fe = f(x)·(wᵢ·cⱼ + bᵢ + b̃ⱼ − ln x) on the grid —
+      // the frame every gradient reads; checkpointed per round
+      val fe = pairs.join(dot, Seq("i", "j"))
+        .join(bS.select($"w".as("i"), $"bv"), Seq("i"))
+        .join(bbS.select($"w".as("j"), $"bv".as("bbv")), Seq("j"))
+        .select($"i", $"j",
+          round($"fx" * ($"dt" + $"bv" + $"bbv" - $"lx").cast("decimal(18,6)"),
+            6).cast("decimal(18,6)").as("fe"))
+        .localCheckpoint()
+      val gw = fe.join(cS.select($"w".as("j"), $"k", $"wv".as("cv")), Seq("j"))
+        .select($"i".as("w"), $"k",
+          round($"fe" * $"cv", 6).cast("decimal(28,6)").as("t"))
+        .groupBy($"w", $"k").agg(sum($"t").as("g"))
+      val gc = fe.join(wS.select($"w".as("i"), $"k", $"wv"), Seq("i"))
+        .select($"j".as("w"), $"k",
+          round($"fe" * $"wv", 6).cast("decimal(28,6)").as("t"))
+        .groupBy($"w", $"k").agg(sum($"t").as("g"))
+      val gb = fe.groupBy($"i".as("w"))
+        .agg(sum($"fe".cast("decimal(28,6)")).as("g"))
+      val gbb = fe.groupBy($"j".as("w"))
+        .agg(sum($"fe".cast("decimal(28,6)")).as("g"))
+      val Seq(wN, cN) = Seq((wS, gw), (cS, gc)).map { case (s, g) =>
+        adagrad(s, g, Seq("w", "k"), "wv").localCheckpoint()
+      }
+      val Seq(bN, bbN) = Seq((bS, gb), (bbS, gbb)).map { case (s, g) =>
+        adagrad(s, g, Seq("w"), "bv").localCheckpoint()
+      }
+      Seq(wS, cS, bS, bbS, fe).foreach(GraftSqlBridge.dropCheckpoint)
+      wS = wN; cS = cN; bS = bN; bbS = bbN
+    }
+    GraftSqlBridge.dropCheckpoint(pairs)
+    wS.join(cS.select($"w", $"k", $"wv".as("cv")), Seq("w", "k"))
+      .select($"w".as("word"), $"k".as("dim"),
+        ($"wv" + $"cv").cast("double").as("vec"))
+      .orderBy($"word", $"dim")
+  }
+
   /** CCNet-style head/middle/tail perplexity bucketing (Wenzek et al.
     * 2020, public method): score every document with the in-corpus
     * unigram LM ([[unigramSurprisal]] semantics), then split EACH LANGUAGE

@@ -20,7 +20,7 @@ import re
 import sys
 
 HEAVIES = ["q_rnn_pairs", "q_nmf_topics", "q_suffix_spans",
-           "q_suffix_scrub", "q_textrank", "q_ppmi_svd"]
+           "q_suffix_scrub", "q_textrank", "q_ppmi_svd", "q_glove_embed"]
 RAW = "/tmp/corr_sf100_r15.json"
 # TPC-H relational tables absent from the docs/embeddings/events-only
 # sf100 probe tier (see run_sf100.sh header: a full sf100 lineitem is

@@ -38,6 +38,12 @@ deterministic replay:
       g expression copied verbatim from the committed oracle. Multiset
       equality with the PartialVerify engine dump. The deflated power
       iterations are vocab-sized and sf10-oracled.
+  q_glove_pairs (r15)
+      The GloVe pair grid — co-occurrence counts, the top-GloveVocab cut
+      (full-vocab mass by linear per-row pair generation) and the 6-dp
+      f(x)/ln x quantization — replayed for md5-sampled center words;
+      multiset equality with the PartialVerify dump. The AdaGrad rounds
+      are vocab-bounded and sf1/sf10-full-oracled.
   q_rnn_pairs
       Cosine soundness for md5(vec_a) < PAIR_PREFIX dump rows (cosine is
       a pure function of the two vectors) plus rank-range sanity; the
@@ -74,6 +80,9 @@ PAIR_PREFIX = os.environ.get("PARTIAL_PAIR_PREFIX", "10")  # ~6% of rnn output r
 CELL_PREFIX = os.environ.get("PARTIAL_CELL_PREFIX", "04")
 # independent doc sample for the spans top-50 completeness probe (~0.2%)
 SPANS_PROBE_PREFIX = os.environ.get("PARTIAL_SPANS_PROBE_PREFIX", "008")
+# keep equal to CorpusQueries.GloveVocab / GloveXmax
+GLOVE_VOCAB = int(os.environ.get("GLOVE_VOCAB", "400"))
+GLOVE_XMAX = float(os.environ.get("GLOVE_XMAX", "20.0"))
 # the rnn top-k depth — keep equal to SimilarityQueries.RnnK (ADVICE r14:
 # a hardcoded bound would silently flag correct rows if the constant moves)
 RNN_K = int(os.environ.get("RNN_K", "5"))
@@ -357,6 +366,54 @@ def check_ppmi(sf_dir, partial_dir):
         con.close(); shutil.rmtree(tmp, ignore_errors=True)
 
 
+def check_glove(sf_dir, partial_dir):
+    """q_glove_embed corpus-sized half (the q_ppmi_svd pattern): the
+    capped-vocab pair grid — co-occurrence counts, the top-GloveVocab cut
+    (full-vocab mass computed by LINEAR per-row pair generation), and the
+    6-dp f(x)/ln x quantization — replayed for md5-sampled center words
+    and compared as a multiset against the PartialVerify dump. The AdaGrad
+    training rounds run on vocab-bounded frames and are covered by the
+    sf1/sf10 full oracle."""
+    con, tmp = connect("glove")
+    try:
+        table(con, sf_dir, "documents")
+        dump_view(con, f"{partial_dir}/q_glove_pairs_partial", "dump")
+        con.sql(f"""
+          CREATE OR REPLACE VIEW replay AS
+          WITH t AS (SELECT list_filter(regexp_split_to_array(text, '\\s+'),
+                 q -> length(q) > 0) AS t
+               FROM documents),
+             pp AS (SELECT t, unnest(range(1, len(t)+1)) AS i FROM t),
+             pair AS (SELECT t[i] AS x, t[i+o] AS y
+               FROM pp, (VALUES (1), (2)) v(o) WHERE i + o <= len(t)),
+             bd AS (SELECT x AS center, y AS context FROM pair
+               UNION ALL SELECT y AS center, x AS context FROM pair),
+             vocab AS MATERIALIZED (SELECT center AS w
+               FROM (SELECT center, count(*) AS nw FROM bd GROUP BY 1)
+               ORDER BY nw DESC, center LIMIT {GLOVE_VOCAB}),
+             coocS AS (SELECT center, context, count(*) AS n FROM bd
+               WHERE md5(center) < '{WORD_PREFIX}' GROUP BY 1, 2)
+          SELECT c.center AS i, c.context AS j,
+            CAST(CAST(round(CASE WHEN c.n >= {GLOVE_XMAX} THEN 1.0
+                ELSE pow(CAST(c.n AS DOUBLE) / {GLOVE_XMAX}, 0.75) END, 6)
+              AS DECIMAL(18,6)) AS DOUBLE) AS fx,
+            CAST(CAST(round(ln(CAST(c.n AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS DOUBLE) AS lx
+          FROM coocS c
+          JOIN vocab vi ON c.center = vi.w
+          JOIN vocab vj ON c.context = vj.w""")
+        n_replay = con.sql("SELECT count(*) FROM replay").fetchone()[0]
+        n_dump = con.sql("SELECT count(*) FROM dump").fetchone()[0]
+        extra, missing = sym_diff(con, "dump", "replay", "i, j, fx, lx")
+        return {"mode": f"glove_pair_grid md5(center)<'{WORD_PREFIX}' "
+                        f"vocab_top_{GLOVE_VOCAB}",
+                "sample_rows": n_dump, "replay_rows": n_replay,
+                "dump_only": extra, "replay_only": missing,
+                "match": extra == 0 and missing == 0, "err": None}
+    finally:
+        con.close(); shutil.rmtree(tmp, ignore_errors=True)
+
+
 def check_rnn(sf_dir, engine_out):
     con, tmp = connect("rnn")
     try:
@@ -474,6 +531,8 @@ def main():
                 r = check_textrank(sf_dir, partial_dir)
             elif op == "q_ppmi_svd":
                 r = check_ppmi(sf_dir, partial_dir)
+            elif op == "q_glove_pairs":
+                r = check_glove(sf_dir, partial_dir)
             elif op == "q_rnn_pairs":
                 r = check_rnn(sf_dir, engine_out)
             elif op == "q_rnn_mutual":
