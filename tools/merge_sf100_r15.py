@@ -101,6 +101,10 @@ def merge():
             excluded[q] = ("oracle-budget exclusion at sf100 (engine dump "
                            "green, DuckDB replay failed: " +
                            str(r["err"])[:120] + "); sf10 full-oracle green")
+        elif r.get("hash_match"):
+            excluded[q] = ("full-oracle hash-green at sf100 (r15 "
+                           "expansion) but not timed this round — bench "
+                           "next round")
         else:
             excluded[q] = ("hash mismatch at sf100 — NOT benched; "
                            "investigate (sf10 green)")
@@ -111,11 +115,13 @@ def merge():
     bench["excluded_doc"] = (
         "VERDICT r14 #4: every registered query is either timed at sf100 "
         "(queries) or carries a measured per-query reason (excluded). "
-        "Additions this round ran min-of-2-passes like the standing 40; "
-        "engine-green heavies (q_rnn_pairs, q_nmf_topics, the suffix "
-        "pair, q_textrank, q_ppmi_svd) are timed at tier with their "
-        "correctness vouched by CORRECTNESS_sf100_partial.json plus the "
-        "sf10 full oracle.")
+        "The standing 40 keep their min-of-2-passes numbers; the r15 "
+        "additions ran " + adds.get("method", "?") + " (single-pass cold "
+        "= steady disclosed where passes=1 — wall-clock budget). "
+        "Engine-green heavies (q_rnn_pairs, q_nmf_topics, the suffix "
+        "pair, q_textrank, q_ppmi_svd, q_glove_embed) are timed at tier "
+        "with correctness vouched by CORRECTNESS_sf100_partial.json plus "
+        "the sf10 full oracle.")
     json.dump(bench, open("BENCH_sf100.json", "w"), indent=1, sort_keys=True)
     print(f"BENCH_sf100.json: {len(merged)} timed, {len(excluded)} excluded,"
           f" total {bench['value']}s")

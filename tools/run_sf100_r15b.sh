@@ -8,7 +8,11 @@
 set -euo pipefail
 cd /root/repo
 export SPARK_GRAFT_CPUS=24
-JOPTS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/jdk.internal.ref=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
+# -Xmx96g: the first two expansion attempts died with SparkExitCode.OOM
+# (52) under the 32 GB ergonomic default — a 55-query single-session sweep
+# at sf100 accumulates broadcasts/memo checkpoints past it. 96 GB leaves
+# ~30 GB for the OS; the DuckDB phases run only after each java exits.
+JOPTS="-Xmx96g --add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/jdk.internal.ref=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
 CP="/opt/spark/jars/*:target/scala-2.13/classes"
 SF=testdata_local/sf100
 OUT_EXP=/tmp/out_sf100_exp_r15
@@ -22,9 +26,16 @@ for q in $LEFTOVERS; do
   [ -d "$OUT_EXP/$q" ] || TODO="$TODO $q"
 done
 echo "re-dumping:$TODO"
+# batches of 8 queries per JVM: a single uncaught executor OOM exits the
+# whole JVM (SparkExitCode 52), so one pathological query must only cost
+# its batch — the loop records and continues
 if [ -n "$TODO" ]; then
-  time java $JOPTS -cp "$CP" graft.Verify $SF $OUT_EXP $TODO \
-    2>&1 | { grep -E "^\[verify\]" || true; } | tail -8
+  echo "$TODO" | tr ' ' '\n' | grep -v '^$' | xargs -n 8 | while read -r BATCH; do
+    echo "--- batch: $BATCH"
+    time java $JOPTS -cp "$CP" graft.Verify $SF $OUT_EXP $BATCH \
+      2>&1 | { grep -E "^\[verify\]" || true; } | tail -8 \
+      || echo "=== BATCH DIED (continuing): $BATCH"
+  done
 fi
 # the manifest must cover ALL leftovers so check.py flags missing dumps
 printf '%s\n' $LEFTOVERS | sort > $OUT_EXP/queries.txt
