@@ -75,6 +75,9 @@ object SparkEntry {
     "q_ann_pq"         -> ((s, d) => SimilarityQueries.annPq(s, d)),
     "q_ivfpq_codes"    -> ((s, d) => SimilarityQueries.ivfPqCodes(s, d)),
     "q_ann_ivfpq"      -> ((s, d) => SimilarityQueries.annIvfPq(s, d)),
+    "q_opq_assign"     -> ((s, d) => SimilarityQueries.opqAssign(s, d)),
+    "q_opq_codebooks"  -> ((s, d) => SimilarityQueries.opqCodebooks(s, d)),
+    "q_opq_gain"       -> ((s, d) => SimilarityQueries.opqGain(s, d)),
     "q_label_centroids" -> ((s, d) => SimilarityQueries.labelCentroids(s, d)),
     "q_kmeans_centroids" -> ((s, d) => SimilarityQueries.kmeansProfile(s, d)),
     "q_subword_stats"  -> ((s, d) => TextQueries.subwordStats(s, d)),
@@ -348,53 +351,122 @@ object SparkEntry {
   /** The four per-subspace L2 PQ fits + final code assignment as CTEs,
     * sourced from any (vec_id, v DOUBLE[64]) CTE — shared by the plain-PQ
     * and the IVFADC-residual oracles (each is a separate statement, so
-    * the generated names do not collide). */
-  private def pqSubFitCtes(src: String): String = {
+    * the generated names do not collide). `pfx` prefixes every generated
+    * CTE name so two fit families can coexist in ONE statement (the OPQ
+    * gain oracle replays the contiguous AND the permuted fit side by
+    * side); `subvecOverride(j)` replaces the default contiguous-slice
+    * e-CTE body with an arbitrary (vec_id, sv, vn2) projection — the OPQ
+    * oracle supplies the permuted slice. */
+  private def pqSubFitCtes(src: String, pfx: String = "",
+      subvecOverride: Int => Option[String] = _ => None): String = {
     // each subspace needs rounds 1..2 for the fit plus a round-3
     // assignment (x/s only) against the final codebook k*_2
     def sub(j: Int): String = {
       val lo = j * SimilarityQueries.PqSubDim + 1
       val hi = (j + 1) * SimilarityQueries.PqSubDim
+      val eBody = subvecOverride(j).getOrElse(
+        s"""SELECT vec_id, v[$lo:$hi] AS sv,
+             list_dot_product(v[$lo:$hi], v[$lo:$hi]) AS vn2 FROM $src""")
       def lloyd(r: Int, prev: String): String =
-        s"""x${j}_$r AS (SELECT e.vec_id, e.sv, c.cid,
+        s"""${pfx}x${j}_$r AS (SELECT e.vec_id, e.sv, c.cid,
                (e.vn2 - 2*list_dot_product(e.sv, c.cv)) + list_dot_product(c.cv, c.cv) AS d2
-             FROM e${j}n e CROSS JOIN $prev c),
-           s${j}_$r AS (SELECT vec_id, sv, cid, d2 FROM (
+             FROM ${pfx}e${j}n e CROSS JOIN $prev c),
+           ${pfx}s${j}_$r AS (SELECT vec_id, sv, cid, d2 FROM (
                SELECT vec_id, sv, cid, d2,
                  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-               FROM x${j}_$r) WHERE rn = 1),
-           m${j}_$r AS (SELECT cid, i, round(avg(sv[i]), 6) AS m
-             FROM s${j}_$r, range(1, ${SimilarityQueries.PqSubDim + 1}) t(i) GROUP BY 1, 2),
-           k${j}_$r AS (SELECT k.cid, coalesce(n.cv, k.cv) AS cv FROM $prev k
-             LEFT JOIN (SELECT cid, list(m ORDER BY i) AS cv FROM m${j}_$r GROUP BY 1) n
+               FROM ${pfx}x${j}_$r) WHERE rn = 1),
+           ${pfx}m${j}_$r AS (SELECT cid, i, round(avg(sv[i]), 6) AS m
+             FROM ${pfx}s${j}_$r, range(1, ${SimilarityQueries.PqSubDim + 1}) t(i) GROUP BY 1, 2),
+           ${pfx}k${j}_$r AS (SELECT k.cid, coalesce(n.cv, k.cv) AS cv FROM $prev k
+             LEFT JOIN (SELECT cid, list(m ORDER BY i) AS cv FROM ${pfx}m${j}_$r GROUP BY 1) n
              USING (cid))"""
-      s"""e${j}n AS MATERIALIZED (SELECT vec_id, v[$lo:$hi] AS sv,
-             list_dot_product(v[$lo:$hi], v[$lo:$hi]) AS vn2 FROM $src),
-         k${j}_0 AS (SELECT vec_id AS cid, sv AS cv FROM e${j}n
+      s"""${pfx}e${j}n AS MATERIALIZED ($eBody),
+         ${pfx}k${j}_0 AS (SELECT vec_id AS cid, sv AS cv FROM ${pfx}e${j}n
              WHERE vec_id < ${SimilarityQueries.PqK}),
-         ${lloyd(1, s"k${j}_0")},
-         ${lloyd(2, s"k${j}_1")},
-         x${j}_3 AS (SELECT e.vec_id, c.cid,
+         ${lloyd(1, s"${pfx}k${j}_0")},
+         ${lloyd(2, s"${pfx}k${j}_1")},
+         ${pfx}x${j}_3 AS (SELECT e.vec_id, c.cid,
              (e.vn2 - 2*list_dot_product(e.sv, c.cv)) + list_dot_product(c.cv, c.cv) AS d2
-           FROM e${j}n e CROSS JOIN k${j}_2 c),
-         f$j AS (SELECT vec_id, $j AS sub, cid AS code, d2 FROM (
+           FROM ${pfx}e${j}n e CROSS JOIN ${pfx}k${j}_2 c),
+         ${pfx}f$j AS (SELECT vec_id, $j AS sub, cid AS code, d2 FROM (
              SELECT vec_id, cid, d2,
                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-             FROM x${j}_3) WHERE rn = 1)"""
+             FROM ${pfx}x${j}_3) WHERE rn = 1)"""
     }
     (0 until SimilarityQueries.PqSub).map(sub).mkString(",\n       ") +
       s""",
-       pqcb AS (${(0 until SimilarityQueries.PqSub)
-        .map(j => s"SELECT $j AS sub, cid, cv FROM k${j}_2")
+       ${pfx}pqcb AS (${(0 until SimilarityQueries.PqSub)
+        .map(j => s"SELECT $j AS sub, cid, cv FROM ${pfx}k${j}_2")
         .mkString(" UNION ALL ")}),
-       pqcodes AS (${(0 until SimilarityQueries.PqSub)
-        .map(j => s"SELECT * FROM f$j").mkString(" UNION ALL ")})"""
+       ${pfx}pqcodes AS (${(0 until SimilarityQueries.PqSub)
+        .map(j => s"SELECT * FROM ${pfx}f$j").mkString(" UNION ALL ")})"""
   }
 
   private val PqCte: String =
     """WITH pqemb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings),
        """ + pqSubFitCtes("pqemb")
+
+  /** The OPQ allocation replay ([[graft.queries.SimilarityQueries
+    * .opqAllocate]]): per-dimension 6-dp DECIMAL variance, the (variance
+    * DESC, dim) order, and all 64 greedy steps — deal each dimension to
+    * the unfilled subspace with the smallest running DECIMAL sum, tie →
+    * lowest subspace — unrolled as ONE recursive CTE whose accumulator
+    * carries the running sums, fill counts and pick list. Every
+    * comparison is exact decimal/int arithmetic, so the replayed
+    * permutation matches the engine's bit-for-bit. */
+  private val OpqAllocCte: String = {
+    val nSub = SimilarityQueries.PqSub
+    val cap = SimilarityQueries.PqSubDim
+    val zeros = Seq.fill(nSub)("CAST(0 AS DECIMAL(28,6))").mkString(", ")
+    s"""WITH RECURSIVE pqemb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+       ovars AS (SELECT i AS dim,
+           CAST(round(avg(v[i]*v[i]) - avg(v[i])*avg(v[i]), 6) AS DECIMAL(18,6)) AS vr
+         FROM pqemb, range(1, 65) t(i) GROUP BY 1),
+       osort AS (SELECT dim, vr,
+           row_number() OVER (ORDER BY vr DESC, dim) AS rn FROM ovars),
+       oalloc(rn, sums, counts, subs) AS (
+         SELECT CAST(0 AS BIGINT), [$zeros], [${Seq.fill(nSub)("0").mkString(", ")}],
+           CAST([] AS BIGINT[])
+         UNION ALL
+         SELECT t.rn,
+           list_transform(range(1, ${nSub + 1}), j ->
+             CAST(CASE WHEN j = t.pick THEN t.sums[j] + t.vr
+                       ELSE t.sums[j] END AS DECIMAL(28,6))),
+           list_transform(range(1, ${nSub + 1}), j ->
+             CAST(CASE WHEN j = t.pick THEN t.counts[j] + 1
+                       ELSE t.counts[j] END AS INT)),
+           list_append(t.subs, t.pick)
+         FROM (
+           SELECT s.rn, s.vr, a.sums, a.counts, a.subs,
+             list_min(list_filter(
+               list_filter(range(1, ${nSub + 1}), j -> a.counts[j] < $cap),
+               j -> a.sums[j] = list_min(list_transform(
+                 list_filter(range(1, ${nSub + 1}), jj -> a.counts[jj] < $cap),
+                 jj -> a.sums[jj])))) AS pick
+           FROM oalloc a JOIN osort s ON s.rn = a.rn + 1
+         ) t
+       ),
+       oassign AS (SELECT s.dim, s.vr, CAST(f.subs[s.rn] - 1 AS INT) AS sub
+         FROM osort s CROSS JOIN (SELECT subs FROM oalloc WHERE rn = 64) f(subs)),
+       operm AS (SELECT sub, list(dim ORDER BY dim) AS dims
+         FROM oassign GROUP BY 1)"""
+  }
+
+  /** Allocation + the four PERMUTED-slice sub-fits (CTE names prefixed
+    * `o`): each subspace's e-CTE projects its allocated dimensions in
+    * ascending order via the operm lists — the oracle half of
+    * [[graft.queries.SimilarityQueries.opqFit]]. */
+  private val OpqCte: String = OpqAllocCte + ",\n       " +
+    pqSubFitCtes("pqemb", pfx = "o", subvecOverride = j => Some(
+      s"""SELECT vec_id, sv, list_dot_product(sv, sv) AS vn2 FROM (
+            SELECT vec_id, list_transform(p.dims, k -> v[k]) AS sv
+            FROM pqemb CROSS JOIN (SELECT dims FROM operm WHERE sub = $j) p(dims))"""))
+
+  /** Both fit families in one statement for the head-to-head error face:
+    * the contiguous split (unprefixed names) and the permuted one. */
+  private val OpqGainCte: String = OpqCte + ",\n       " + pqSubFitCtes("pqemb")
 
   /** The IVFADC oracle's WITH-prefix: the 16-cell coarse L2 k-means over
     * the full 64-dim space (two unrolled Lloyd rounds + final
@@ -2220,6 +2292,23 @@ object SparkEntry {
          SELECT query_id, neighbor_id, round(CAST(adc AS DOUBLE), 6) AS adc_dist,
                 row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank
          FROM adc QUALIFY rank <= 3 ORDER BY query_id, rank"""),
+    "q_opq_assign" ->
+      (OpqAllocCte + """
+         SELECT CAST(dim AS INT) AS dim, CAST(vr AS DOUBLE) AS variance, sub,
+           CAST(row_number() OVER (PARTITION BY sub ORDER BY dim) AS INT) AS pos
+         FROM oassign ORDER BY dim"""),
+    "q_opq_codebooks" ->
+      (OpqCte +
+        s""" SELECT sub, cid, i - 1 AS dim, cv[i] AS mean_val
+         FROM opqcb, range(1, ${SimilarityQueries.PqSubDim + 1}) t(i)
+         ORDER BY sub, cid, dim"""),
+    "q_opq_gain" ->
+      (OpqGainCte + """
+         SELECT sub, variant,
+           CAST(sum(CAST(round(d2, 6) AS DECIMAL(28,6))) AS DOUBLE) AS err
+         FROM (SELECT sub, 'pq' AS variant, d2 FROM pqcodes
+               UNION ALL SELECT sub, 'opq' AS variant, d2 FROM opqcodes)
+         GROUP BY sub, variant ORDER BY variant, sub"""),
     // DECIMAL accumulation on both sides: order-independent exact sums, so
     // Spark's partial-merge order and DuckDB's parallel fold agree at ANY
     // SF (doubles diverge in the 6th decimal past ~10^5 rows). Product

@@ -1639,6 +1639,156 @@ object SimilarityQueries {
       .orderBy($"query_id", $"rank")
   }
 
+  // ---------------------------------------------------------------------
+  // OPQ — Optimized Product Quantization restricted to the coordinate-
+  // permutation subgroup (Ge, He, Ke & Sun 2013, CVPR, "Optimized Product
+  // Quantization for Approximate Nearest Neighbor Search", §4 eigenvalue
+  // allocation — public paper). Parametric OPQ learns a dense d×d rotation
+  // via a Procrustes SVD; restricted to permutation matrices the same
+  // objective — balance the variance mass each sub-quantizer must explain
+  // — has an exact greedy solution both engines replay bit-for-bit: sort
+  // dimensions by 6-dp corpus variance and deal each to the unfilled
+  // subspace with the smallest running DECIMAL variance sum (ties → lowest
+  // index on both axes). L2 k-means distortion scales with the variance
+  // its subspace carries, so the balanced permutation evens out (and, on
+  // anisotropic corpora, reduces) ADC error vs the blind contiguous split
+  // — measured head-to-head by q_opq_gain.
+  //
+  // 100-TB posture: the allocation input is ONE 64-row aggregate —
+  // per-dimension variance is O(d), independent of corpus size — and the
+  // greedy is a driver-side fold over those 64 rows, the same bounded-by-
+  // dimensionality driver step FAISS's OPQ trainer runs. The refit reuses
+  // the exact pqFit shuffle shape (broadcast 16-row codebooks, min_by
+  // partial+final argmin; vectors never shuffle), and the permuted slice
+  // is a literal column projection — pure codegen, no lookup join.
+  // ---------------------------------------------------------------------
+
+  /** One allocated dimension: `dim` 1-based source coordinate, its 6-dp
+    * corpus variance, the 0-based subspace it lands in, and its 1-based
+    * position inside that subspace's slice (ascending-dim order — the
+    * canonical basis [[opqFit]] fits codebooks over). */
+  private[graft] final case class OpqDim(
+      dim: Int, variance: BigDecimal, sub: Int, pos: Int)
+
+  /** The greedy balanced-variance allocation. Determinism doctrine: the
+    * variance lands on the shared 6-dp DECIMAL grid (the double
+    * subtraction happens pre-round; both engines' avgs agree far inside
+    * the quantum — the [[kmeansL2]] mean-grid precedent), and every
+    * subsequent comparison — the (variance DESC, dim) sort, the running
+    * subspace sums, the argmin with tie → lowest subspace — is exact
+    * decimal/int arithmetic, so the DuckDB recursive-CTE replay picks the
+    * identical permutation. The collect is 64 rows = O(d), bounded by
+    * dimensionality like the suffix boundary stitch, not by data. */
+  private[graft] def opqAllocate(spark: SparkSession, dir: String): Seq[OpqDim] =
+    SessionMemo.cached(spark,
+      "opqalloc:" + SessionMemo.tableTag(dir, "embeddings")) {
+      import spark.implicits._
+      val emb = Tables.embeddings(spark, dir)
+        .select($"embedding".cast("array<double>").as("v"))
+      val vars = emb.select(posexplode($"v").as(Seq("dim0", "x")))
+        .groupBy($"dim0")
+        .agg(round(avg($"x" * $"x") - avg($"x") * avg($"x"), 6)
+          .cast("decimal(18,6)").as("vr"))
+        .select(($"dim0" + 1).as("dim"), $"vr")
+        .collect()
+        .map(r => (r.getInt(0), BigDecimal(r.getDecimal(1))))
+      opqGreedy(vars.toIndexedSeq)
+    }
+
+  /** The pure greedy fold, factored out so OpqSpec can drive it against
+    * an independently coded twin on constructed variance tables. */
+  private[graft] def opqGreedy(vars: Seq[(Int, BigDecimal)]): Seq[OpqDim] = {
+    val sorted = vars.sortBy { case (dim, vr) => (-vr, dim) }
+    val sums = Array.fill(PqSub)(BigDecimal(0).setScale(6))
+    val counts = Array.fill(PqSub)(0)
+    val picked = sorted.map { case (dim, vr) =>
+      val j = (0 until PqSub)
+        .filter(counts(_) < PqSubDim)
+        .minBy(k => (sums(k), k))
+      sums(j) += vr
+      counts(j) += 1
+      (dim, vr, j)
+    }
+    val posOf = picked.groupBy(_._3).map { case (j, ds) =>
+      j -> ds.map(_._1).sorted.zipWithIndex.toMap
+    }
+    picked
+      .map { case (dim, vr, j) => OpqDim(dim, vr, j, posOf(j)(dim) + 1) }
+      .sortBy(_.dim)
+  }
+
+  /** The permuted refit: four [[kmeansL2]] codebooks over the allocation's
+    * subspaces plus the full-catalog code assignment with quantization d²
+    * — exactly [[pqFit]]'s plan on permuted slices. Returns (codebooks
+    * (sub, cid, cv, cn2), codes (vec_id, sub, code, d2)). */
+  private def opqFit(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    SessionMemo.cached(spark,
+      "opqfit:" + SessionMemo.tableTag(dir, "embeddings")) {
+      import spark.implicits._
+      val alloc = opqAllocate(spark, dir)
+      val emb = Tables.embeddings(spark, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val perSub = (0 until PqSub).map { j =>
+        val dims = alloc.filter(_.sub == j).sortBy(_.pos).map(_.dim)
+        val sub = emb.select($"vec_id",
+          array(dims.map(p => element_at($"v", p)): _*).as("v"))
+        val cb = kmeansL2(sub, PqK, KmeansIters).withColumn("sub", lit(j))
+        val codes = sub.withColumn("vn2", Similarity.dot($"v", $"v"))
+          .crossJoin(broadcast(cb.select($"cid", $"cv", $"cn2")))
+          .withColumn("d2",
+            ($"vn2" - lit(2.0) * Similarity.dot($"v", $"cv")) + $"cn2")
+          .groupBy($"vec_id")
+          .agg(min_by(struct($"cid", $"d2"), struct($"d2", $"cid")).as("best"))
+          .select($"vec_id", lit(j).as("sub"),
+            $"best.cid".as("code"), $"best.d2".as("d2"))
+        (cb, codes)
+      }
+      (perSub.map(_._1).reduce(_ unionByName _).localCheckpoint(),
+        perSub.map(_._2).reduce(_ unionByName _).localCheckpoint())
+    }
+
+  /** q_opq_assign — the dimension→subspace permutation itself (64 rows:
+    * dim, 6-dp variance, sub, pos), the ORACLE-CHECKED face of the greedy:
+    * DuckDB re-derives the variances and replays all 64 allocation steps
+    * in a recursive CTE and must land every dimension in the same slot. */
+  def opqAssign(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = opqAllocate(spark, dir)
+      .map(a => (a.dim, a.variance.doubleValue, a.sub, a.pos))
+    spark.createDataset(rows)
+      .toDF("dim", "variance", "sub", "pos")
+      .orderBy($"dim")
+  }
+
+  /** q_opq_codebooks — the refitted sub-codebooks as a (sub, cid, dim,
+    * mean_val) profile, mirroring [[pqCodebooks]]: the oracle unrolls the
+    * same Lloyd rounds over the PERMUTED slices, so a single misallocated
+    * dimension fails 4×16×16 components loudly. */
+  def opqCodebooks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    opqFit(spark, dir)._1
+      .select($"sub", $"cid", posexplode($"cv").as(Seq("dim", "mean_val")))
+      .orderBy($"sub", $"cid", $"dim")
+  }
+
+  /** q_opq_gain — head-to-head total quantization error (ADC distortion
+    * mass) per subspace: variant 'pq' = the blind contiguous split,
+    * variant 'opq' = the balanced permutation. The per-row d² doubles are
+    * bit-identical across engines (the [[pqCodes]] precedent), so the 6-dp
+    * DECIMAL sum is order-independent and exact. */
+  def opqGain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pq = pqFit(spark, dir)._2
+      .select($"sub", lit("pq").as("variant"), $"d2")
+    val opq = opqFit(spark, dir)._2
+      .select($"sub", lit("opq").as("variant"), $"d2")
+    pq.unionByName(opq)
+      .groupBy($"sub", $"variant")
+      .agg(sum(round($"d2", 6).cast("decimal(28,6)")).as("errd"))
+      .select($"sub", $"variant", $"errd".cast("double").as("err"))
+      .orderBy($"variant", $"sub")
+  }
+
   /** Sorted-neighborhood window width: candidate pairs are records within
     * [[SnmWindow]] positions of each other in blocking-key order. */
   val SnmWindow = 8
