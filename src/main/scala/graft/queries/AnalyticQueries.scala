@@ -739,19 +739,22 @@ object AnalyticQueries {
       .withColumn("pi",
         round(lit(1.0) / count(lit(1)).over(Window.partitionBy()), 6)
           .cast("decimal(18,6)"))
-      .localCheckpoint()
-    for (k <- 1 to MarkovIters) {
-      val next = tr.join(pi, $"st" === $"from_type")
+    for (_ <- 1 to MarkovIters) {
+      // r15: every frame in the loop is |types|-bounded (event_type is a
+      // fixed enum at every tier), so broadcast is pinned by hint (guide
+      // §3.1) and NO in-loop checkpoint remains — π is read exactly once
+      // per round (linear lineage), so the whole 20-round chain runs as
+      // one job: per round one tiny exchange (the to_type aggregate) and
+      // two broadcast builds, instead of a materialize-to-blocks job
+      // every 5 rounds plus AQE's materialize-both-sides-then-convert on
+      // each join.
+      val next = tr.join(pi.hint("broadcast"), $"st" === $"from_type")
         .select($"to_type",
           round($"pi".cast("double") * $"p", 6).cast("decimal(28,6)").as("c"))
         .groupBy($"to_type").agg(sum($"c").as("m"))
-      pi = states.join(next, $"st" === $"to_type", "left")
+      pi = states.join(next.hint("broadcast"), $"st" === $"to_type", "left")
         .select($"st",
           coalesce($"m", lit(0)).cast("decimal(18,6)").as("pi"))
-      // checkpoint every 5th round only: each checkpoint is a full job
-      // (fixed ~0.1 s overhead on |types|-row frames), while 5 stacked
-      // tiny joins cost the optimizer nothing — 4 jobs instead of 20
-      if (k % 5 == 0) pi = pi.localCheckpoint()
     }
     pi.select($"st".as("event_type"), $"pi".cast("double").as("pi"))
       .orderBy($"event_type")

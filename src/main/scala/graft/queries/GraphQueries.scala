@@ -65,10 +65,15 @@ object GraphQueries {
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val edges = tradeEdges(spark, dir)
-    val outw = edges.groupBy($"src").agg(sum($"w").as("outw"))
-    // per-edge propagation fraction; checkpointed so the fact-table scan
-    // behind it runs once, not once per iteration
-    val ew = edges.join(outw, "src")
+    // per-edge propagation fraction. outw as a window sum over the edge
+    // frame (r15, guide §2.4): the former groupBy(src)+self-join re-keyed
+    // the edge frame twice (agg exchange + join exchange); the window
+    // rides ONE exchange on src. w is an exact long count, so the window
+    // fold order cannot perturb outw. Checkpointed so the fact-table scan
+    // behind it runs once, not once per iteration.
+    val ew = edges
+      .withColumn("outw", sum($"w").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"src")))
       .select($"src", $"dst",
         ($"w".cast("double") / $"outw".cast("double")).as("frac"))
       .localCheckpoint()
@@ -76,24 +81,25 @@ object GraphQueries {
       .select($"n_nationkey".as("node"), $"n_name")
     var ranks = nodes.select($"node",
       expr("CAST(0.04 AS DECIMAL(18,6))").as("pr"))
-    val seed = ranks
     for (_ <- 1 to PrIters) {
-      val contrib = ew.join(ranks, ew("src") === ranks("node"))
+      // rank frame is nation-bounded (25 rows at EVERY scale factor —
+      // TPC-H's nation table is fixed-size), so broadcast is pinned by
+      // hint (guide §3.1) instead of waiting for AQE to materialize both
+      // shuffle sides before converting. No per-iteration localCheckpoint
+      // (r15): each rank frame is referenced exactly once by the next
+      // round, so lineage is LINEAR in PrIters — the per-round
+      // materialize-to-blocks job was pure overhead at every scale.
+      val contrib = ew.join(ranks.hint("broadcast"), ew("src") === ranks("node"))
         .select($"dst",
           round($"pr".cast("double") * $"frac", 6)
             .cast("decimal(28,6)").as("c"))
         .groupBy($"dst").agg(sum($"c").as("insum"))
-      val prev = ranks
       ranks = nodes.select($"node")
-        .join(contrib, $"node" === $"dst", "left")
+        .join(contrib.hint("broadcast"), $"node" === $"dst", "left")
         .select($"node",
           round(lit(Teleport) +
             lit(Damping) * coalesce($"insum".cast("double"), lit(0.0)), 6)
             .cast("decimal(18,6)").as("pr"))
-        .localCheckpoint()
-      // superseded round (VERDICT r12 #5 cold-pass hygiene); the seed is a
-      // plain projection, not a checkpoint
-      if (!(prev eq seed)) org.apache.spark.sql.GraftSqlBridge.dropCheckpoint(prev)
     }
     ranks.join(nodes, "node")
       .select($"node", $"n_name", $"pr".cast("double").as("pr"))
@@ -123,41 +129,42 @@ object GraphQueries {
     val ew = tradeEdges(spark, dir).localCheckpoint()
     val nodes = Tables.nation(spark, dir)
       .select($"n_nationkey".as("node"), $"n_name")
-    def normalized(raw: DataFrame): DataFrame = {
-      // raw: (node, s DECIMAL) -> unit-L2 (node, v DECIMAL(18,6))
-      val n2 = raw.select(round($"s".cast("double") * $"s".cast("double"), 6)
-          .cast("decimal(38,6)").as("q"))
-        .agg(sum($"q").as("n2"))
-      raw.crossJoin(broadcast(n2))
-        .select($"node",
-          round($"s".cast("double") / sqrt($"n2".cast("double")), 6)
-            .cast("decimal(18,6)").as("v"))
-    }
+    // raw: (node, s DECIMAL) -> unit-L2 (node, v DECIMAL(18,6)).
+    // r15: the squared-norm scalar is a window sum over the score frame
+    // instead of a separate agg + crossJoin(broadcast) — the crossJoin
+    // referenced `raw` TWICE, which compounded 2^(2·HitsIters)-fold once
+    // the per-round checkpoints were dropped. The single-partition window
+    // is safe at every tier: the score frame is nation-bounded (25 rows).
+    // The DECIMAL window sum is fold-order exact, bit-identical to the agg.
+    def normalized(raw: DataFrame): DataFrame = raw
+      .withColumn("n2",
+        sum(round($"s".cast("double") * $"s".cast("double"), 6)
+          .cast("decimal(38,6)"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select($"node",
+        round($"s".cast("double") / sqrt($"n2".cast("double")), 6)
+          .cast("decimal(18,6)").as("v"))
     var hub = nodes.select($"node", expr("CAST(0.2 AS DECIMAL(18,6))").as("v"))
     var auth: DataFrame = null
     for (_ <- 1 to HitsIters) {
-      val araw = ew.join(hub, ew("src") === hub("node"))
+      // r15: no per-round localCheckpoint — with the window-normalize the
+      // lineage is linear (each score frame read once by the next
+      // half-round), and the node-bounded score frames broadcast by hint
+      // (guide §3.1) instead of via AQE's materialize-then-convert.
+      val araw = ew.join(hub.hint("broadcast"), ew("src") === hub("node"))
         .select($"dst", round($"w".cast("double") * $"v".cast("double"), 6)
           .cast("decimal(28,6)").as("c"))
         .groupBy($"dst").agg(sum($"c").as("cs"))
-      val authPrev = auth
       auth = normalized(nodes.select($"node")
-        .join(araw, $"node" === $"dst", "left")
+        .join(araw.hint("broadcast"), $"node" === $"dst", "left")
         .select($"node", coalesce($"cs", lit(0).cast("decimal(28,6)")).as("s")))
-        .localCheckpoint()
-      if (authPrev != null) org.apache.spark.sql.GraftSqlBridge.dropCheckpoint(authPrev)
-      val hraw = ew.join(auth, ew("dst") === auth("node"))
+      val hraw = ew.join(auth.hint("broadcast"), ew("dst") === auth("node"))
         .select($"src", round($"w".cast("double") * $"v".cast("double"), 6)
           .cast("decimal(28,6)").as("c"))
         .groupBy($"src").agg(sum($"c").as("cs"))
-      val hubPrev = hub
       hub = normalized(nodes.select($"node")
-        .join(hraw, $"node" === $"src", "left")
+        .join(hraw.hint("broadcast"), $"node" === $"src", "left")
         .select($"node", coalesce($"cs", lit(0).cast("decimal(28,6)")).as("s")))
-        .localCheckpoint()
-      // initial hub is a plain projection; in-loop predecessors are
-      // superseded checkpoints (VERDICT r12 #5 cold-pass hygiene)
-      org.apache.spark.sql.GraftSqlBridge.dropCheckpoint(hubPrev)
     }
     nodes
       .join(hub.select($"node", $"v".cast("double").as("hub")), "node")
@@ -326,20 +333,21 @@ object GraphQueries {
       .filter(col("u") =!= col("v"))
       .localCheckpoint()
     var labels = nodes.select(col("node"), col("node").as("lab"))
-      .localCheckpoint()
     for (_ <- 1 to LpaIters) {
-      val votes = und.join(labels, und("v") === labels("node"))
+      // r15: no per-round localCheckpoint (linear lineage — each label
+      // frame is read once by the next round over a fixed 4 rounds) and
+      // broadcast pinned by hint on the node-bounded label frame
+      // (25 nations at every tier for the registered query; guide §3.1).
+      // The two-level aggregate (u, lab) → (u) collapses vote rows
+      // map-side before its one exchange.
+      val votes = und.join(labels.hint("broadcast"), und("v") === labels("node"))
         .groupBy(col("u"), col("lab")).agg(sum(col("w")).as("vw"))
       val next = votes.groupBy(col("u"))
         .agg(max(struct(col("vw"), (-col("lab")).as("nl"))).as("m"))
         .select(col("u").as("node"), (-col("m.nl")).as("lab"))
-      val prev = labels
       labels = nodes.select(col("node"))
-        .join(next, Seq("node"), "left")
+        .join(next.hint("broadcast"), Seq("node"), "left")
         .select(col("node"), coalesce(col("lab"), col("node")).as("lab"))
-        .localCheckpoint()
-      // the seed labels frame is itself a checkpoint — superseded now
-      org.apache.spark.sql.GraftSqlBridge.dropCheckpoint(prev)
     }
     labels
   }
@@ -349,20 +357,24 @@ object GraphQueries {
       .union(und.select(col("b").as("node"), col("a").as("nbr")))
       .localCheckpoint()
     var c = adj.groupBy(col("node")).agg(count(lit(1)).as("c"))
-      .localCheckpoint()
     val byVal = org.apache.spark.sql.expressions.Window
       .partitionBy(col("node")).orderBy(col("c").desc)
     for (_ <- 1 to CoreIters) {
-      val prev = c
+      // r15: no per-round localCheckpoint — each value frame is consumed
+      // exactly once by the next round (linear lineage over a fixed 8
+      // rounds), so the per-round materialize-to-blocks job was pure
+      // overhead. The value frame is node-bounded (25 nations at every
+      // tier for the registered query), so broadcast is pinned by hint
+      // (guide §3.1); the row_number window and the groupBy share ONE
+      // exchange on `node` (equal keys — the aggregate reuses the
+      // window's hash partitioning).
       c = adj
-        .join(c.select(col("node").as("nn"), col("c")), col("nbr") === col("nn"))
+        .join(c.select(col("node").as("nn"), col("c")).hint("broadcast"),
+          col("nbr") === col("nn"))
         .select(col("node"), col("c"))
         .withColumn("rn", row_number().over(byVal).cast("long"))
         .select(col("node"), least(col("rn"), col("c")).as("h"))
         .groupBy(col("node")).agg(max(col("h")).as("c"))
-        .localCheckpoint()
-      // the seed degree frame is itself a checkpoint — superseded now
-      org.apache.spark.sql.GraftSqlBridge.dropCheckpoint(prev)
     }
     c
   }

@@ -231,11 +231,12 @@ object TextQueries {
     * [[TrWindow]] positions of each other, top-[[TrTop]] words by
     * stationary score.
     *
-    * Scale shape: pair generation is [[TrWindow]] equi-joins on
-    * (doc_id, pos+off) — exactly n·W pair rows, never a per-document
-    * position cross join — and each iteration is one edge-frame join +
-    * vocabulary-sized aggregate, the [[GraphQueries.pagerank]] loop shape
-    * with the edge frame checkpointed once. Determinism doctrine: per-edge
+    * Scale shape (r15): pair generation is [[TrWindow]] lead() columns
+    * over ONE (doc_id, pos) window pass — exactly n·W pair rows from a
+    * single token-stream shuffle, never a per-document position cross
+    * join — and each iteration is one edge-frame join + vocabulary-sized
+    * aggregate, the [[GraphQueries.pagerank]] loop shape with the edge
+    * frame checkpointed once. Determinism doctrine: per-edge
     * contributions quantize to 6 dp and fold in DECIMAL; the score update
     * itself stays UNROUNDED (the mmrRerank rule — it is a fixed IEEE dag
     * over a DECIMAL-exact insum, bit-identical across engines, while
@@ -253,44 +254,63 @@ object TextQueries {
     import spark.implicits._
     val toks = Tables.documents(spark, dir)
       .select($"doc_id", posexplode(Text.tokenize($"text")).as(Seq("pos", "w")))
-    // (doc, pos) ⋈ (doc, pos+off) for off = 1..W — n·W equi-join pairs;
-    // both directions of every co-occurrence, self-pairs dropped
-    val shifted = (1 to TrWindow).map { off =>
-      toks.as("a").join(toks.as("b"),
-          $"a.doc_id" === $"b.doc_id" && $"b.pos" === $"a.pos" + off &&
-            $"a.w" =!= $"b.w")
-        .select($"a.w".as("src"), $"b.w".as("dst"))
-    }.reduce(_ unionByName _)
-    shifted
-      .unionByName(shifted.select($"dst".as("src"), $"src".as("dst")))
+    // r15 (guide §2.3/§2.4): forward neighbors within the ±W window via
+    // lead() over ONE (doc_id, pos) window pass instead of W self-joins of
+    // the token stream — positions are contiguous per doc (posexplode), so
+    // lead(w, off) ≡ the former equi-join on pos+off, same pair multiset.
+    // Shuffle drops from 2·W token-stream exchanges (W joins × both sides)
+    // to ONE, and the pair stream never crosses the network un-aggregated
+    // (the groupBy partial-aggregates map-side).
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+    toks
+      .withColumn("nb",
+        array((1 to TrWindow).map(off => lead($"w", off).over(wDoc)): _*))
+      .select($"w", explode($"nb").as("d"))
+      .filter($"d".isNotNull && $"w" =!= $"d")
+      // both directions emitted in the same pass (no self-referencing
+      // union, which would run the window pass twice)
+      .select(explode(array(
+        struct($"w".as("src"), $"d".as("dst")),
+        struct($"d".as("src"), $"w".as("dst")))).as("p"))
+      .select($"p.src", $"p.dst")
       .groupBy($"src", $"dst").agg(count(lit(1)).cast("double").as("ew"))
   }
 
   def textrank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val edges = textrankEdges(spark, dir)
-    val outw = edges.groupBy($"src").agg(sum($"ew").as("outw"))
-    val frac = edges.join(outw, "src")
+    // r15: out-weight as a window sum over the edge frame (ONE exchange on
+    // src) instead of groupBy(src) + self-join, which re-keyed the edge
+    // frame twice. ew is an integer-valued double (a count), so the window
+    // fold order cannot perturb the sum. Checkpointed ONCE; every
+    // iteration reads it.
+    val frac = edges
+      .withColumn("outw", sum($"ew").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"src")))
       .select($"src", $"dst", ($"ew" / $"outw").as("frac"))
       .localCheckpoint()
-    val nodes = edges.select($"src".as("w")).distinct().localCheckpoint()
-    var scores = nodes.select($"w", lit(1.0).as("s"))
-    val seed = scores
+    // node set from the checkpointed edge frame (edges are symmetrized, so
+    // every word appears as src AND as dst) — the former derivation from
+    // `edges` re-ran the whole corpus pair pipeline a second time
+    var scores = frac.select($"src".as("w")).distinct()
+      .select($"w", lit(1.0).as("s"))
     for (_ <- 1 to TrIters) {
-      val contrib = frac.join(scores, frac("src") === scores("w"))
+      // no per-iteration localCheckpoint (r15): each score frame is read
+      // exactly once by the next round — linear lineage over a fixed 5
+      // rounds. The score frame is vocabulary-sized (NOT bounded), so the
+      // joins stay unhinted: AQE picks broadcast while the vocabulary
+      // fits and hash-join beyond. The former per-round left-join back to
+      // the node frame was a no-op on a symmetrized graph (every node has
+      // in-edges, so the contrib aggregate already covers all nodes) —
+      // dropped, one join per round instead of two.
+      scores = frac.join(scores, frac("src") === scores("w"))
         .select($"dst", round($"s" * $"frac", 6)
           .cast("decimal(28,6)").as("c"))
         .groupBy($"dst").agg(sum($"c").as("insum"))
-      val prev = scores
-      scores = nodes
-        .join(contrib, $"w" === $"dst", "left")
-        .select($"w",
+        .select($"dst".as("w"),
           (lit(1.0 - GraphQueries.Damping) + lit(GraphQueries.Damping) *
-            coalesce($"insum".cast("double"), lit(0.0))).as("s"))
-        .localCheckpoint()
-      // superseded PageRank round (VERDICT r12 #5 cold-pass hygiene); the
-      // seed frame is a plain projection of nodes, not a checkpoint
-      if (!(prev eq seed)) org.apache.spark.sql.GraftSqlBridge.dropCheckpoint(prev)
+            $"insum".cast("double")).as("s"))
     }
     scores.orderBy($"s".desc, $"w").limit(TrTop)
       .select($"w".as("word"), $"s".as("score"))
