@@ -600,10 +600,17 @@ object CorpusQueries {
 
   def ppmiSvd(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val cooc = coocCounts(spark, dir)
+    // r15: the pair-count frame is checkpointed ONCE and m/words derive
+    // from it — previously the `words` checkpoint job re-ran the whole
+    // corpus pair pipeline a second time (ReuseExchange only dedupes
+    // within one execution, not across two checkpoint jobs). One corpus
+    // pass instead of two at every tier; the nnz-sized block set is
+    // dropped as soon as its two consumers have materialized.
+    val cooc = coocCounts(spark, dir).localCheckpoint()
     val rowm = cooc.groupBy($"center").agg(sum($"n").as("nw"))
     val m = ppmiOf(spark, cooc, rowm).localCheckpoint()
     val words = rowm.select($"center".as("w")).localCheckpoint()
+    GraftSqlBridge.dropCheckpoint(cooc)
     def seed: DataFrame = words.select($"w",
       ((conv(substring(md5($"w"), 1, 8), 16, 10).cast("long") % 10 + 1)
         .cast("double") / lit(10.0)).cast("decimal(18,6)").as("xv"))
@@ -754,16 +761,25 @@ object CorpusQueries {
     def seedB: DataFrame = vocab.select($"w",
       lit(0).cast("decimal(18,6)").as("bv"),
       lit(1).cast("decimal(18,6)").as("g2"))
-    var wS = seed(":w").localCheckpoint()
-    var cS = seed(":c").localCheckpoint()
-    var bS = seedB.localCheckpoint()
-    var bbS = seedB.localCheckpoint()
-    // one AdaGrad update, shared by all four states: g2' = g2 + (g·g on
+    // r15: the four AdaGrad states ride TWO side-tagged frames (side 'w'
+    // = center factors / biases, side 'c' = context) instead of four —
+    // per round 3 checkpoint jobs (fe, factors, biases) instead of 5,
+    // and each gradient pair lands in ONE bounded aggregate exchange
+    // instead of two. Row-wise the updates are identical (the side tag
+    // is part of every join/group key, so nothing mixes across sides);
+    // sums stay DECIMAL — fold-order exact under the union interleave.
+    var wcS = seed(":w").withColumn("side", lit("w"))
+      .unionByName(seed(":c").withColumn("side", lit("c")))
+      .localCheckpoint()
+    var bS = seedB.withColumn("side", lit("w"))
+      .unionByName(seedB.withColumn("side", lit("c")))
+      .localCheckpoint()
+    // one AdaGrad update, shared by both state frames: g2' = g2 + (g·g on
     // the grid); step = round(lr·g/√g2', 6) — bounded by lr per round
     def adagrad(state: DataFrame, grad: DataFrame, keys: Seq[String],
                 value: String): DataFrame = {
       val g = coalesce($"g", lit(0).cast("decimal(28,6)"))
-      state.join(grad, keys, "left")
+      state.join(grad.hint("broadcast"), keys, "left")
         .withColumn("gq", round(g.cast("decimal(18,6)") *
           g.cast("decimal(18,6)"), 6).cast("decimal(18,6)"))
         .withColumn("g2n", ($"g2" + $"gq").cast("decimal(18,6)"))
@@ -774,44 +790,60 @@ object CorpusQueries {
           $"g2n".as("g2"): _*)
     }
     for (_ <- 1 to GloveIters) {
+      // every state frame is bounded by construction (≤ 2·GloveVocab·dim
+      // = 3200 rows at ANY tier), so broadcast is pinned by hint (guide
+      // §3.1) on every pairs×state / fe×state join — the pair stream is
+      // never shuffled inside a round; the only exchanges left are the
+      // bounded gradient aggregates.
+      val wS = wcS.filter($"side" === "w")
+      val cS = wcS.filter($"side" === "c")
       // dot products: pairs×dim join, partial-aggregated per (i, j)
       val dot = pairs
-        .join(wS.select($"w".as("i"), $"k", $"wv"), Seq("i"))
-        .join(cS.select($"w".as("j"), $"k", $"wv".as("cv")), Seq("j", "k"))
+        .join(wS.select($"w".as("i"), $"k", $"wv").hint("broadcast"), Seq("i"))
+        .join(cS.select($"w".as("j"), $"k", $"wv".as("cv")).hint("broadcast"),
+          Seq("j", "k"))
         .select($"i", $"j", round($"wv" * $"cv", 6).cast("decimal(28,6)").as("t"))
         .groupBy($"i", $"j").agg(sum($"t").as("dt"))
       // weighted residual fe = f(x)·(wᵢ·cⱼ + bᵢ + b̃ⱼ − ln x) on the grid —
       // the frame every gradient reads; checkpointed per round
-      val fe = pairs.join(dot, Seq("i", "j"))
-        .join(bS.select($"w".as("i"), $"bv"), Seq("i"))
-        .join(bbS.select($"w".as("j"), $"bv".as("bbv")), Seq("j"))
+      val fe = pairs.join(dot.hint("broadcast"), Seq("i", "j"))
+        .join(bS.filter($"side" === "w").select($"w".as("i"), $"bv")
+          .hint("broadcast"), Seq("i"))
+        .join(bS.filter($"side" === "c").select($"w".as("j"), $"bv".as("bbv"))
+          .hint("broadcast"), Seq("j"))
         .select($"i", $"j",
           round($"fx" * ($"dt" + $"bv" + $"bbv" - $"lx").cast("decimal(18,6)"),
             6).cast("decimal(18,6)").as("fe"))
         .localCheckpoint()
-      val gw = fe.join(cS.select($"w".as("j"), $"k", $"wv".as("cv")), Seq("j"))
-        .select($"i".as("w"), $"k",
+      // factor gradients, both sides through ONE aggregate: the w-side
+      // contribution stream (i ← fe·c_jk) unions the c-side stream
+      // (j ← fe·w_ik), keyed by (side, w, k)
+      val gwc = fe.join(cS.select($"w".as("j"), $"k", $"wv".as("cv"))
+          .hint("broadcast"), Seq("j"))
+        .select(lit("w").as("side"), $"i".as("w"), $"k",
           round($"fe" * $"cv", 6).cast("decimal(28,6)").as("t"))
-        .groupBy($"w", $"k").agg(sum($"t").as("g"))
-      val gc = fe.join(wS.select($"w".as("i"), $"k", $"wv"), Seq("i"))
-        .select($"j".as("w"), $"k",
-          round($"fe" * $"wv", 6).cast("decimal(28,6)").as("t"))
-        .groupBy($"w", $"k").agg(sum($"t").as("g"))
-      val gb = fe.groupBy($"i".as("w"))
-        .agg(sum($"fe".cast("decimal(28,6)")).as("g"))
-      val gbb = fe.groupBy($"j".as("w"))
-        .agg(sum($"fe".cast("decimal(28,6)")).as("g"))
-      val Seq(wN, cN) = Seq((wS, gw), (cS, gc)).map { case (s, g) =>
-        adagrad(s, g, Seq("w", "k"), "wv").localCheckpoint()
-      }
-      val Seq(bN, bbN) = Seq((bS, gb), (bbS, gbb)).map { case (s, g) =>
-        adagrad(s, g, Seq("w"), "bv").localCheckpoint()
-      }
-      Seq(wS, cS, bS, bbS, fe).foreach(GraftSqlBridge.dropCheckpoint)
-      wS = wN; cS = cN; bS = bN; bbS = bbN
+        .unionByName(
+          fe.join(wS.select($"w".as("i"), $"k", $"wv").hint("broadcast"),
+            Seq("i"))
+            .select(lit("c").as("side"), $"j".as("w"), $"k",
+              round($"fe" * $"wv", 6).cast("decimal(28,6)").as("t")))
+        .groupBy($"side", $"w", $"k").agg(sum($"t").as("g"))
+      // bias gradients, both sides through ONE aggregate
+      val gbb = fe.select(lit("w").as("side"), $"i".as("w"),
+          $"fe".cast("decimal(28,6)").as("t"))
+        .unionByName(fe.select(lit("c").as("side"), $"j".as("w"),
+          $"fe".cast("decimal(28,6)").as("t")))
+        .groupBy($"side", $"w").agg(sum($"t").as("g"))
+      val wcN = adagrad(wcS, gwc, Seq("side", "w", "k"), "wv").localCheckpoint()
+      val bN = adagrad(bS, gbb, Seq("side", "w"), "bv").localCheckpoint()
+      Seq(wcS, bS, fe).foreach(GraftSqlBridge.dropCheckpoint)
+      wcS = wcN; bS = bN
     }
     GraftSqlBridge.dropCheckpoint(pairs)
-    wS.join(cS.select($"w", $"k", $"wv".as("cv")), Seq("w", "k"))
+    wcS.filter($"side" === "w")
+      .join(wcS.filter($"side" === "c")
+        .select($"w", $"k", $"wv".as("cv")).hint("broadcast"),
+        Seq("w", "k"))
       .select($"w".as("word"), $"k".as("dim"),
         ($"wv" + $"cv").cast("double").as("vec"))
       .orderBy($"word", $"dim")
