@@ -459,28 +459,36 @@ object CorpusQueries {
     * threshold, so every keep/cut decision is engine-identical. */
   def quantileFilter(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val scored = Tables.documents(spark, dir)
+    // r15 (guide §2.3/§2.4): ONE corpus pass. The former shape scanned
+    // (and re-scored) the corpus three times — per-(source, quality) grid,
+    // per-source totals, and the kept-count filter join. Everything after
+    // the grid aggregate is value-grid-bounded: n_total rides the same
+    // source-keyed exchange as the cumulative window, and n_kept is the
+    // sum of grid counts at quality ≥ p25 (exact longs — identical to
+    // counting the matching docs).
+    val byVal = Tables.documents(spark, dir)
       .select($"doc_id", $"source", Text.qualityScore($"text").as("quality"))
-    val byVal = scored.groupBy($"source", $"quality")
+      .groupBy($"source", $"quality")
       .agg(count(lit(1)).as("c"))
-    val cum = byVal.withColumn("cum",
-      sum($"c").over(Window.partitionBy($"source").orderBy($"quality")))
-    val ranks = scored.groupBy($"source")
-      .agg(count(lit(1)).as("n_total"))
+    val bySrc = Window.partitionBy($"source")
+    val g = byVal
+      .withColumn("cum", sum($"c").over(bySrc.orderBy($"quality")))
+      .withColumn("n_total", sum($"c").over(bySrc))
       .withColumn("pos", ($"n_total" - 1).cast("double") * lit(0.25))
       .withColumn("lo", floor($"pos"))
       .withColumn("hi", ceil($"pos"))
       .withColumn("frac", $"pos" - floor($"pos"))
-    val thresholds = cum.join(ranks, "source")
+    val thresholds = g
       .groupBy($"source", $"n_total", $"frac")
       .agg(min(when($"cum" >= $"lo" + 1, $"quality")).as("qlo"),
         min(when($"cum" >= $"hi" + 1, $"quality")).as("qhi"))
       .select($"source", $"n_total",
         round($"qlo" + ($"qhi" - $"qlo") * $"frac", 6).as("p25"))
-    scored.join(thresholds, "source")
+    g.select($"source", $"quality", $"c")
+      .join(thresholds.hint("broadcast"), "source")
       .filter($"quality" >= $"p25")
       .groupBy($"source", $"p25", $"n_total")
-      .agg(count(lit(1)).as("n_kept"))
+      .agg(sum($"c").as("n_kept"))
       .withColumn("kept_frac",
         round($"n_kept".cast("double") / $"n_total".cast("double"), 6))
       .select($"source", $"p25", $"n_total", $"n_kept", $"kept_frac")
@@ -875,23 +883,34 @@ object CorpusQueries {
     * rows), joined back as #langs rows (broadcast). */
   def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // r15 (guide §2.3/§2.4): ONE pass over the per-doc score stream. The
+    // former shape re-ran the toks⋈unigram scoring pipeline three times
+    // (ppl grid, per-lang totals, bucket join). Everything after the
+    // (lang, ppl-grid) aggregate is value-grid-bounded: the grid carries
+    // doc count AND token sum per cell, per-lang totals ride the same
+    // lang-keyed exchange as the cumulative window, and the final
+    // per-bucket sums fold grid cells — spp = Σ ppl·c is exact DECIMAL
+    // (ppl sits on the 0.01 grid), bit-identical to summing per-doc.
     val docs = Tables.documents(spark, dir)
     val toks = docs.select($"doc_id", $"lang",
       explode(Text.tokenize($"text")).as("w"))
     val uni = toks.groupBy($"w").agg(count(lit(1)).as("c"))
-    val n1 = toks.agg(count(lit(1)).as("n1"))
+    // corpus token total from the vocab-sized unigram frame, not a second
+    // corpus scan
+    val n1 = uni.agg(sum($"c").as("n1"))
     val scored = toks.join(uni, "w").crossJoin(broadcast(n1))
       .groupBy($"doc_id", $"lang")
       .agg(count(lit(1)).as("n_tokens"),
         round(exp(round(avg(log($"n1".cast("double") / $"c".cast("double"))), 6)), 2)
           .as("ppl"))
-    val byVal = scored.groupBy($"lang", $"ppl").agg(count(lit(1)).as("c"))
-    val cum = byVal.withColumn("cum",
-      sum($"c").over(Window.partitionBy($"lang").orderBy($"ppl")))
-    val ranks = scored.groupBy($"lang").agg(count(lit(1)).as("nd"))
+    val byLang = Window.partitionBy($"lang")
+    val g = scored.groupBy($"lang", $"ppl")
+      .agg(count(lit(1)).as("c"), sum($"n_tokens").as("tok"))
+      .withColumn("cum", sum($"c").over(byLang.orderBy($"ppl")))
+      .withColumn("nd", sum($"c").over(byLang))
       .withColumn("pos33", ($"nd" - 1).cast("double") * lit(1.0 / 3.0))
       .withColumn("pos67", ($"nd" - 1).cast("double") * lit(2.0 / 3.0))
-    val cuts = cum.join(ranks, "lang")
+    val cuts = g
       .groupBy($"lang", $"pos33", $"pos67")
       .agg(
         min(when($"cum" >= floor($"pos33") + 1, $"ppl")).as("qlo33"),
@@ -903,15 +922,16 @@ object CorpusQueries {
           .as("p33"),
         round($"qlo67" + ($"qhi67" - $"qlo67") * ($"pos67" - floor($"pos67")), 6)
           .as("p67"))
-    scored.join(cuts, "lang")
+    g.select($"lang", $"ppl", $"c", $"tok")
+      .join(cuts.hint("broadcast"), "lang")
       .withColumn("bucket",
         when($"ppl" <= $"p33", lit("head"))
           .when($"ppl" <= $"p67", lit("middle"))
           .otherwise(lit("tail")))
       .groupBy($"lang", $"bucket")
-      .agg(count(lit(1)).as("n_docs"),
-        sum($"ppl".cast("decimal(18,2)")).as("spp"),
-        sum($"n_tokens").as("n_tokens"))
+      .agg(sum($"c").as("n_docs"),
+        sum($"ppl".cast("decimal(18,2)") * $"c").as("spp"),
+        sum($"tok").as("n_tokens"))
       // exact integer half-up mean — the q_bigram_lm midpoint class
       .withColumn("sppm", ($"spp" * lit(1000000)).cast("decimal(38,0)"))
       .select($"lang", $"bucket", $"n_docs",
@@ -951,14 +971,17 @@ object CorpusQueries {
       .withColumn("f",
         pmod(conv(substring(md5($"w"), 1, 8), 16, 10).cast("long"),
           lit(DsirBuckets)))
-    val tgt = toks.filter($"lang" === DsirTargetLang)
-      .groupBy($"f").agg(count(lit(1)).as("ct"))
-    val raw = toks.groupBy($"f").agg(count(lit(1)).as("cr"))
-    val nt = toks.filter($"lang" === DsirTargetLang).agg(count(lit(1)).as("nt"))
-    val nr = toks.agg(count(lit(1)).as("nr"))
-    val feat = raw.join(tgt, Seq("f"), "left")
-      .withColumn("ct", coalesce($"ct", lit(0L)))
-      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+    // r15 (guide §2.3): target and raw feature counts in ONE corpus
+    // aggregate (conditional count instead of a filtered second scan +
+    // left join), and the corpus totals derived from the ≤DsirBuckets-row
+    // feature table instead of two more corpus scans — one token pass
+    // builds the whole feature model. Counts are exact longs throughout.
+    val counted = toks.groupBy($"f").agg(
+      count(lit(1)).as("cr"),
+      count(when($"lang" === DsirTargetLang, 1)).as("ct"))
+    val tots = counted.agg(sum($"ct").as("nt"), sum($"cr").as("nr"))
+    val feat = counted
+      .crossJoin(broadcast(tots))
       .select($"f",
         (log(($"ct" + 1).cast("double") / ($"nt" + DsirBuckets).cast("double")) -
           log(($"cr" + 1).cast("double") / ($"nr" + DsirBuckets).cast("double")))
@@ -2168,15 +2191,17 @@ object CorpusQueries {
       .groupBy($"doc_id", $"term")
       .agg(count(lit(1)).cast("double").as("x"))
       .localCheckpoint()
+    // r15: seeds stay LAZY — they are deterministic projections of the
+    // checkpointed v (distinct + crossJoin with the k-row topic frame), so
+    // their former standalone checkpoint jobs bought nothing; within the
+    // first round's jobs the distinct exchange is planned once and reused.
     val w0 = v.select($"doc_id").distinct().crossJoin(topics)
       .withColumn("wv",
         ((($"doc_id" * 7 + $"t" * 13) % 10 + 1).cast("double") / lit(10.0)))
-      .localCheckpoint()
     val h0 = v.select($"term").distinct().crossJoin(topics)
       .withColumn("hv",
         (((conv(substring(md5($"term"), 1, 8), 16, 10).cast("long") +
           $"t" * 13) % 10 + 1).cast("double") / lit(10.0)))
-      .localCheckpoint()
     var w = w0
     var h = h0
     for (_ <- 0 until NmfIters) {

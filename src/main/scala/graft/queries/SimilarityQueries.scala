@@ -625,16 +625,21 @@ object SimilarityQueries {
         (lit(MmrLambda) * $"p.cos").as("score"), lit(1).as("rank"))
       .localCheckpoint()
     for (r <- 2 to MmrK) {
+      // r15: every loop frame is bounded by construction (sel ≤ Q·MmrK,
+      // ms ≤ Q·MmrCandidates rows at ANY tier — Q is the fixed ≤10-query
+      // panel), so broadcast is pinned by hint (guide §3.1) instead of
+      // AQE's materialize-both-sides-then-convert.
       // per remaining candidate: max similarity to the selected set
       val ms = pc
-        .join(sel.select($"query_id".as("qq"), $"cid".as("sid")),
+        .join(sel.select($"query_id".as("qq"), $"cid".as("sid"))
+          .hint("broadcast"),
           $"query_id" === $"qq" && $"b" === $"sid")
         .groupBy($"query_id", $"a").agg(max($"pcos").as("msim"))
         .withColumnRenamed("query_id", "mq")
       val pick = slim
-        .join(sel.select($"query_id", $"cid"), Seq("query_id", "cid"),
-          "left_anti")
-        .join(ms, $"cid" === $"a" && $"query_id" === $"mq")
+        .join(sel.select($"query_id", $"cid").hint("broadcast"),
+          Seq("query_id", "cid"), "left_anti")
+        .join(ms.hint("broadcast"), $"cid" === $"a" && $"query_id" === $"mq")
         .withColumn("sc",
           lit(MmrLambda) * $"cos" - lit(1.0 - MmrLambda) * $"msim")
         .groupBy($"query_id")
