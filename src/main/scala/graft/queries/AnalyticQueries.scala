@@ -399,7 +399,10 @@ object AnalyticQueries {
       .withColumn("ba", coalesce(sum($"ta").over(wP), lit(0L)))
       .withColumn("bb", coalesce(sum($"tb").over(wP), lit(0L)))
       .select($"pid", $"ba", $"bb")
-    val tot = flagged.agg(sum($"ia").as("n_a"), sum(lit(1L) - $"ia").as("n_b"))
+    // r15: totals from the value-grid-bounded count frame — the former
+    // flagged.agg re-scanned the events table a second time (exact longs
+    // either way)
+    val tot = grp.agg(sum($"ca").as("n_a"), sum($"cb").as("n_b"))
     val ks = cum.join(broadcast(bases), "pid").crossJoin(broadcast(tot))
       .select($"value", $"n_a", $"n_b",
         abs(($"ba" + $"la").cast("double") / $"n_a".cast("double") -

@@ -117,7 +117,11 @@ object SimilarityQueries {
     val t = Similarity.JaccardThreshold
     val sets = shingleSets(spark, dir)
     val sh = sets.select($"doc_id", explode($"sh").as("s"))
-    val byDf = sh.join(sh.groupBy($"s").agg(count(lit(1)).as("df")), "s")
+    // r15 (guide §2.4): df as a count window over the shingle stream —
+    // ONE exchange on s instead of the former groupBy(s) + join back,
+    // which re-keyed the stream twice. Exact long count either way.
+    val byDf = sh.withColumn("df",
+      count(lit(1)).over(Window.partitionBy($"s")))
     val rare = byDf.filter($"df" <= DfCap).select($"doc_id", $"s")
     val hotSets = byDf.filter($"df" > DfCap)
       .groupBy($"doc_id").agg(collect_list($"s").as("hot"))
@@ -181,14 +185,16 @@ object SimilarityQueries {
     val t = Similarity.JaccardThreshold
     val sets = shingleSets(spark, dir)
     val sh = sets.select($"doc_id", explode($"sh").as("s"))
-    // document frequency of each shingle → global rarity order
-    val df = sh.groupBy($"s").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy($"doc_id").orderBy($"df", $"s")
     // per-doc set size from the (tiny) sets frame, NOT count().over(doc):
     // an unordered count window is a second Window pass over the sorted
     // shingle rows; this join rides the row_number shuffle instead
     val cnt = sets.select($"doc_id", size($"sh").as("n"))
-    val prefix = sh.join(df, "s")
+    // r15 (guide §2.4): document frequency as a count window over the
+    // shingle stream — ONE exchange on s instead of groupBy(s) + join
+    // back (two keyings of the stream). Exact long count either way.
+    val prefix = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"s")))
       .withColumn("r", row_number().over(byRarity))
       .join(cnt, "doc_id")
       .filter($"r" <= $"n" - ceil($"n" * t) + 1)
@@ -1832,6 +1838,12 @@ object SimilarityQueries {
       .select($"doc_id",
         lower(substring(regexp_replace($"text", "\\s+", " "), 1, 16)).as("bk"),
         Text.tokenSet($"text").as("ts"))
+    // r15: a Tungsten-only two-level rank (range partition + per-partition
+    // row_number + broadcast base offsets, the ksDrift recipe) was built
+    // and MEASURED SLOWER than this zipWithIndex formulation at sf0.1
+    // (2.5 s vs 1.8 s min-of-5 — the extra exchange/window/broadcast
+    // machinery costs more than the one-time Row conversion, whose bytes
+    // are dominated by the ts token arrays either way); kept as-is.
     val ranked = {
       val schema = org.apache.spark.sql.types.StructType(
         docs.schema.fields :+
