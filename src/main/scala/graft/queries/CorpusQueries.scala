@@ -1161,19 +1161,26 @@ object CorpusQueries {
     var v = spark.range(GramDims)
       .select($"id".as("j"), expr("CAST(0.125 AS DECIMAL(18,6))").as("vj"))
     var last: DataFrame = null
+    // r15: every iteration frame is dims-bounded (≤ GramDims rows at ANY
+    // tier), so broadcast is pinned by hint, the squared-norm scalar is a
+    // single-partition window (the hits recipe — removes the crossJoin's
+    // double reference), and NO per-round checkpoint remains: the chain
+    // is linear over a fixed PcaIters, so the whole power iteration runs
+    // as one job after the Gram checkpoint. DECIMAL window sum ≡ the agg
+    // (fold-order exact).
     for (_ <- 1 to PcaIters) {
-      val u = full.join(v, "j")
+      val u = full.join(v.hint("broadcast"), "j")
         .select($"i", round($"g" * $"vj".cast("double"), 6)
           .cast("decimal(28,6)").as("t"))
         .groupBy($"i").agg(sum($"t").as("ui"))
-      val n2 = u.select(round($"ui".cast("double") * $"ui".cast("double"), 6)
-          .cast("decimal(38,6)").as("s"))
-        .agg(sum($"s").as("n2"))
-      last = u.crossJoin(broadcast(n2))
+      last = u
+        .withColumn("n2",
+          sum(round($"ui".cast("double") * $"ui".cast("double"), 6)
+            .cast("decimal(38,6)"))
+            .over(Window.partitionBy()))
         .select($"i".as("j"), $"n2",
           round($"ui".cast("double") / sqrt($"n2".cast("double")), 6)
             .cast("decimal(18,6)").as("vj"))
-        .localCheckpoint()
       v = last.select($"j", $"vj")
     }
     last.select($"j".as("dim"), $"vj".cast("double").as("loading"),
