@@ -769,25 +769,26 @@ object CorpusQueries {
     def seedB: DataFrame = vocab.select($"w",
       lit(0).cast("decimal(18,6)").as("bv"),
       lit(1).cast("decimal(18,6)").as("g2"))
-    // r15: the four AdaGrad states ride TWO side-tagged frames (side 'w'
-    // = center factors / biases, side 'c' = context) instead of four —
-    // per round 3 checkpoint jobs (fe, factors, biases) instead of 5,
-    // and each gradient pair lands in ONE bounded aggregate exchange
-    // instead of two. Row-wise the updates are identical (the side tag
-    // is part of every join/group key, so nothing mixes across sides);
-    // sums stay DECIMAL — fold-order exact under the union interleave.
-    var wcS = seed(":w").withColumn("side", lit("w"))
+    // r15: ALL FOUR AdaGrad states ride ONE side-tagged frame — factors
+    // at k ∈ 1..GloveDim, biases at k = 0 — so each round is exactly one
+    // state checkpoint and one gradient aggregate exchange (all four
+    // gradient streams union into a single (side, w, k)-keyed sum; keys
+    // are disjoint across streams, so per-key sums are unchanged and
+    // DECIMAL folding stays order-exact). Row-wise the updates are
+    // identical to four separate states.
+    var state = seed(":w").withColumn("side", lit("w"))
       .unionByName(seed(":c").withColumn("side", lit("c")))
+      .unionByName(seedB.withColumn("k", lit(0L)).withColumn("side", lit("w"))
+        .withColumnRenamed("bv", "wv").select($"w", $"k", $"wv", $"g2", $"side"))
+      .unionByName(seedB.withColumn("k", lit(0L)).withColumn("side", lit("c"))
+        .withColumnRenamed("bv", "wv").select($"w", $"k", $"wv", $"g2", $"side"))
       .localCheckpoint()
-    var bS = seedB.withColumn("side", lit("w"))
-      .unionByName(seedB.withColumn("side", lit("c")))
-      .localCheckpoint()
-    // one AdaGrad update, shared by both state frames: g2' = g2 + (g·g on
-    // the grid); step = round(lr·g/√g2', 6) — bounded by lr per round
-    def adagrad(state: DataFrame, grad: DataFrame, keys: Seq[String],
+    // one AdaGrad update for the whole state: g2' = g2 + (g·g on the
+    // grid); step = round(lr·g/√g2', 6) — bounded by lr per round
+    def adagrad(st: DataFrame, grad: DataFrame, keys: Seq[String],
                 value: String): DataFrame = {
       val g = coalesce($"g", lit(0).cast("decimal(28,6)"))
-      state.join(grad.hint("broadcast"), keys, "left")
+      st.join(grad.hint("broadcast"), keys, "left")
         .withColumn("gq", round(g.cast("decimal(18,6)") *
           g.cast("decimal(18,6)"), 6).cast("decimal(18,6)"))
         .withColumn("g2n", ($"g2" + $"gq").cast("decimal(18,6)"))
@@ -798,13 +799,13 @@ object CorpusQueries {
           $"g2n".as("g2"): _*)
     }
     for (_ <- 1 to GloveIters) {
-      // every state frame is bounded by construction (≤ 2·GloveVocab·dim
-      // = 3200 rows at ANY tier), so broadcast is pinned by hint (guide
+      // every state frame is bounded by construction (≤ 2·GloveVocab·
+      // (dim+1) rows at ANY tier), so broadcast is pinned by hint (guide
       // §3.1) on every pairs×state / fe×state join — the pair stream is
       // never shuffled inside a round; the only exchanges left are the
-      // bounded gradient aggregates.
-      val wS = wcS.filter($"side" === "w")
-      val cS = wcS.filter($"side" === "c")
+      // two bounded aggregates (dot products, gradients).
+      val wS = state.filter($"side" === "w" && $"k" >= 1)
+      val cS = state.filter($"side" === "c" && $"k" >= 1)
       // dot products: pairs×dim join, partial-aggregated per (i, j)
       val dot = pairs
         .join(wS.select($"w".as("i"), $"k", $"wv").hint("broadcast"), Seq("i"))
@@ -815,18 +816,16 @@ object CorpusQueries {
       // weighted residual fe = f(x)·(wᵢ·cⱼ + bᵢ + b̃ⱼ − ln x) on the grid —
       // the frame every gradient reads; checkpointed per round
       val fe = pairs.join(dot.hint("broadcast"), Seq("i", "j"))
-        .join(bS.filter($"side" === "w").select($"w".as("i"), $"bv")
-          .hint("broadcast"), Seq("i"))
-        .join(bS.filter($"side" === "c").select($"w".as("j"), $"bv".as("bbv"))
-          .hint("broadcast"), Seq("j"))
+        .join(state.filter($"side" === "w" && $"k" === 0)
+          .select($"w".as("i"), $"wv".as("bv")).hint("broadcast"), Seq("i"))
+        .join(state.filter($"side" === "c" && $"k" === 0)
+          .select($"w".as("j"), $"wv".as("bbv")).hint("broadcast"), Seq("j"))
         .select($"i", $"j",
           round($"fx" * ($"dt" + $"bv" + $"bbv" - $"lx").cast("decimal(18,6)"),
             6).cast("decimal(18,6)").as("fe"))
         .localCheckpoint()
-      // factor gradients, both sides through ONE aggregate: the w-side
-      // contribution stream (i ← fe·c_jk) unions the c-side stream
-      // (j ← fe·w_ik), keyed by (side, w, k)
-      val gwc = fe.join(cS.select($"w".as("j"), $"k", $"wv".as("cv"))
+      // all four gradient streams through ONE aggregate, keyed (side, w, k)
+      val grad = fe.join(cS.select($"w".as("j"), $"k", $"wv".as("cv"))
           .hint("broadcast"), Seq("j"))
         .select(lit("w").as("side"), $"i".as("w"), $"k",
           round($"fe" * $"cv", 6).cast("decimal(28,6)").as("t"))
@@ -835,21 +834,19 @@ object CorpusQueries {
             Seq("i"))
             .select(lit("c").as("side"), $"j".as("w"), $"k",
               round($"fe" * $"wv", 6).cast("decimal(28,6)").as("t")))
-        .groupBy($"side", $"w", $"k").agg(sum($"t").as("g"))
-      // bias gradients, both sides through ONE aggregate
-      val gbb = fe.select(lit("w").as("side"), $"i".as("w"),
-          $"fe".cast("decimal(28,6)").as("t"))
+        .unionByName(fe.select(lit("w").as("side"), $"i".as("w"),
+          lit(0L).as("k"), $"fe".cast("decimal(28,6)").as("t")))
         .unionByName(fe.select(lit("c").as("side"), $"j".as("w"),
-          $"fe".cast("decimal(28,6)").as("t")))
-        .groupBy($"side", $"w").agg(sum($"t").as("g"))
-      val wcN = adagrad(wcS, gwc, Seq("side", "w", "k"), "wv").localCheckpoint()
-      val bN = adagrad(bS, gbb, Seq("side", "w"), "bv").localCheckpoint()
-      Seq(wcS, bS, fe).foreach(GraftSqlBridge.dropCheckpoint)
-      wcS = wcN; bS = bN
+          lit(0L).as("k"), $"fe".cast("decimal(28,6)").as("t")))
+        .groupBy($"side", $"w", $"k").agg(sum($"t").as("g"))
+      val stateN = adagrad(state, grad, Seq("side", "w", "k"), "wv")
+        .localCheckpoint()
+      Seq(state, fe).foreach(GraftSqlBridge.dropCheckpoint)
+      state = stateN
     }
     GraftSqlBridge.dropCheckpoint(pairs)
-    wcS.filter($"side" === "w")
-      .join(wcS.filter($"side" === "c")
+    state.filter($"side" === "w" && $"k" >= 1)
+      .join(state.filter($"side" === "c" && $"k" >= 1)
         .select($"w", $"k", $"wv".as("cv")).hint("broadcast"),
         Seq("w", "k"))
       .select($"w".as("word"), $"k".as("dim"),
@@ -2122,8 +2119,10 @@ object CorpusQueries {
           explode(expr("element_at(dp, length(word) + 1).ps")).as("piece"))
         .groupBy($"piece").agg(sum($"f").as("n"))
       val prev = counts
+      // r15: `used` is bounded by the fixed seed piece set at every tier,
+      // so broadcast is pinned by hint (guide §3.1)
       counts = counts.select($"piece")
-        .join(used, Seq("piece"), "left")
+        .join(used.hint("broadcast"), Seq("piece"), "left")
         .select($"piece",
           when(length($"piece") === 1,
             greatest(coalesce($"n", lit(0L)), lit(1L)))

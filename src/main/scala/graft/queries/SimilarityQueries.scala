@@ -221,9 +221,15 @@ object SimilarityQueries {
     // all-MaxValue signatures would otherwise bucket together.
     val sigs = sets.filter(size($"sh") > 0)
       .select($"doc_id", Similarity.minhashSig($"sh").as("sig"))
+    // r15: checkpointed — the band self-join's build side is map-only (no
+    // shuffle stage to reuse), so without this the 128-hash signature UDF
+    // ran over the whole corpus TWICE per query (plan-verified: two
+    // Generate-over-scan subtrees). The frame is 32 small rows per doc —
+    // far cheaper to materialize than a second signature pass at any tier.
     val bands = sigs
       .select($"doc_id", explode(Similarity.lshBands($"sig")).as("bb"))
       .select($"doc_id", $"bb.band".as("band"), $"bb.band_hash".as("bh"))
+      .localCheckpoint()
     val cand = bands.as("a")
       .join(bands.as("b"),
         $"a.band" === $"b.band" && $"a.bh" === $"b.bh" && $"a.doc_id" < $"b.doc_id")
@@ -495,9 +501,13 @@ object SimilarityQueries {
     val sets = shingleSets(spark, dir)
     val sigs = sets.filter(size($"sh") > 0)
       .select($"doc_id", Similarity.minhashSig($"sh").as("sig"))
+    // r15: one signature pass serves both the index and the batch side
+    // (the minhashDedup checkpoint rationale — both filters below would
+    // otherwise each recompute the map-only signature pipeline)
     val bands = sigs
       .select($"doc_id", explode(Similarity.lshBands($"sig")).as("bb"))
       .select($"doc_id", $"bb.band".as("band"), $"bb.band_hash".as("bh"))
+      .localCheckpoint()
     val index = bands.filter($"doc_id" % 2 === 0)
     val batch = bands.filter($"doc_id" % 2 === 1)
     val cand = index.as("a")
