@@ -122,14 +122,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges(p) <= 5, s"too many shuffles:\n$p")
   }
 
-  test("markovSteady: the iteration result is checkpointed — the final " +
-    "plan reads no parquet and re-runs no corpus work") {
+  test("markovSteady: the corpus work stays behind the tr/states " +
+    "checkpoints — the final plan reads no parquet and the per-round " +
+    "shuffle budget is bounded") {
     val p = plan(graft.queries.AnalyticQueries.markovSteady(spark, sf))
-    // 20 power-iteration rounds run on |types|-row frames behind
-    // localCheckpoints; what remains is the tiny final projection + sort
+    // r15: the 20 power-iteration rounds build ONE job over |types|-row
+    // frames (no per-round localCheckpoint — validated at MarkovIters=20;
+    // plan size grows superlinearly with the constant, re-measure before
+    // raising it). Budget: exactly 1 non-broadcast exchange per round (the
+    // contrib aggregate; the state join rides its broadcast hint) + the
+    // start distinct + the closing sort. Measured 22 at this shape — an
+    // inserted extra shuffle trips this.
     assert(!p.toLowerCase.contains("parquet"),
       s"corpus scan leaked past the checkpoint:\n$p")
-    assert(exchanges(p) <= 2, s"too many shuffles:\n$p")
+    val bound = graft.queries.AnalyticQueries.MarkovIters + 2
+    assert(exchanges(p) <= bound, s"too many shuffles (> $bound):\n$p")
   }
 
   test("mmrRerank: greedy rounds stay behind checkpoints — final plan is " +
@@ -239,13 +246,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges(p) <= 2, s"too many shuffles:\n$p")
   }
 
-  test("textrank: iterations stay behind checkpoints — the final plan is " +
-    "a bounded top-k over the checkpointed score frame") {
+  test("textrank: corpus work stays behind the frac checkpoint — the " +
+    "final plan is a bounded top-k over a per-round-bounded score chain") {
     val p = plan(graft.queries.TextQueries.textrank(spark, sf))
     assert(!p.contains("Scan parquet"),
       s"post-checkpoint plan must not rescan the corpus:\n$p")
     assert(p.contains("TakeOrderedAndProject"),
       s"top-30 must compile to a bounded buffer, not a global sort:\n$p")
-    assert(exchanges(p) <= 1, s"too many shuffles:\n$p")
+    // r15: no per-round localCheckpoint — the TrIters rounds chain in one
+    // plan. Budget: exactly 1 non-broadcast exchange per round (the
+    // contrib aggregate; the score join reuses the aggregate's keying) +
+    // the node-set distinct. Measured 6 at this shape — an inserted extra
+    // shuffle trips this.
+    val bound = graft.queries.TextQueries.TrIters + 1
+    assert(exchanges(p) <= bound, s"too many shuffles (> $bound):\n$p")
   }
 }
