@@ -620,9 +620,13 @@ object AnalyticQueries {
   def assocRules(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val baskets = Tables.lineitem(spark, dir)
-      .select($"l_orderkey", $"l_partkey").distinct()
+      // r16 (guide §2.4): collect_set dedups inside the basket aggregate —
+      // the former select().distinct() keyed the whole fact by
+      // (orderkey, partkey) and the groupBy then re-keyed it by orderkey:
+      // two full-fact exchanges for one. sort_array(collect_set(..)) ≡
+      // sort_array(distinct collect_list(..)), so items are identical.
       .groupBy($"l_orderkey")
-      .agg(sort_array(collect_list($"l_partkey")).as("items"))
+      .agg(sort_array(collect_set($"l_partkey")).as("items"))
       .localCheckpoint() // one fact scan feeds pairs, item counts, and n
     val nOrders = baskets.agg(count(lit(1)).as("nn"))
     val itemCounts = baskets

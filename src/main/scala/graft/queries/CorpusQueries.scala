@@ -526,17 +526,25 @@ object CorpusQueries {
     * shuffle is the pair-count aggregate, bounded by pair vocabulary. */
   private def coocCounts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
-    def shifted(d: Int): DataFrame =
-      docs.select(Text.tokenize($"text").as("t"))
-        .filter(size($"t") > d)
-        .select(slice($"t", lit(1), size($"t") - d).as("a"),
-          slice($"t", lit(d + 1), size($"t") - d).as("b"))
-        .select(explode(arrays_zip($"a", $"b")).as("z"))
-        .select($"z.a".as("x"), $"z.b".as("y"))
-    val f = (1 to SkipgramWindow).map(shifted).reduce(_ union _)
-    f.select($"x".as("center"), $"y".as("context"))
-      .union(f.select($"y".as("center"), $"x".as("context")))
+    // r16 (guide §2.3): ONE corpus scan + tokenize pass. The former
+    // union-of-shifted-slices plan held 2·SkipgramWindow independent
+    // branches (each shift distance × each direction), and union branches
+    // share nothing — the documents table was scanned and re-tokenized 4
+    // times per materialization (plan-verified: 4 parquet scans). Both
+    // distances and both directions now emit from a single per-row token
+    // array through one explode; the pair multiset is identical, so every
+    // downstream count is bit-identical. The only shuffle remains the
+    // pair-count aggregate, bounded by pair vocabulary.
+    val pairCols = (1 to SkipgramWindow).flatMap { d =>
+      val a = slice($"t", lit(1), greatest(size($"t") - d, lit(0)))
+      val b = slice($"t", lit(d + 1), greatest(size($"t") - d, lit(0)))
+      Seq(zip_with(a, b, (x, y) => struct(x.as("center"), y.as("context"))),
+        zip_with(a, b, (x, y) => struct(y.as("center"), x.as("context"))))
+    }
+    Tables.documents(spark, dir)
+      .select(Text.tokenize($"text").as("t"))
+      .select(explode(flatten(array(pairCols: _*))).as("p"))
+      .select($"p.center", $"p.context")
       .groupBy($"center", $"context").agg(count(lit(1)).as("n"))
   }
 

@@ -830,6 +830,14 @@ object SimilarityQueries {
         struct($"cdist", $"cid")).as("best"))
       .select($"vec_id", $"best.v".as("v"), $"best.nrm".as("nrm"),
         $"best.cid".as("cid"), $"best.cdist".as("cdist"))
+      // r16 (guide §1.2/§5, the minhash-band lesson): both consumers
+      // reference this frame 4-6 times (radii, cell sizes, probe sample,
+      // member side), and the broadcast-build references live in separate
+      // jobs AQE cannot stitch to the probe-side shuffle — the corpus
+      // assignment pass ran up to 6× per query (plan-verified: 6 parquet
+      // scans in q_embed_dup_capped, 4 in the smalltier twin). Checkpoint
+      // once; every reference reads executor-resident blocks.
+      .localCheckpoint()
     (cents, assigned)
   }
 
