@@ -17,6 +17,12 @@ object GraftSqlBridge {
     case other => "idhash:" + System.identityHashCode(other)
   }
 
+  /** Block until the listener bus has delivered every queued event
+    * (`private[spark]`) — ShuffleProbe zeroes its per-query counters
+    * between queries and must not race late task-end events. */
+  def drainListeners(s: SparkSession): Unit =
+    s.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Drop the executor blocks behind a `localCheckpoint`'ed frame, NOW.
     * Iterative fitters (NMF, unigram-LM EM, Lloyd rounds, PageRank)
     * checkpoint per round; a superseded round's blocks otherwise linger
