@@ -822,7 +822,13 @@ object CorpusQueries {
         .select($"i", $"j", round($"wv" * $"cv", 6).cast("decimal(28,6)").as("t"))
         .groupBy($"i", $"j").agg(sum($"t").as("dt"))
       // weighted residual fe = f(x)·(wᵢ·cⱼ + bᵢ + b̃ⱼ − ln x) on the grid —
-      // the frame every gradient reads; checkpointed per round
+      // the frame every gradient reads; checkpointed per round. r16
+      // negative result: dropping this checkpoint (relying on
+      // ReuseExchange to dedupe the dot aggregate across the 4 gradient
+      // union branches) measured SLOWER — 6.33 vs 5.22 s min-of-5
+      // back-to-back at sf0.1/local[32]; the 4x recompute of the
+      // broadcast joins above the reused exchange outweighs the saved
+      // checkpoint job. Keep the checkpoint.
       val fe = pairs.join(dot.hint("broadcast"), Seq("i", "j"))
         .join(state.filter($"side" === "w" && $"k" === 0)
           .select($"w".as("i"), $"wv".as("bv")).hint("broadcast"), Seq("i"))

@@ -140,17 +140,20 @@ object RelationalQueries {
     * survivors (a few KB) the naive way. Identical semantics (ties broken
     * on orderkey/linenumber), verified by the same oracle. */
   def topItemsPerFlag(spark: SparkSession, dir: String): DataFrame = {
-    val localW = Window.partitionBy(col("l_returnflag"), col("part_id"))
-      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
-    val survivors = Tables.lineitem(spark, dir)
-      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
-        col("l_extendedprice"), spark_partition_id().as("part_id"))
-      .withColumn("lrn", row_number().over(localW))
-      .filter(col("lrn") <= 3)
-      .drop("part_id", "lrn")
+    // r16 (guide §2.4): the former manual two-level top-k (a pre-filter
+    // window on (l_returnflag, spark_partition_id) feeding the per-flag
+    // window) predates Spark's WindowGroupLimit rule, which pushes the
+    // rank<=k limit below the exchange as a partial group-limit — the
+    // map side already ships at most 3 rows per flag per scan partition.
+    // The manual layer had become pure overhead: one extra exchange, two
+    // extra sorts, and a second window pass (plan-verified: 3 -> 2
+    // exchanges, 4 -> 3 sorts). Identical rows: the rank order is a
+    // total order, so the per-flag top-3 is unique.
     val w = Window.partitionBy(col("l_returnflag"))
       .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
-    survivors
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("l_returnflag"), col("rn"), col("l_orderkey"),
