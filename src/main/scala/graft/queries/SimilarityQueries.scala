@@ -1471,13 +1471,28 @@ object SimilarityQueries {
     * via a broadcast 16-row crossJoin + min_by argmin — the per-vector
     * cost is 4 subspaces × 16 centroids of 16-dim dots, and no stage ever
     * shuffles the vectors themselves. */
+  /** Run the independent per-subspace fits from a small driver thread
+    * pool (guide §2.6 — overlap independent jobs): each [[kmeansL2]]
+    * round is an eager checkpoint job over a 16-dim slice whose task
+    * count cannot fill the executor at query-time scale, and the 4
+    * subspaces share nothing — serial submission left the cluster idle
+    * for 3 of every 4 fit tails. FIFO scheduling back-fills; results are
+    * per-subspace and order is preserved by Future.sequence, so the
+    * unions (and therefore every registered face) are bit-identical. */
+  private def inParallel[T](xs: Seq[() => T]): Seq[T] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(Future.sequence(xs.map(f => Future(f()))), Duration.Inf)
+  }
+
   private def pqFit(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
     SessionMemo.cached(spark,
       "pqfit:" + SessionMemo.tableTag(dir, "embeddings")) {
       import spark.implicits._
       val emb = Tables.embeddings(spark, dir)
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-      val perSub = (0 until PqSub).map { j =>
+      val perSub = inParallel((0 until PqSub).map { j => () =>
         val sub = emb.select($"vec_id",
           slice($"v", j * PqSubDim + 1, PqSubDim).as("v"))
         val cb = kmeansL2(sub, PqK, KmeansIters)
@@ -1491,7 +1506,7 @@ object SimilarityQueries {
           .select($"vec_id", lit(j).as("sub"),
             $"best.cid".as("code"), $"best.d2".as("d2"))
         (cb, codes)
-      }
+      })
       // three registered faces (codebooks, codes, ADC search) share this
       // fit; checkpoint both halves so a memo hit reads blocks, not plans
       (perSub.map(_._1).reduce(_ unionByName _).localCheckpoint(),
@@ -1552,7 +1567,9 @@ object SimilarityQueries {
       .select($"vec_id", $"ccid",
         zip_with($"v", $"cv", (a, b) => a - b).as("r"))
       .localCheckpoint()
-    val perSub = (0 until PqSub).map { j =>
+    // the 4 residual sub-fits are independent — submit them from the
+    // driver pool so their checkpoint jobs interleave (guide §2.6)
+    val perSub = inParallel((0 until PqSub).map { j => () =>
       val sub = resid.select($"vec_id",
         slice($"r", j * PqSubDim + 1, PqSubDim).as("v"))
       val cb = kmeansL2(sub, PqK, KmeansIters).withColumn("sub", lit(j))
@@ -1564,7 +1581,7 @@ object SimilarityQueries {
         .agg(min_by(struct($"cid", $"d2"), struct($"d2", $"cid")).as("best"))
         .select($"vec_id", lit(j).as("sub"), $"best.cid".as("code"))
       (cb, codes)
-    }
+    })
     // two registered faces (codes, ADC search) share this fit; the coarse
     // frame and resid are already checkpointed, so materialize the unions
     (coarse, resid.select($"vec_id", $"ccid"),
