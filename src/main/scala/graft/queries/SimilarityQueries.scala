@@ -640,22 +640,33 @@ object SimilarityQueries {
       .select($"query_id", $"p.cid".as("cid"), $"p.cos".as("cos"),
         (lit(MmrLambda) * $"p.cos").as("score"), lit(1).as("rank"))
       .localCheckpoint()
+    // r16 (guide §1.2): running-max greedy state — one row per surviving
+    // candidate carrying msim = max pairwise cosine to the selected set
+    // SO FAR. max is associative, so the per-round greatest() update
+    // equals the former full re-aggregation of pc against the whole
+    // selected set, and each round collapses from 3 hinted joins + 2
+    // aggregates (ms + pick) to 1 broadcast join + 1 argmax. Every loop
+    // frame stays bounded by construction (state ≤ Q·MmrCandidates,
+    // picks ≤ Q rows at ANY tier), so broadcast stays pinned by hint
+    // (guide §3.1, the r15 rule).
+    def strip(p: DataFrame) =
+      p.select($"query_id".as("pq"), $"cid".as("pid"))
+    def advanced(state: DataFrame, pick: DataFrame): DataFrame = {
+      val pcPick = pc.join(strip(pick).hint("broadcast"),
+          $"query_id" === $"pq" && $"b" === $"pid")
+        .select($"query_id".as("uq"), $"a".as("ua"), $"pcos".as("pp"))
+      state.join(strip(pick).hint("broadcast"),
+          $"query_id" === $"pq" && $"cid" === $"pid", "left_anti")
+        .join(pcPick.hint("broadcast"),
+          $"query_id" === $"uq" && $"cid" === $"ua")
+        .select($"query_id", $"cid", $"cos",
+          greatest($"msim", $"pp").as("msim"))
+    }
+    // cosines are ≥ -1, so the -2 floor is absorbed by the first update
+    var state = advanced(slim.withColumn("msim", lit(-2.0)), sel)
+      .localCheckpoint()
     for (r <- 2 to MmrK) {
-      // r15: every loop frame is bounded by construction (sel ≤ Q·MmrK,
-      // ms ≤ Q·MmrCandidates rows at ANY tier — Q is the fixed ≤10-query
-      // panel), so broadcast is pinned by hint (guide §3.1) instead of
-      // AQE's materialize-both-sides-then-convert.
-      // per remaining candidate: max similarity to the selected set
-      val ms = pc
-        .join(sel.select($"query_id".as("qq"), $"cid".as("sid"))
-          .hint("broadcast"),
-          $"query_id" === $"qq" && $"b" === $"sid")
-        .groupBy($"query_id", $"a").agg(max($"pcos").as("msim"))
-        .withColumnRenamed("query_id", "mq")
-      val pick = slim
-        .join(sel.select($"query_id", $"cid").hint("broadcast"),
-          Seq("query_id", "cid"), "left_anti")
-        .join(ms.hint("broadcast"), $"cid" === $"a" && $"query_id" === $"mq")
+      val pick = state
         .withColumn("sc",
           lit(MmrLambda) * $"cos" - lit(1.0 - MmrLambda) * $"msim")
         .groupBy($"query_id")
@@ -663,8 +674,17 @@ object SimilarityQueries {
           .as("p"))
         .select($"query_id", $"p.cid".as("cid"), $"p.cos".as("cos"),
           $"p.sc".as("score"), lit(r).as("rank"))
-      sel = sel.unionByName(pick).localCheckpoint()
+        .localCheckpoint() // read by the output union AND the state update
+      sel = sel.unionByName(pick)
+      if (r < MmrK) {
+        val prev = state
+        state = advanced(state, pick).localCheckpoint()
+        // superseded round state (VERDICT r12 #5 cold-pass hygiene)
+        org.apache.spark.sql.GraftSqlBridge.dropCheckpoint(prev)
+      }
     }
+    // the output below depends only on the pick checkpoints
+    org.apache.spark.sql.GraftSqlBridge.dropCheckpoint(state)
     // mmr_score stays UNROUNDED: it is a fixed dag of IEEE ops over 6-dp
     // inputs (bit-identical across engines), and λ·cos lands exactly on
     // the 7th-decimal .5 whenever cos's 6th digit is odd — rounding it
