@@ -60,9 +60,15 @@ object RetrievalQueries {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
     // per-doc length is map-only (array size, no explode); the corpus
-    // stats frame is 1 row and broadcasts
+    // stats frame is 1 row and broadcasts. r16 (guide §1.2): dl is
+    // checkpointed — map-only frames leave AQE no shuffle to reuse, so
+    // its two consumers (the stats aggregate and the score join) each
+    // re-scanned AND re-tokenized the corpus (plan-verified: 3 documents
+    // scans in q_rrf_fusion's sparse leg, 1 after). The frame is one
+    // (id, double) row per document.
     val dl = docs.select($"doc_id",
       size(Text.tokenize($"text")).cast("double").as("dl"))
+      .localCheckpoint()
     val stats = dl.agg(avg($"dl").as("avgdl"),
       count(lit(1)).cast("double").as("n_docs"))
     val tf = docs
